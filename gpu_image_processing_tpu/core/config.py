@@ -1,0 +1,66 @@
+"""Central configuration for the TPU image-processing framework.
+
+The CUDA reference scatters parameter defaults/ranges across five places that
+must stay in sync (bindings defaults `backend/cuda_bindings/bindings.cpp:245-247`,
+pydantic defaults `backend/app.py:49-52`, the `/api/filters` catalog
+`backend/app.py:147-172`, HTML slider bounds `frontend/index.html:88,97`, and
+C++ validation `tests/test_real_image.cu:77-85`).  Here there is exactly one
+source of truth; every other layer imports from this module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# ---------------------------------------------------------------------------
+# Parameter defaults and ranges (reference: backend/app.py:147-172)
+# ---------------------------------------------------------------------------
+
+DEFAULT_SIGMA: float = 2.0
+DEFAULT_RADIUS: int = 3
+DEFAULT_LEVEL: int = 1
+
+SIGMA_RANGE: tuple[float, float] = (0.5, 20.0)
+RADIUS_RANGE: tuple[int, int] = (1, 15)
+
+# The CUDA reference caps the Gaussian weight table at 64 constant-memory
+# floats, i.e. radius <= 31 (cuda_lib/src/image_filters.cu:13,729-732).  We
+# keep the same hard cap so oversize requests fail the same way.
+MAX_KERNEL_TAPS: int = 64
+
+VALID_CHANNELS: tuple[int, ...] = (1, 3, 4)
+VALID_LEVELS: tuple[int, ...] = (1, 2)
+
+# ---------------------------------------------------------------------------
+# Serving (reference: start_servers.sh:16-17, frontend/js/app.js:2)
+# ---------------------------------------------------------------------------
+
+BACKEND_HOST: str = "0.0.0.0"
+BACKEND_PORT: int = 8000
+FRONTEND_PORT: int = 8080
+
+# ---------------------------------------------------------------------------
+# TPU execution knobs
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TpuConfig:
+    """Tunables for the Pallas/XLA execution path."""
+
+    # Rows of output produced per Pallas grid step for the fused separable
+    # blur kernels.  (The VMEM analog of the reference's 16x16 thread blocks,
+    # image_filters.cu:773 -- but sized for a 16 MB VMEM instead of 48 KB of
+    # shared memory.)
+    blur_tile_rows: int = 256
+    sobel_tile_rows: int = 256
+    # Lane alignment for the last (width) dimension.
+    lane: int = 8 * 128
+    sublane: int = 8
+    # Number of timed repetitions used when measuring `time_ms` for the
+    # metrics triplet (minimum is reported).  >1 makes the measurement
+    # robust to tunnel/RPC artifacts on remote-attached devices.
+    timing_reps: int = 2
+
+
+TPU = TpuConfig()

@@ -1,0 +1,282 @@
+"""Deep profiling: the TPU-native replacement for the Nsight Compute sidecar.
+
+The reference shells out to `ncu --set full` around a throwaway script and
+parses CSV/JSON/text into a categorized metric dict
+(backend/profiling/ncu_profiler.py:39-331,795-934).  On TPU nothing needs a
+subprocess: the compiled XLA executable carries its own cost model
+(`compiled.cost_analysis()`) and memory footprint (`memory_analysis()`), and
+`jax.profiler` can capture a full trace on demand.  This module keeps the
+same three-tier contract (SURVEY 5.1):
+
+(a) the primary ``time_ms`` is always the direct device timing measured by
+    the dispatch runtime -- profiled numbers NEVER override it (the server
+    layer enforces this, mirroring backend/app.py:391-427);
+(b) `profile_filter` populates the same categorized dict shape the ncu
+    parser produced: {"execution": ..., "memory": ..., "occupancy": ...,
+    "config": ..., "total_kernel_duration_ms": ..., "kernels_profiled": ...};
+(c) `get_common_metrics` flattens it to the UI-ready keys
+    (`occupancy_pct`, `memory_throughput_gbps`, `compute_throughput_pct`,
+    `kernel_durations`, `total_kernels`, ...) like
+    ncu_profiler.get_common_ncu_metrics (:795-934).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Optional
+
+import numpy as np
+
+from ..runtime.device import default_device, platform
+
+# Peak specs used to turn measured rates into utilization percentages (the
+# TPU analog of ncu's "% of speed-of-light" columns).  v5e numbers from the
+# public spec sheet; override per-platform via env for other chips.
+_DEVICE_PEAKS = {
+    # platform -> (HBM GB/s, f32 TFLOP/s, bf16 TFLOP/s)
+    "tpu": (819.0, 98.0, 197.0),
+    "cpu": (50.0, 0.5, 0.5),
+    "gpu": (500.0, 20.0, 40.0),
+}
+
+
+def device_peaks() -> tuple[float, float, float]:
+    plat = platform()
+    hbm = float(os.environ.get("GIP_TPU_PEAK_HBM_GBPS", 0.0)) or None
+    peaks = _DEVICE_PEAKS.get(plat, _DEVICE_PEAKS["cpu"])
+    if hbm:
+        peaks = (hbm, peaks[1], peaks[2])
+    return peaks
+
+
+def check_profiler_available() -> bool:
+    """Analog of check_ncu_available (ncu_profiler.py:25): the XLA profiler
+    ships with jax, so deep profiling is available wherever jax runs."""
+    return True
+
+
+def _kernel_label(filter_type: str, level: int) -> str:
+    names = {
+        ("gaussian", 1): "gaussian_blur_oracle_l1",
+        ("gaussian", 2): "gaussian_blur_fused_l2",
+        ("box", 1): "box_blur_oracle_l1",
+        ("box", 2): "box_blur_fused_l2",
+        ("sobel", 1): "sobel_oracle_l1",
+        ("sobel", 2): "sobel_fused_l2",
+    }
+    return names.get((filter_type, level), f"{filter_type}_l{level}")
+
+
+def profile_filter(
+    image: np.ndarray,
+    filter_type: str,
+    level: int,
+    sigma: Optional[float] = None,
+    radius: Optional[int] = None,
+    capture_trace: bool = False,
+    trace_dir: Optional[str] = None,
+) -> dict[str, Any]:
+    """Profile one filter execution; returns the categorized metric dict.
+
+    Unlike the ncu flow (fresh python under `ncu` re-running the filter,
+    ncu_profiler.py:93-156), this reuses the already-compiled executable in
+    the process-wide runtime, measures steady-state device time over several
+    repetitions, and reads XLA's own cost/memory analyses.
+    """
+    from ..runtime import dispatch as _dispatch
+    from ..core.params import FILTERS, normalize_level
+
+    runtime = _dispatch.RUNTIME
+    lvl = normalize_level(filter_type, level)
+    height, width, channels = image.shape
+
+    kwargs: dict[str, Any] = {"level": lvl}
+    if filter_type == "gaussian":
+        kwargs.update(sigma=sigma if sigma is not None else 2.0,
+                      radius=radius if radius is not None else 3)
+    elif filter_type == "box":
+        kwargs.update(radius=radius if radius is not None else 3)
+
+    # Warm + locate the executable via a normal run.
+    _, first_metrics = runtime.run(filter_type, image, **kwargs)
+    key_map = {
+        "gaussian": ("gaussian", lvl, height, width, channels, kwargs.get("radius")),
+        "box": ("box", lvl, height, width, channels, kwargs.get("radius")),
+        "sobel": ("sobel", lvl, height, width, channels),
+    }
+    exe = runtime._cache.get(key_map[filter_type])
+
+    # Steady-state timing over multiple launches (the analog of ncu's
+    # --launch-count 10, ncu_profiler.py:142).
+    times_ms: list[float] = []
+    if exe is not None and exe._compiled is not None:
+        import jax
+
+        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
+        args = [jax.device_put(flat, default_device())]
+        if filter_type == "gaussian":
+            from ..ops.weights import gaussian_kernel_f32
+
+            args.append(
+                jax.device_put(
+                    gaussian_kernel_f32(kwargs["radius"], float(kwargs["sigma"])),
+                    default_device(),
+                )
+            )
+        jax.block_until_ready(args)
+        for _ in range(10):
+            t0 = time.perf_counter()
+            exe._compiled(*args).block_until_ready()
+            times_ms.append((time.perf_counter() - t0) * 1000.0)
+
+    duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+    mean_ms = float(np.mean(times_ms)) if times_ms else first_metrics.time_ms
+
+    # XLA's own analyses.
+    flops = bytes_accessed = None
+    peak_vmem_bytes = temp_bytes = argument_bytes = output_bytes = None
+    if exe is not None and exe._compiled is not None:
+        try:
+            ca = exe._compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0)) or None
+            bytes_accessed = float(ca.get("bytes accessed", 0.0)) or None
+        except Exception:
+            pass
+        try:
+            ma = exe._compiled.memory_analysis()
+            peak_vmem_bytes = getattr(ma, "peak_memory_in_bytes", None)
+            temp_bytes = getattr(ma, "temp_size_in_bytes", None)
+            argument_bytes = getattr(ma, "argument_size_in_bytes", None)
+            output_bytes = getattr(ma, "output_size_in_bytes", None)
+        except Exception:
+            pass
+
+    peak_hbm_gbps, peak_f32_tflops, _ = device_peaks()
+    label = _kernel_label(filter_type, lvl)
+
+    # Modeled traffic (image in + image out, uint8) -- the minimum bytes any
+    # implementation must move; utilization is measured against this floor.
+    io_bytes = 2 * height * width * channels
+    seconds = duration_ms / 1000.0 if duration_ms > 0 else 1e-9
+    achieved_io_gbps = io_bytes / seconds / 1e9
+    achieved_hlo_gbps = (bytes_accessed / seconds / 1e9) if bytes_accessed else None
+    achieved_tflops = (flops / seconds / 1e12) if flops else None
+
+    metrics: dict[str, Any] = {
+        "execution": {
+            "Duration (ms)": duration_ms,
+            "Mean Duration (ms)": mean_ms,
+            "Launch Count": len(times_ms) or 1,
+            "Compute Throughput (% of peak f32)": (
+                100.0 * achieved_tflops / peak_f32_tflops if achieved_tflops else 0.0
+            ),
+        },
+        "memory": {
+            "Memory Throughput (Gbyte/s)": achieved_hlo_gbps or achieved_io_gbps,
+            "IO Throughput (Gbyte/s)": achieved_io_gbps,
+            "DRAM Throughput (% of peak)": (
+                100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
+            ),
+            "HLO Bytes Accessed": bytes_accessed,
+            "Peak Device Memory (bytes)": peak_vmem_bytes,
+            "Temp Buffer Bytes": temp_bytes,
+            "Argument Bytes": argument_bytes,
+            "Output Bytes": output_bytes,
+        },
+        "occupancy": {
+            # TPU has no warp occupancy; report bandwidth-bound utilization,
+            # the nearest "how busy is the hot resource" analog.
+            "Achieved Occupancy (% of peak HBM bandwidth)": (
+                100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
+            ),
+        },
+        "config": {
+            "Image Shape": f"{height}x{width}x{channels}",
+            "Platform": platform(),
+            "Device": str(default_device()),
+            "HLO FLOPs": flops,
+        },
+        "total_kernel_duration_ms": duration_ms,
+        "kernels_profiled": [label],
+        "profiler": "xla_cost_analysis",
+    }
+
+    if capture_trace:
+        metrics["trace_dir"] = capture_xla_trace(
+            lambda: runtime.run(filter_type, image, **kwargs), trace_dir
+        )
+
+    return metrics
+
+
+def capture_xla_trace(fn, trace_dir: Optional[str] = None) -> str:
+    """Capture a jax.profiler trace of `fn()` (the deep-profile tier).
+
+    The trace directory is kept for offline inspection, as the reference
+    keeps its ncu temp dirs (ncu_profiler.py:320-324).
+    """
+    import tempfile
+
+    import jax
+
+    out_dir = trace_dir or tempfile.mkdtemp(prefix="gip_tpu_trace_")
+    with jax.profiler.trace(out_dir):
+        fn()
+    return out_dir
+
+
+def get_common_metrics(
+    metrics: dict[str, Any], ncu_data: Optional[dict] = None
+) -> dict[str, Any]:
+    """Flatten the categorized dict to UI-ready keys.
+
+    Same output keys as get_common_ncu_metrics (ncu_profiler.py:795-934)
+    where they have a TPU meaning; warp-specific keys are omitted.
+    """
+    if not metrics or not isinstance(metrics, dict):
+        return {}
+    common: dict[str, Any] = {}
+
+    occ = metrics.get("occupancy", {})
+    for key, value in occ.items():
+        if "occupancy" in key.lower() and isinstance(value, (int, float)):
+            common["occupancy_pct"] = float(value)
+
+    mem = metrics.get("memory", {})
+    for key, value in mem.items():
+        if not isinstance(value, (int, float)) or value is None:
+            continue
+        kl = key.lower()
+        if "memory throughput" in kl:
+            common["memory_throughput_gbps"] = float(value)
+        elif "dram throughput" in kl:
+            common["dram_throughput_pct"] = float(value)
+        elif "peak device memory" in kl:
+            common["peak_device_memory_bytes"] = float(value)
+
+    ex = metrics.get("execution", {})
+    for key, value in ex.items():
+        if not isinstance(value, (int, float)) or value is None:
+            continue
+        kl = key.lower()
+        if kl.startswith("duration"):
+            common.setdefault("kernel_durations", []).append(float(value))
+        elif "compute throughput" in kl:
+            common["compute_throughput_pct"] = float(value)
+
+    source = ncu_data if (ncu_data and "total_kernel_duration_ms" in ncu_data) else metrics
+    if "total_kernel_duration_ms" in source:
+        common["time_ms"] = source["total_kernel_duration_ms"]
+        common["kernel_duration_ms"] = source["total_kernel_duration_ms"]
+        if "kernels_profiled" in source:
+            common["kernels_profiled"] = source["kernels_profiled"]
+            common["total_kernels"] = len(source["kernels_profiled"])
+    elif "kernel_durations" in common:
+        common["time_ms"] = sum(common["kernel_durations"])
+        common["kernel_duration_ms"] = common["time_ms"]
+        common["total_kernels"] = len(common["kernel_durations"])
+
+    return common

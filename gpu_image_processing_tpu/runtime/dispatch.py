@@ -1,0 +1,253 @@
+"""Filter dispatch: jit cache, device timing, and the metrics triplet.
+
+This is the TPU-native replacement for the reference's host orchestrators
+(`gaussianBlur`/`boxBlur`/`sobelEdgeDetection`, image_filters.cu:679-1119,
+1603-1739) plus the pybind bridge (bindings.cpp).  Where the reference does
+per-call cudaMalloc/cudaMemcpy/kernel-launch, we keep a cache of XLA
+executables keyed on the static trace signature (filter, level, H, W, C,
+radius) and pass sigma-dependent weights as a traced operand so changing
+sigma never recompiles.
+
+Timing methodology mirrors the CUDA-event discipline: only the compiled
+filter execution is timed -- host->device transfer, weight generation, PNG
+codec, and (unlike ncu) compilation all happen outside the timed region
+(image_filters.cu:804-894).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import config
+from ..core.metrics import PerformanceMetrics, compute_metrics
+from ..core.params import (
+    FILTERS,
+    ValidationError,
+    normalize_level,
+    validate_box_params,
+    validate_gaussian_params,
+    validate_image_shape,
+)
+from ..ops import ref
+from ..ops.weights import gaussian_kernel_f32
+from .device import default_device, warmup_transfers
+
+# ---------------------------------------------------------------------------
+# Level-2 implementations are registered lazily so that the oracle path has
+# no dependency on Pallas; runtime/dispatch stays importable everywhere.
+# ---------------------------------------------------------------------------
+
+_LEVEL2_IMPLS: dict[str, Callable] = {}
+
+
+def register_level2(filter_name: str, fn: Callable) -> None:
+    _LEVEL2_IMPLS[filter_name] = fn
+
+
+def _load_level2() -> None:
+    """Populate the level-2 registry (idempotent)."""
+    if _LEVEL2_IMPLS:
+        return
+    from ..ops import fused  # local import: registers the optimized paths
+
+    fused.register_all(register_level2)
+
+
+# ---------------------------------------------------------------------------
+# Trace functions per (filter, level)
+#
+# All host<->device crossings use FLAT uint8 buffers -- the analog of the
+# reference's flat cudaMemcpy of the image bytes (bindings.cpp:42,77).  An
+# (H, W, 3) uint8 array has a device tile layout whose de-tiling makes D2H
+# transfers ~5x slower (and flaky over tunneled links); a 1-D byte buffer
+# streams at full rate.  Reshapes live inside the jitted program.
+# ---------------------------------------------------------------------------
+
+
+def _flatio(fn: Callable, height: int, width: int, channels: int) -> Callable:
+    def wrapped(flat, *rest):
+        img = flat.reshape(height, width, channels)
+        return fn(img, *rest).reshape(-1)
+
+    return wrapped
+
+
+def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
+    if level == 1:
+        fn = lambda img, w: ref.gaussian_blur(img, w, radius)  # noqa: E731
+    else:
+        _load_level2()
+        impl = _LEVEL2_IMPLS["gaussian"]
+        fn = lambda img, w: impl(img, w, radius)  # noqa: E731
+    return _flatio(fn, h, w_, c)
+
+
+def _trace_box(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
+    if level == 1:
+        fn = lambda img: ref.box_blur(img, radius)  # noqa: E731
+    else:
+        _load_level2()
+        impl = _LEVEL2_IMPLS["box"]
+        fn = lambda img: impl(img, radius)  # noqa: E731
+    return _flatio(fn, h, w_, c)
+
+
+def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
+    if level == 1:
+        fn = lambda img: ref.sobel(img, 1)  # noqa: E731
+    else:
+        _load_level2()
+        impl = _LEVEL2_IMPLS["sobel"]
+        fn = lambda img: impl(img)  # noqa: E731
+    return _flatio(fn, h, w_, c)
+
+
+class FilterExecutable:
+    """One compiled filter: an AOT-compiled XLA executable + timing harness.
+
+    Timing mirrors the reference's CUDA-event discipline of bracketing only
+    the kernels (image_filters.cu:804-894): compilation, program load, and
+    host<->device transfers are all outside the timed region.  We execute
+    ``reps`` times back-to-back on the same device buffers and report the
+    minimum -- on a tunneled device the first execution after any D2H
+    transfer carries a fixed RPC penalty that has nothing to do with the
+    kernel, and the min filters it out.
+    """
+
+    def __init__(self, fn: Callable, n_args: int):
+        self.fn = jax.jit(fn)
+        self.n_args = n_args
+        self._compiled = None
+
+    def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
+        """Run and return (output u8 HWC, kernel time in ms)."""
+        if reps is None:
+            reps = config.TPU.timing_reps
+        if self._compiled is None:
+            self._compiled = self.fn.lower(*args).compile()
+            # Untimed warmup execution: PJRT loads the program onto the
+            # device at first run (observed ~60 ms on v5e via the tunnel).
+            self._compiled(*args).block_until_ready()
+        best = float("inf")
+        out = None
+        for _ in range(max(1, reps)):
+            t0 = time.perf_counter()
+            out = self._compiled(*args)
+            out.block_until_ready()
+            best = min(best, (time.perf_counter() - t0) * 1000.0)
+        return np.asarray(out), best
+
+
+class FilterRuntime:
+    """Executable cache + public run API.  Thread-safe for CPython use."""
+
+    def __init__(self):
+        self._cache: dict[tuple, FilterExecutable] = {}
+
+    def _get(self, key: tuple, build: Callable[[], FilterExecutable]) -> FilterExecutable:
+        exe = self._cache.get(key)
+        if exe is None:
+            warmup_transfers()
+            exe = build()
+            self._cache[key] = exe
+        return exe
+
+    # -- public API --------------------------------------------------------
+
+    def gaussian_blur(
+        self,
+        image: np.ndarray,
+        sigma: float = config.DEFAULT_SIGMA,
+        radius: int = config.DEFAULT_RADIUS,
+        level: int = config.DEFAULT_LEVEL,
+    ) -> tuple[np.ndarray, PerformanceMetrics]:
+        height, width, channels = validate_image_shape(image.shape)
+        lvl = normalize_level("gaussian", level)
+        validate_gaussian_params(sigma, radius)
+        key = ("gaussian", lvl, height, width, channels, radius)
+        exe = self._get(
+            key,
+            lambda: FilterExecutable(
+                _trace_gaussian(lvl, radius, height, width, channels), n_args=2
+            ),
+        )
+        weights = gaussian_kernel_f32(radius, float(sigma))
+        dev = default_device()
+        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
+        img_dev = jax.device_put(flat, dev)
+        w_dev = jax.device_put(weights, dev)
+        jax.block_until_ready((img_dev, w_dev))
+        out, ms = exe(img_dev, w_dev)
+        out = out.reshape(height, width, channels)
+        return out, compute_metrics(ms, width, height, channels, FILTERS["gaussian"].bytes_factor)
+
+    def box_blur(
+        self,
+        image: np.ndarray,
+        radius: int = config.DEFAULT_RADIUS,
+        level: int = config.DEFAULT_LEVEL,
+    ) -> tuple[np.ndarray, PerformanceMetrics]:
+        height, width, channels = validate_image_shape(image.shape)
+        lvl = normalize_level("box", level)
+        validate_box_params(radius)
+        key = ("box", lvl, height, width, channels, radius)
+        exe = self._get(
+            key,
+            lambda: FilterExecutable(
+                _trace_box(lvl, radius, height, width, channels), n_args=1
+            ),
+        )
+        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
+        img_dev = jax.device_put(flat, default_device())
+        jax.block_until_ready(img_dev)
+        out, ms = exe(img_dev)
+        out = out.reshape(height, width, channels)
+        return out, compute_metrics(ms, width, height, channels, FILTERS["box"].bytes_factor)
+
+    def sobel_edge_detection(
+        self, image: np.ndarray, level: int = config.DEFAULT_LEVEL
+    ) -> tuple[np.ndarray, PerformanceMetrics]:
+        height, width, channels = validate_image_shape(image.shape)
+        lvl = normalize_level("sobel", level)
+        key = ("sobel", lvl, height, width, channels)
+        exe = self._get(
+            key,
+            lambda: FilterExecutable(
+                _trace_sobel(lvl, height, width, channels), n_args=1
+            ),
+        )
+        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
+        img_dev = jax.device_put(flat, default_device())
+        jax.block_until_ready(img_dev)
+        out, ms = exe(img_dev)
+        out = out.reshape(height, width, channels)
+        return out, compute_metrics(ms, width, height, channels, FILTERS["sobel"].bytes_factor)
+
+    def run(
+        self,
+        filter_name: str,
+        image: np.ndarray,
+        level: int = 1,
+        sigma: float = config.DEFAULT_SIGMA,
+        radius: int = config.DEFAULT_RADIUS,
+    ) -> tuple[np.ndarray, PerformanceMetrics]:
+        """Generic entry used by the server layer."""
+        if filter_name == "gaussian":
+            return self.gaussian_blur(image, sigma=sigma, radius=radius, level=level)
+        if filter_name == "box":
+            return self.box_blur(image, radius=radius, level=level)
+        if filter_name == "sobel":
+            return self.sobel_edge_detection(image, level=level)
+        raise ValidationError(
+            f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
+        )
+
+
+#: Process-wide runtime (the analog of the reference's module-level CUDA
+#: context held by the pybind module).
+RUNTIME = FilterRuntime()

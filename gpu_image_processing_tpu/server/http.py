@@ -1,0 +1,195 @@
+"""Minimal threaded HTTP/JSON framework on the standard library.
+
+The reference serves through FastAPI + uvicorn (backend/app.py:29-43,526-543);
+that stack is not available in this image, so the framework ships its own
+router with the same externally visible behavior: JSON request/response
+bodies, permissive CORS (`allow_origins=["*"]`), HTTPException-style error
+payloads (``{"detail": ...}``), and multipart file upload support.
+
+Handlers are plain functions `(Request) -> (status, payload_dict)` and are
+directly unit-testable without sockets via `Router.dispatch`.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Callable, Optional
+
+
+class HTTPError(Exception):
+    """FastAPI-HTTPException analog: carries status + detail."""
+
+    def __init__(self, status_code: int, detail: str):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+@dataclass
+class Request:
+    method: str
+    path: str
+    headers: dict[str, str] = field(default_factory=dict)
+    json: Optional[dict] = None
+    files: dict[str, tuple[str, bytes]] = field(default_factory=dict)
+    query: dict[str, str] = field(default_factory=dict)
+
+
+Handler = Callable[[Request], tuple[int, Any]]
+
+
+def parse_multipart(body: bytes, content_type: str) -> dict[str, tuple[str, bytes]]:
+    """Parse multipart/form-data file fields -> {field: (filename, data)}."""
+    m = re.search(r'boundary="?([^";]+)"?', content_type)
+    if not m:
+        raise HTTPError(400, "Malformed multipart request: missing boundary")
+    boundary = b"--" + m.group(1).encode()
+    files: dict[str, tuple[str, bytes]] = {}
+    for part in body.split(boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        if b"\r\n\r\n" not in part:
+            continue
+        raw_headers, data = part.split(b"\r\n\r\n", 1)
+        disp = ""
+        for line in raw_headers.decode("latin-1").split("\r\n"):
+            if line.lower().startswith("content-disposition"):
+                disp = line
+        name_m = re.search(r'name="([^"]*)"', disp)
+        file_m = re.search(r'filename="([^"]*)"', disp)
+        if name_m:
+            files[name_m.group(1)] = (
+                file_m.group(1) if file_m else "",
+                data,
+            )
+    return files
+
+
+class Router:
+    """Method+path exact-match routing with JSON marshalling."""
+
+    def __init__(self):
+        self._routes: dict[tuple[str, str], Handler] = {}
+
+    def route(self, method: str, path: str):
+        def deco(fn: Handler) -> Handler:
+            self._routes[(method.upper(), path)] = fn
+            return fn
+
+        return deco
+
+    def get(self, path: str):
+        return self.route("GET", path)
+
+    def post(self, path: str):
+        return self.route("POST", path)
+
+    def dispatch(self, request: Request) -> tuple[int, Any]:
+        handler = self._routes.get((request.method.upper(), request.path))
+        if handler is None:
+            known_paths = {p for (_, p) in self._routes}
+            if request.path in known_paths:
+                return 405, {"detail": "Method Not Allowed"}
+            return 404, {"detail": "Not Found"}
+        try:
+            return handler(request)
+        except HTTPError as exc:
+            return exc.status_code, {"detail": exc.detail}
+        except Exception as exc:  # pragma: no cover - last-resort guard
+            return 500, {"detail": f"Internal error: {exc}"}
+
+
+_CORS_HEADERS = {
+    "Access-Control-Allow-Origin": "*",
+    "Access-Control-Allow-Methods": "GET, POST, OPTIONS",
+    "Access-Control-Allow-Headers": "Content-Type, Authorization",
+}
+
+
+def make_handler_class(router: Router):
+    class JSONRequestHandler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+        # Keep stdlib logging quiet; the app logs at a higher level.
+        def log_message(self, fmt, *args):  # noqa: D102
+            pass
+
+        def _send(self, status: int, payload: Any) -> None:
+            body = json.dumps(payload).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            for k, v in _CORS_HEADERS.items():
+                self.send_header(k, v)
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_OPTIONS(self):  # CORS preflight
+            self.send_response(204)
+            for k, v in _CORS_HEADERS.items():
+                self.send_header(k, v)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+        def _handle(self, method: str) -> None:
+            path, _, query_str = self.path.partition("?")
+            req = Request(method=method, path=path, headers=dict(self.headers))
+            if query_str:
+                for pair in query_str.split("&"):
+                    k, _, v = pair.partition("=")
+                    req.query[k] = v
+            length = int(self.headers.get("Content-Length") or 0)
+            body = self.rfile.read(length) if length else b""
+            ctype = self.headers.get("Content-Type", "")
+            try:
+                if body and "application/json" in ctype:
+                    req.json = json.loads(body)
+                elif body and "multipart/form-data" in ctype:
+                    req.files = parse_multipart(body, ctype)
+            except (json.JSONDecodeError, HTTPError) as exc:
+                detail = getattr(exc, "detail", f"Invalid request body: {exc}")
+                self._send(400, {"detail": detail})
+                return
+            status, payload = router.dispatch(req)
+            self._send(status, payload)
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+    return JSONRequestHandler
+
+
+class AppServer:
+    """Threaded HTTP server wrapper (uvicorn analog)."""
+
+    def __init__(self, router: Router, host: str, port: int):
+        self.router = router
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start_background(self) -> None:
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), make_handler_class(self.router)
+        )
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+
+    def serve_forever(self) -> None:
+        self._httpd = ThreadingHTTPServer(
+            (self.host, self.port), make_handler_class(self.router)
+        )
+        self._httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        if self._httpd:
+            self._httpd.shutdown()
+            self._httpd.server_close()

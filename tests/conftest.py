@@ -1,0 +1,53 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Must set the env vars before jax is imported anywhere, so this lives at the
+top of conftest collection.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME and the
+# config flag below do take effect.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+# Persistent compilation cache: this host has a single CPU core, so cold
+# XLA compiles dominate test time; warm runs hit the cache.
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def make_image(rng, h, w, c):
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+@pytest.fixture
+def small_rgb(rng):
+    return make_image(rng, 24, 31, 3)
+
+
+@pytest.fixture
+def small_gray(rng):
+    return make_image(rng, 19, 23, 1)
+
+
+@pytest.fixture
+def small_rgba(rng):
+    return make_image(rng, 17, 29, 4)

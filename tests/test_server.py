@@ -1,0 +1,214 @@
+"""REST API behavior: endpoint contract parity with backend/app.py, tested
+both in-process (Router.dispatch) and over a real socket."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpu_image_processing_tpu.server.app import create_app
+from gpu_image_processing_tpu.server.http import AppServer, Request
+
+
+@pytest.fixture(scope="module")
+def app():
+    return create_app()
+
+
+def _png_b64(arr: np.ndarray, data_url: bool = True) -> str:
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    s = base64.b64encode(buf.getvalue()).decode()
+    return f"data:image/png;base64,{s}" if data_url else s
+
+
+def _post(app, path, payload):
+    return app.dispatch(Request(method="POST", path=path, json=payload))
+
+
+def _small_image():
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(16, 20, 3), dtype=np.uint8)
+
+
+def test_root(app):
+    status, body = app.dispatch(Request(method="GET", path="/"))
+    assert status == 200
+    assert body["status"] == "running"
+    assert body["gpu_available"] is True
+    assert "POST /api/process" in body["endpoints"]
+
+
+def test_health(app):
+    status, body = app.dispatch(Request(method="GET", path="/api/health"))
+    assert status == 200
+    assert body == {"status": "healthy", "gpu_available": True, "tpu_available": True}
+
+
+def test_filters_catalog(app):
+    status, body = app.dispatch(Request(method="GET", path="/api/filters"))
+    assert status == 200
+    f = body["filters"]
+    assert set(f) == {"gaussian", "box", "sobel"}
+    assert f["gaussian"]["parameters"]["sigma"]["range"] == [0.5, 20.0]
+    assert f["gaussian"]["parameters"]["radius"]["range"] == [1, 15]
+    assert f["sobel"]["parameters"]["level"]["default"] == 2
+
+
+def test_process_gaussian(app):
+    img = _small_image()
+    status, body = _post(app, "/api/process", {
+        "image": _png_b64(img), "filter": "gaussian", "level": 2,
+        "sigma": 2.0, "radius": 3,
+    })
+    assert status == 200
+    assert set(body) == {"processed_image", "metrics", "info"}
+    assert body["processed_image"].startswith("data:image/png;base64,")
+    assert body["metrics"]["time_ms"] > 0
+    assert body["info"]["level"] == "texture_memory"
+    assert body["info"]["width"] == 20 and body["info"]["height"] == 16
+    # Round-trip the processed image and check it decodes to the same shape.
+    raw = base64.b64decode(body["processed_image"].split(",", 1)[1])
+    out = np.array(Image.open(io.BytesIO(raw)))
+    assert out.shape == img.shape
+
+
+def test_process_invalid_filter(app):
+    status, body = _post(app, "/api/process", {
+        "image": _png_b64(_small_image()), "filter": "median",
+    })
+    assert status == 400
+    assert "Invalid filter" in body["detail"]
+
+
+def test_process_invalid_level(app):
+    status, body = _post(app, "/api/process", {
+        "image": _png_b64(_small_image()), "filter": "box", "level": 9,
+    })
+    assert status == 400
+    assert "Invalid level" in body["detail"]
+
+
+def test_process_bad_image(app):
+    status, body = _post(app, "/api/process", {
+        "image": "data:image/png;base64,!!!notbase64!!!", "filter": "box",
+    })
+    assert status == 400
+    assert "Failed to decode" in body["detail"]
+
+
+def test_process_missing_body(app):
+    status, body = _post(app, "/api/process", None)
+    assert status == 400
+
+
+def test_process_all(app):
+    img = _small_image()
+    status, body = _post(app, "/api/process-all", {
+        "image": _png_b64(img), "filter": "sobel",
+    })
+    assert status == 200
+    assert set(body["results"]) == {"level_1", "level_2"}
+    for key, expected in [("level_1", "naive"), ("level_2", "shared_memory")]:
+        r = body["results"][key]
+        assert r["info"]["level"] == expected
+        assert r["metrics"]["time_ms"] > 0
+        assert r["info"]["level_number"] == int(key[-1])
+    assert body["image_info"]["filter"] == "sobel"
+    assert body["original_image"].startswith("data:image/png;base64,")
+    assert body["profiling_available"] is False
+
+
+def test_process_all_grayscale_normalized(app):
+    # L-mode input is normalized to RGB by the codec (app.py:80-83).
+    gray = np.random.default_rng(3).integers(0, 256, (12, 14), dtype=np.uint8)
+    status, body = _post(app, "/api/process-all", {
+        "image": _png_b64(gray), "filter": "gaussian",
+    })
+    assert status == 200
+    assert body["image_info"]["channels"] == 3
+
+
+def test_unknown_route(app):
+    status, _ = app.dispatch(Request(method="GET", path="/nope"))
+    assert status == 404
+
+
+def test_method_not_allowed(app):
+    status, _ = app.dispatch(Request(method="GET", path="/api/process"))
+    assert status == 405
+
+
+# ---------------------------------------------------------------------------
+# Real-socket end-to-end (test_client.py analog)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def live_server(app):
+    server = AppServer(app, "127.0.0.1", 0)
+    server.start_background()
+    port = server._httpd.server_address[1]
+    yield f"http://127.0.0.1:{port}"
+    server.shutdown()
+
+
+def _http_json(url, payload=None, method="GET"):
+    data = json.dumps(payload).encode() if payload is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method,
+        headers={"Content-Type": "application/json"} if data else {},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_live_health(live_server):
+    status, body = _http_json(f"{live_server}/api/health")
+    assert status == 200 and body["status"] == "healthy"
+
+
+def test_live_process(live_server):
+    img = _small_image()
+    status, body = _http_json(
+        f"{live_server}/api/process",
+        {"image": _png_b64(img), "filter": "box", "level": 2, "radius": 2},
+        method="POST",
+    )
+    assert status == 200
+    assert body["info"]["level"] == "shared_memory"
+
+
+def test_live_upload_multipart(live_server):
+    img = _small_image()
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    boundary = "testboundary42"
+    body = (
+        f"--{boundary}\r\n"
+        'Content-Disposition: form-data; name="file"; filename="x.png"\r\n'
+        "Content-Type: image/png\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    req = urllib.request.Request(
+        f"{live_server}/api/upload",
+        data=body,
+        method="POST",
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        payload = json.loads(resp.read())
+    assert payload["width"] == 20 and payload["height"] == 16
+    assert payload["base64_image"].startswith("data:image/png;base64,")
+
+
+def test_live_cors_preflight(live_server):
+    req = urllib.request.Request(f"{live_server}/api/process", method="OPTIONS")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.status == 204
+        assert resp.headers["Access-Control-Allow-Origin"] == "*"
