@@ -1,0 +1,134 @@
+"""Flagship benchmark: Gaussian blur sigma=2.0 radius=3 on 3239x2146 RGB,
+level 2 -- the reference README's headline workload (README.md:234-235:
+22.157 ms naive / 0.953 ms optimized on an RTX 4050 Laptop GPU).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <ms>, "unit": "ms", "vs_baseline": <speedup>}
+where vs_baseline > 1 means faster than the reference's optimized level-2
+CUDA kernel time.
+
+Methodology -- the device-side analog of CUDA-event timing
+(image_filters.cu:804-894: events bracket kernels only, no transfers):
+the filter is iterated N times inside ONE jitted `lax.fori_loop` program
+(uint8 image in, uint8 image out, so iterations chain); per-iteration device
+time = (T(1+N) - T(1)) / N.  This excludes host->device transfers, PNG
+codecs, compilation, AND per-call RPC overhead on remote-attached devices,
+which per-call wall timing cannot (observed ~2.5 ms/call through the axon
+tunnel -- 50x the actual kernel time).
+
+Run `python bench.py --full` for the whole README table (stderr).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+BASELINE_GAUSSIAN_L2_MS = 0.953   # README.md:235
+BASELINES_FULL = {
+    ("gaussian", 1): 22.157,
+    ("gaussian", 2): 0.953,
+    ("box", 1): 12.311,
+    ("box", 2): 2.766,
+    ("sobel", 1): 18.339,
+    ("sobel", 2): 0.528,
+}
+H, W, C = 2146, 3239, 3          # README workload: 3239x2146 RGB
+BOX_RADIUS = 5                    # README.md:242
+GAUSS_SIGMA, GAUSS_RADIUS = 2.0, 3
+LOOP_ITERS = 16
+
+
+def _apply_fn(filter_name: str, level: int):
+    """(img_u8, *rest) -> img_u8 pure filter function for the given level."""
+    from gpu_image_processing_tpu.ops import fused, ref
+
+    if level == 1:
+        impls = {
+            "gaussian": lambda x, w: ref.gaussian_blur(x, w, GAUSS_RADIUS),
+            "box": lambda x: ref.box_blur(x, BOX_RADIUS),
+            "sobel": lambda x: ref.sobel(x, 1),
+        }
+        return impls[filter_name]
+    l2: dict = {}
+    fused.register_all(lambda k, v: l2.__setitem__(k, v))
+    impls = {
+        "gaussian": lambda x, w: l2["gaussian"](x, w, GAUSS_RADIUS),
+        "box": lambda x: l2["box"](x, BOX_RADIUS),
+        "sobel": lambda x: l2["sobel"](x),
+    }
+    return impls[filter_name]
+
+
+def _loop_time(apply, args, n_iters: int, sync_reps: int = 4) -> float:
+    """Best wall time (s) of a jitted fori_loop running `apply` n_iters times."""
+    import jax
+    from jax import lax
+
+    def fn(x, *rest):
+        return lax.fori_loop(0, n_iters, lambda i, a: apply(a, *rest), x)
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    compiled(*args).block_until_ready()   # warm: program load onto device
+    best = float("inf")
+    for _ in range(sync_reps):
+        t0 = time.perf_counter()
+        compiled(*args).block_until_ready()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def measure_ms(filter_name: str, level: int, img) -> float:
+    """Per-iteration device time in ms via loop-delta."""
+    import jax
+
+    from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+    from gpu_image_processing_tpu.runtime.device import default_device
+
+    args = [jax.device_put(img, default_device())]
+    if filter_name == "gaussian":
+        args.append(
+            jax.device_put(
+                gaussian_kernel_f32(GAUSS_RADIUS, GAUSS_SIGMA), default_device()
+            )
+        )
+    jax.block_until_ready(args)
+    apply = _apply_fn(filter_name, level)
+    t1 = _loop_time(apply, args, 1)
+    tn = _loop_time(apply, args, 1 + LOOP_ITERS)
+    return max((tn - t1) / LOOP_ITERS * 1000.0, 1e-4)
+
+
+def main() -> None:
+    import numpy as np
+
+    from gpu_image_processing_tpu.runtime.device import warmup_transfers
+
+    warmup_transfers()
+    rng = np.random.default_rng(12345)
+    img = rng.integers(0, 256, size=(H, W, C), dtype=np.uint8)
+
+    if "--full" in sys.argv:
+        print(
+            f"{'filter':10} {'level':5} {'ours (ms)':>10} {'ref (ms)':>9} {'speedup':>8}",
+            file=sys.stderr,
+        )
+        for (fname, level), ref_ms in BASELINES_FULL.items():
+            ms = measure_ms(fname, level, img)
+            print(
+                f"{fname:10} {level:5} {ms:10.3f} {ref_ms:9.3f} {ref_ms / ms:8.2f}x",
+                file=sys.stderr,
+            )
+
+    ms = measure_ms("gaussian", 2, img)
+    print(json.dumps({
+        "metric": "gaussian_blur_l2_3239x2146_rgb_time_ms",
+        "value": round(ms, 4),
+        "unit": "ms",
+        "vs_baseline": round(BASELINE_GAUSSIAN_L2_MS / ms, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+#!/usr/bin/env python3
+"""Reproduce the reference README's performance table on TPU.
+
+Reference numbers (RTX 4050 Laptop GPU, CUDA-event kernel timing,
+/root/reference/README.md:229-253) vs this framework's device times,
+measured with bench.py's loop-delta methodology.
+
+Usage:
+    python benchmarks/run_benchmarks.py [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import platform
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root bench.py)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--out", default="benchmarks/results.json")
+    args = parser.parse_args()
+
+    import numpy as np
+
+    from gpu_image_processing_tpu.runtime.device import default_device, warmup_transfers
+
+    warmup_transfers()
+    rng = np.random.default_rng(12345)
+    img = rng.integers(0, 256, size=(bench.H, bench.W, bench.C), dtype=np.uint8)
+
+    rows = []
+    for (fname, level), ref_ms in bench.BASELINES_FULL.items():
+        t0 = time.time()
+        ms = bench.measure_ms(fname, level, img)
+        rows.append({
+            "filter": fname,
+            "level": level,
+            "time_ms": round(ms, 4),
+            "reference_ms": ref_ms,
+            "speedup_vs_reference": round(ref_ms / ms, 3),
+            "wall_s": round(time.time() - t0, 1),
+        })
+        print(f"{fname:10} L{level}: {ms:9.3f} ms  (ref {ref_ms:7.3f} ms, "
+              f"{ref_ms / ms:6.2f}x)", flush=True)
+
+    payload = {
+        "workload": f"{bench.W}x{bench.H} RGB",
+        "device": str(default_device()),
+        "host": platform.node(),
+        "rows": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"\nwritten: {args.out}")
+
+    print("\n| Filter | Level | This framework (ms) | Reference (ms) | Speedup |")
+    print("|---|---|---|---|---|")
+    for r in rows:
+        print(f"| {r['filter']} | {r['level']} | {r['time_ms']:.3f} "
+              f"| {r['reference_ms']:.3f} | {r['speedup_vs_reference']:.2f}x |")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

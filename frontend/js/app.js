@@ -1,0 +1,352 @@
+/* TPU Image Processing frontend.
+ *
+ * Talks to the REST API (server/app.py) with the same JSON contract as the
+ * reference stack; charts are drawn directly on <canvas> (no CDN deps).
+ * Always requests /api/process-all with deep profiling optional.
+ */
+
+const API_BASE = `${location.protocol}//${location.hostname}:8000`;
+
+const $ = (id) => document.getElementById(id);
+const state = { imageB64: null, lightboxItems: [], lightboxIdx: 0 };
+
+/* ------------------------------------------------------------------ setup */
+
+window.addEventListener("DOMContentLoaded", () => {
+  checkHealth();
+  setupDropzone();
+  setupControls();
+  setupLightbox();
+});
+
+async function checkHealth() {
+  const el = $("health");
+  try {
+    const r = await fetch(`${API_BASE}/api/health`);
+    const body = await r.json();
+    const ok = body.status === "healthy" && body.gpu_available;
+    el.textContent = ok ? "backend: TPU ready" : "backend: accelerator unavailable";
+    el.className = `health ${ok ? "ok" : "bad"}`;
+  } catch {
+    el.textContent = "backend: offline";
+    el.className = "health bad";
+  }
+}
+
+function setupDropzone() {
+  const dz = $("dropzone");
+  const input = $("fileInput");
+  dz.addEventListener("click", () => input.click());
+  dz.addEventListener("dragover", (e) => { e.preventDefault(); dz.classList.add("drag"); });
+  dz.addEventListener("dragleave", () => dz.classList.remove("drag"));
+  dz.addEventListener("drop", (e) => {
+    e.preventDefault();
+    dz.classList.remove("drag");
+    if (e.dataTransfer.files.length) loadFile(e.dataTransfer.files[0]);
+  });
+  input.addEventListener("change", () => {
+    if (input.files.length) loadFile(input.files[0]);
+  });
+}
+
+function loadFile(file) {
+  if (!file.type.startsWith("image/")) return showError("Please choose an image file.");
+  const reader = new FileReader();
+  reader.onload = () => {
+    state.imageB64 = reader.result; // data URL
+    const dz = $("dropzone");
+    dz.innerHTML = "";
+    const img = document.createElement("img");
+    img.src = state.imageB64;
+    img.className = "preview";
+    const p = document.createElement("p");
+    p.textContent = file.name;
+    dz.append(p, img);
+    $("processBtn").disabled = false;
+    hideError();
+  };
+  reader.readAsDataURL(file);
+}
+
+function setupControls() {
+  $("sigma").addEventListener("input", () => ($("sigmaVal").textContent = $("sigma").value));
+  $("radius").addEventListener("input", () => ($("radiusVal").textContent = $("radius").value));
+  $("filterSelect").addEventListener("change", () => {
+    const f = $("filterSelect").value;
+    $("sigmaField").hidden = f !== "gaussian";
+    $("radiusField").hidden = f === "sobel";
+  });
+  $("processBtn").addEventListener("click", processImage);
+}
+
+/* -------------------------------------------------------------- processing */
+
+async function processImage() {
+  if (!state.imageB64) return;
+  const payload = {
+    image: state.imageB64,
+    filter: $("filterSelect").value,
+    sigma: parseFloat($("sigma").value),
+    radius: parseInt($("radius").value, 10),
+    enable_profiling: $("profiling").checked,
+  };
+  $("processBtn").disabled = true;
+  $("spinner").hidden = false;
+  hideError();
+  try {
+    const r = await fetch(`${API_BASE}/api/process-all`, {
+      method: "POST",
+      headers: { "Content-Type": "application/json" },
+      body: JSON.stringify(payload),
+    });
+    const body = await r.json();
+    if (!r.ok) throw new Error(body.detail || `HTTP ${r.status}`);
+    renderResults(body, payload.filter);
+  } catch (err) {
+    showError(`Processing failed: ${err.message}`);
+  } finally {
+    $("processBtn").disabled = false;
+    $("spinner").hidden = true;
+  }
+}
+
+function levelLabel(key, info) {
+  return `Level ${info.level_number ?? key.split("_")[1]} — ${info.level}`;
+}
+
+function renderResults(body, filterName) {
+  $("results").hidden = false;
+  const grid = $("imageGrid");
+  grid.innerHTML = "";
+  state.lightboxItems = [];
+
+  addImageCard(grid, body.original_image, "Original",
+    `${body.image_info.width}×${body.image_info.height}`);
+  const levels = Object.keys(body.results).sort();
+  for (const key of levels) {
+    const r = body.results[key];
+    addImageCard(grid, r.processed_image, levelLabel(key, r.info),
+      `${r.metrics.time_ms.toFixed(3)} ms`);
+  }
+
+  renderSpeedup(body.results);
+  renderCharts(body.results, body.image_info);
+  renderMetricsTable(body.results);
+}
+
+function addImageCard(grid, src, title, sub) {
+  const card = document.createElement("div");
+  card.className = "imgcard";
+  const img = document.createElement("img");
+  img.src = src;
+  img.alt = title;
+  const idx = state.lightboxItems.length;
+  state.lightboxItems.push({ src, title });
+  img.addEventListener("click", () => openLightbox(idx));
+  const cap = document.createElement("div");
+  cap.className = "caption";
+  cap.innerHTML = `<b>${title}</b><span>${sub}</span>`;
+  card.append(img, cap);
+  grid.append(card);
+}
+
+/* Speedup is always computed from the real device-event time_ms, never from
+ * profiled time (the reference enforces the same invariant). */
+function renderSpeedup(results) {
+  const badge = $("speedupBadge");
+  const l1 = results.level_1, l2 = results.level_2;
+  if (l1 && l2 && l2.metrics.time_ms > 0) {
+    const s = l1.metrics.time_ms / l2.metrics.time_ms;
+    badge.textContent = `Level 2 is ${s.toFixed(2)}× ${s >= 1 ? "faster" : "slower"}`;
+    badge.hidden = false;
+  } else {
+    badge.hidden = true;
+  }
+}
+
+/* ------------------------------------------------------------------ charts */
+
+function renderCharts(results, imageInfo) {
+  const labels = [], times = [], bws = [];
+  for (const key of Object.keys(results).sort()) {
+    const r = results[key];
+    labels.push(levelLabel(key, r.info));
+    times.push(r.metrics.time_ms);
+    let bw = r.metrics.bandwidth_gbps;
+    if (!bw && r.metrics.time_ms > 0) {
+      const bytes = imageInfo.width * imageInfo.height * imageInfo.channels * 4;
+      bw = bytes / (r.metrics.time_ms / 1000) / 1024 ** 3;
+    }
+    bws.push(bw);
+  }
+  barChart($("timeChart"), "Execution time (ms)", labels, times, "#4f8cff");
+  barChart($("bwChart"), "Effective bandwidth (GB/s)", labels, bws, "#34d399");
+}
+
+function barChart(canvas, title, labels, values, color) {
+  const ctx = canvas.getContext("2d");
+  const W = canvas.width, H = canvas.height;
+  const padL = 56, padR = 16, padT = 34, padB = 44;
+  ctx.clearRect(0, 0, W, H);
+
+  ctx.fillStyle = "#e8edf6";
+  ctx.font = "600 13px system-ui";
+  ctx.fillText(title, padL, 20);
+
+  const max = Math.max(...values, 1e-9);
+  const innerW = W - padL - padR, innerH = H - padT - padB;
+  const n = values.length;
+  const slot = innerW / n;
+  const barW = Math.min(90, slot * 0.55);
+
+  // gridlines + y labels
+  ctx.strokeStyle = "#2b3750";
+  ctx.fillStyle = "#8a97ad";
+  ctx.font = "11px system-ui";
+  const steps = 4;
+  for (let i = 0; i <= steps; i++) {
+    const v = (max * i) / steps;
+    const y = padT + innerH - (innerH * i) / steps;
+    ctx.beginPath();
+    ctx.moveTo(padL, y);
+    ctx.lineTo(W - padR, y);
+    ctx.stroke();
+    ctx.fillText(fmtNum(v), 6, y + 4);
+  }
+
+  values.forEach((v, i) => {
+    const h = (v / max) * innerH;
+    const x = padL + slot * i + (slot - barW) / 2;
+    const y = padT + innerH - h;
+    ctx.fillStyle = color;
+    ctx.fillRect(x, y, barW, h);
+    ctx.fillStyle = "#e8edf6";
+    ctx.font = "11px system-ui";
+    ctx.fillText(fmtNum(v), x, y - 5);
+    ctx.fillStyle = "#8a97ad";
+    wrapText(ctx, labels[i], x - (slot - barW) / 2, H - padB + 14, slot, 12);
+  });
+}
+
+function wrapText(ctx, text, x, y, maxWidth, lineH) {
+  const words = text.split(" ");
+  let line = "", yy = y;
+  for (const w of words) {
+    const trial = line ? `${line} ${w}` : w;
+    if (ctx.measureText(trial).width > maxWidth && line) {
+      ctx.fillText(line, x, yy);
+      line = w;
+      yy += lineH;
+    } else line = trial;
+  }
+  ctx.fillText(line, x, yy);
+}
+
+function fmtNum(v) {
+  if (v === null || v === undefined || Number.isNaN(v)) return "—";
+  if (v >= 1000) return v.toFixed(0);
+  if (v >= 10) return v.toFixed(1);
+  if (v >= 0.01) return v.toFixed(3);
+  return v.toExponential(1);
+}
+
+/* ----------------------------------------------------------- metrics table */
+
+const METRIC_SECTIONS = [
+  ["Execution", ["time_ms", "ncu_profiled_time_ms", "kernel_duration_ms", "fps",
+                 "total_kernels", "compute_throughput_pct"]],
+  ["Memory", ["bandwidth_gbps", "memory_throughput_gbps", "dram_throughput_pct",
+              "peak_device_memory_bytes"]],
+  ["Occupancy", ["occupancy_pct"]],
+];
+const IMPORTANT = new Set(["time_ms", "bandwidth_gbps", "fps"]);
+const LABELS = {
+  time_ms: "Execution time (ms)",
+  ncu_profiled_time_ms: "Profiled kernel time (ms)",
+  kernel_duration_ms: "Kernel duration (ms)",
+  fps: "Throughput (fps)",
+  total_kernels: "Kernels profiled",
+  compute_throughput_pct: "Compute throughput (% peak)",
+  bandwidth_gbps: "Modeled bandwidth (GB/s)",
+  memory_throughput_gbps: "Measured memory throughput (GB/s)",
+  dram_throughput_pct: "HBM utilization (%)",
+  peak_device_memory_bytes: "Peak device memory (bytes)",
+  occupancy_pct: "Bandwidth occupancy (%)",
+};
+
+function renderMetricsTable(results) {
+  const host = $("metricsTable");
+  const levels = Object.keys(results).sort();
+  let html = "<table class='metrics'><tr><th>Metric</th>";
+  for (const key of levels) html += `<th>${levelLabel(key, results[key].info)}</th>`;
+  html += "</tr>";
+
+  for (const [section, keys] of METRIC_SECTIONS) {
+    const present = keys.filter((k) =>
+      levels.some((lv) => results[lv].metrics[k] !== undefined));
+    if (!present.length) continue;
+    html += `<tr class="section"><td colspan="${levels.length + 1}">${section}</td></tr>`;
+    for (const k of present) {
+      const star = IMPORTANT.has(k) ? `<span class="star">★</span> ` : "";
+      html += `<tr><td>${star}${LABELS[k] || k}</td>`;
+      for (const lv of levels) {
+        const v = results[lv].metrics[k];
+        html += `<td class="num ${pctClass(k, v)}">${fmtNum(typeof v === "number" ? v : NaN)}</td>`;
+      }
+      html += "</tr>";
+    }
+  }
+  html += "</table>";
+  host.innerHTML = html;
+}
+
+function pctClass(key, v) {
+  if (!key.endsWith("_pct") || typeof v !== "number") return "";
+  if (v >= 60) return "pct-good";
+  if (v >= 25) return "pct-mid";
+  return "pct-low";
+}
+
+/* --------------------------------------------------------------- lightbox */
+
+function setupLightbox() {
+  $("lbClose").addEventListener("click", closeLightbox);
+  $("lbPrev").addEventListener("click", () => stepLightbox(-1));
+  $("lbNext").addEventListener("click", () => stepLightbox(1));
+  $("lightbox").addEventListener("click", (e) => {
+    if (e.target === $("lightbox")) closeLightbox();
+  });
+  document.addEventListener("keydown", (e) => {
+    if ($("lightbox").hidden) return;
+    if (e.key === "Escape") closeLightbox();
+    if (e.key === "ArrowLeft") stepLightbox(-1);
+    if (e.key === "ArrowRight") stepLightbox(1);
+  });
+}
+
+function openLightbox(idx) {
+  state.lightboxIdx = idx;
+  const item = state.lightboxItems[idx];
+  $("lbImg").src = item.src;
+  $("lbCaption").textContent = item.title;
+  $("lightbox").hidden = false;
+}
+
+function stepLightbox(d) {
+  const n = state.lightboxItems.length;
+  openLightbox(((state.lightboxIdx + d) % n + n) % n);
+}
+
+function closeLightbox() {
+  $("lightbox").hidden = true;
+}
+
+/* ------------------------------------------------------------------ errors */
+
+function showError(msg) {
+  $("error").textContent = msg;
+  $("error").hidden = false;
+}
+function hideError() {
+  $("error").hidden = true;
+}

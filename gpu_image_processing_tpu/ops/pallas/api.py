@@ -1,12 +1,27 @@
-"""Pallas level-2 tier registry (kernels land in gaussian.py/box.py/sobel.py)."""
+"""Pallas level-2 tier registry.
+
+On TPU the compiled Mosaic kernels are used; on CPU (tests, dev boxes) the
+same kernels run through the Pallas interpreter so the exact kernel code is
+validated everywhere.  Disable the whole tier with GIP_TPU_DISABLE_PALLAS=1
+(the XLA-fused tier in ops/fused.py then serves level 2).
+"""
 
 from __future__ import annotations
 
 from typing import Callable
 
+from ...runtime.device import is_tpu
+
 
 def level2_impls() -> dict[str, Callable]:
-    """Return the Pallas-backed level-2 implementations available on this
-    platform.  Missing entries fall back to the XLA-fused tier."""
-    impls: dict[str, Callable] = {}
-    return impls
+    from .blur import box_pallas, gaussian_pallas
+    from .sobel import sobel_pallas
+
+    interpret = not is_tpu()
+    return {
+        "gaussian": lambda img, w, radius: gaussian_pallas(
+            img, w, radius, interpret=interpret
+        ),
+        "box": lambda img, radius: box_pallas(img, radius, interpret=interpret),
+        "sobel": lambda img: sobel_pallas(img, interpret=interpret),
+    }

@@ -1,0 +1,172 @@
+"""Fused separable blur as a single Pallas TPU kernel.
+
+The reference needs two kernel launches per blur with the intermediate
+round-tripping through HBM-global memory (gaussianBlur launches
+horizontal+vertical, image_filters.cu:811-875; boxBlur likewise with
+shared-memory tiles, :1053-1069).  On TPU both passes fuse into ONE kernel:
+
+* each grid step DMAs a (tile_rows + 2r) x Wp uint8 row band from HBM into
+  VMEM (the halo-load analog of the cooperative shared-memory loads,
+  image_filters.cu:489-513, but explicit and asynchronous);
+* the horizontal pass, the uint8 re-quantization of the intermediate
+  (bit-matching the reference's uint8 temp buffer, :761), and the vertical
+  pass all happen in VMEM;
+* weights sit in SMEM -- the constant-memory analog (image_filters.cu:13);
+* only the final uint8 rows are written back.
+
+HBM traffic is therefore ~2x the u8 image instead of ~4x f32, and there is
+no second kernel launch.
+
+Numerics per pass:
+  gaussian: sum_t pixel*w[t]  -> floor(x+0.5)      (image_filters.cu:98,102)
+  box:      (sum_t pixel)*inv -> floor(x+0.5)      (image_filters.cu:390-394)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import TPU
+from ..weights import box_inv_taps_f32
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _quant(x: jnp.ndarray) -> jnp.ndarray:
+    """floor(x + 0.5) staying in f32 (values are within [0, 255.6])."""
+    return jnp.floor(x + jnp.float32(0.5))
+
+
+def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
+                 tile_rows: int, copy_rows: int, w_out: int, box_mode: bool):
+    """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
+
+    w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
+    in_ref: (C, Hp+pad, Wp) u8 in HBM/ANY -- full padded planar image
+    out_ref:(1, TH, Wo) u8 VMEM block     -- output rows
+    tile_u8:(CR, Wp) u8 VMEM scratch      -- DMA landing buffer, where
+            CR = copy_rows = TH+2r rounded up to the 8-row sublane tiling
+            (Mosaic requires 8-aligned DMA slices; surplus rows are junk
+            edge padding that the vertical pass never reads).
+    """
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    taps = 2 * radius + 1
+
+    copy = pltpu.make_async_copy(
+        in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :],
+        tile_u8,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
+    x = tile_u8[:].astype(jnp.int32).astype(jnp.float32)   # (TH+2r, Wp)
+
+    # Horizontal pass -> (TH+2r, Wo), then uint8 re-quantization.
+    hacc = None
+    for t in range(taps):
+        sl = x[:, t : t + w_out]
+        term = sl if box_mode else sl * w_ref[0, t]
+        hacc = term if hacc is None else hacc + term
+    if box_mode:
+        hacc = hacc * w_ref[0, 0]
+    h = _quant(hacc)
+
+    # Vertical pass -> (TH, Wo).
+    vacc = None
+    for t in range(taps):
+        sl = h[t : t + tile_rows, :]
+        term = sl if box_mode else sl * w_ref[0, t]
+        vacc = term if vacc is None else vacc + term
+    if box_mode:
+        vacc = vacc * w_ref[0, 0]
+    out_ref[0] = (
+        jnp.clip(_quant(vacc), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+def _separable_blur_planar(
+    planar_u8: jnp.ndarray,   # (C, H, W) uint8
+    weights: jnp.ndarray,     # (2r+1,) f32 (box: any; w[0] used as inv scale)
+    radius: int,
+    box_mode: bool,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    channels, height, width = planar_u8.shape
+    tile_rows = min(TPU.blur_tile_rows, _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
+    wp = _round_up(width + 2 * radius, 128)
+    w_out = wp - 2 * radius
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2 * radius, 8)
+
+    # Clamp-to-edge padding, done once in XLA on uint8:
+    #   rows:  radius top (edge); bottom: radius + tile alignment + DMA
+    #          alignment slack (junk rows past radius are never read)
+    #   cols:  radius left (edge) + right up to wp (edge)
+    bottom = (hp - height) + (copy_rows - tile_rows)
+    x = jnp.pad(
+        planar_u8,
+        ((0, 0), (radius, bottom), (radius, wp - width - radius)),
+        mode="edge",
+    )
+
+    w2d = weights.reshape(1, -1)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_kernel,
+            radius=radius,
+            tile_rows=tile_rows,
+            copy_rows=copy_rows,
+            w_out=w_out,
+            box_mode=box_mode,
+        ),
+        grid=(channels, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, w_out),
+            lambda c, i: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((copy_rows, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(w2d, x)
+
+    return out[:, :height, :width]
+
+
+def gaussian_pallas(
+    img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int, interpret: bool = False
+) -> jnp.ndarray:
+    """(H, W, C) u8 -> u8 fused separable Gaussian blur."""
+    planar = jnp.transpose(img_hwc, (2, 0, 1))
+    out = _separable_blur_planar(planar, weights, radius, box_mode=False,
+                                 interpret=interpret)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def box_pallas(img_hwc: jnp.ndarray, radius: int, interpret: bool = False) -> jnp.ndarray:
+    """(H, W, C) u8 -> u8 fused separable box blur."""
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    planar = jnp.transpose(img_hwc, (2, 0, 1))
+    out = _separable_blur_planar(planar, jnp.asarray(inv), radius, box_mode=True,
+                                 interpret=interpret)
+    return jnp.transpose(out, (1, 2, 0))

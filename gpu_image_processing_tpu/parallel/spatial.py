@@ -1,0 +1,193 @@
+"""Spatially-sharded filtering: image rows split across chips, halos over ICI.
+
+This is the multi-chip generalization of the reference's shared-memory halo
+tiles (boxBlurHorizontalShared's cooperative halo loads,
+cuda_lib/src/image_filters.cu:489-513): there the halo comes from global
+memory into one SM's shared memory; here each chip holds a contiguous band
+of rows and the vertical pass's halo rows travel over ICI via
+`jax.lax.ppermute`.  The horizontal pass is embarrassingly parallel (full
+width is local); only the vertical pass exchanges `radius` rows with each
+neighbor.  Global top/bottom edges use clamp-to-edge replication, matching
+the single-chip semantics (image_filters.cu:129-134).
+
+Numerics are identical to the level-1/level-2 single-chip path: f32 tap
+order, uint8 quantization between separable passes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.rounding import quantize_u8, quantize_u8_f32
+from ..ops.weights import box_inv_taps_f32
+from ..ops import ref
+
+
+def exchange_halo_rows(x: jnp.ndarray, radius: int, axis_name: str = "sp") -> jnp.ndarray:
+    """Extend a local row-band (..., Hl, W) with `radius` halo rows per side.
+
+    Interior shards receive neighbor rows via two ppermute rings; the global
+    first/last shard replicate their own edge row (clamp-to-edge).
+    """
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+    top_rows = x[..., :radius, :]
+    bot_rows = x[..., -radius:, :]
+    fwd = [(i, (i + 1) % n) for i in range(n)]   # my bottom rows -> next shard
+    bwd = [(i, (i - 1) % n) for i in range(n)]   # my top rows -> prev shard
+    halo_top = jax.lax.ppermute(bot_rows, axis_name, fwd)   # from prev shard
+    halo_bot = jax.lax.ppermute(top_rows, axis_name, bwd)   # from next shard
+    edge_top = jnp.broadcast_to(x[..., :1, :], top_rows.shape)
+    edge_bot = jnp.broadcast_to(x[..., -1:, :], bot_rows.shape)
+    halo_top = jnp.where(idx == 0, edge_top, halo_top)
+    halo_bot = jnp.where(idx == n - 1, edge_bot, halo_bot)
+    return jnp.concatenate([halo_top, x, halo_bot], axis=-2)
+
+
+def _conv_valid_rows(x: jnp.ndarray, weights, radius: int) -> jnp.ndarray:
+    """Weighted conv along axis -2 with NO padding (halo already attached)."""
+    height = x.shape[-2] - 2 * radius
+    acc = None
+    for i in range(2 * radius + 1):
+        term = x[..., i : i + height, :] * weights[i]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _sum_valid_rows(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    height = x.shape[-2] - 2 * radius
+    acc = None
+    for i in range(2 * radius + 1):
+        term = x[..., i : i + height, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _conv_pass_last(x: jnp.ndarray, weights, radius: int) -> jnp.ndarray:
+    """Clamp-to-edge weighted conv along the (fully local) width axis."""
+    width = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(radius, radius)], mode="edge")
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i : i + width] * weights[i]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _sum_pass_last(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    width = x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(radius, radius)], mode="edge")
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i : i + width]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Per-shard step bodies (run inside shard_map; x is the local block)
+# ---------------------------------------------------------------------------
+
+
+def _gaussian_body(local_u8: jnp.ndarray, weights: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """local_u8: (B_local, H_local, W, C) -> same, gaussian-blurred."""
+    x = jnp.transpose(local_u8, (0, 3, 1, 2)).astype(jnp.float32)  # (B,C,Hl,W)
+    h = quantize_u8_f32(_conv_pass_last(x, weights, radius))
+    ext = exchange_halo_rows(h, radius)
+    v = quantize_u8(_conv_valid_rows(ext, weights, radius))
+    return jnp.transpose(v, (0, 2, 3, 1))
+
+
+def _box_body(local_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
+    inv = box_inv_taps_f32(radius)
+    x = jnp.transpose(local_u8, (0, 3, 1, 2)).astype(jnp.float32)
+    h = quantize_u8_f32(_sum_pass_last(x, radius) * inv)
+    ext = exchange_halo_rows(h, radius)
+    v = quantize_u8(_sum_valid_rows(ext, radius) * inv)
+    return jnp.transpose(v, (0, 2, 3, 1))
+
+
+def _sobel_body(local_u8: jnp.ndarray, level: int) -> jnp.ndarray:
+    """Sobel with distributed 1-row halo and global border zeroing."""
+    b, hl, width, channels = local_u8.shape
+    gray = ref.grayscale_f32(local_u8)           # (B, Hl, W)
+    if level == 2:
+        gray = quantize_u8_f32(gray)
+    ext = exchange_halo_rows(gray, 1)            # (B, Hl+2, W)
+    gp = jnp.pad(ext, ((0, 0), (0, 0), (1, 1)), mode="edge")  # width clamp
+
+    def tap(dy: int, dx: int) -> jnp.ndarray:
+        return gp[:, 1 + dy : 1 + dy + hl, 1 + dx : 1 + dx + width]
+
+    one, two = jnp.float32(1.0), jnp.float32(2.0)
+    gx = (
+        (-one) * tap(-1, -1) + one * tap(-1, 1)
+        + (-two) * tap(0, -1) + two * tap(0, 1)
+        + (-one) * tap(1, -1) + one * tap(1, 1)
+    )
+    gy = (
+        (-one) * tap(-1, -1) + (-two) * tap(-1, 0) + (-one) * tap(-1, 1)
+        + one * tap(1, -1) + two * tap(1, 0) + one * tap(1, 1)
+    )
+    mag = jnp.minimum(jnp.sqrt(gx * gx + gy * gy), jnp.float32(255.0))
+    out = quantize_u8(mag)
+
+    # Zero the GLOBAL 1-pixel border (image_filters.cu:1164-1176): local row
+    # j is global row idx*Hl + j.
+    n = jax.lax.axis_size("sp")
+    idx = jax.lax.axis_index("sp")
+    grow = idx * hl + jax.lax.broadcasted_iota(jnp.int32, (1, hl, 1), 1)
+    total_h = n * hl
+    row_ok = (grow >= 1) & (grow <= total_h - 2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
+    col_ok = (col >= 1) & (col <= width - 2)
+    out = jnp.where(row_ok & col_ok, out, jnp.uint8(0))
+    return jnp.broadcast_to(out[..., None], (b, hl, width, channels))
+
+
+# ---------------------------------------------------------------------------
+# Public builders
+# ---------------------------------------------------------------------------
+
+
+def _specs(mesh: Mesh):
+    batch_spec = P("dp", "sp", None, None)   # (B, H, W, C): B over dp, H over sp
+    return batch_spec
+
+
+def make_sharded_filter(
+    mesh: Mesh,
+    filter_name: str,
+    radius: int = 3,
+    level: int = 2,
+):
+    """Build a jitted (dp, sp)-sharded batch filter step.
+
+    Input: (B, H, W, C) uint8 with B % dp == 0, H % sp == 0 and
+    H/sp >= radius.  Gaussian additionally takes a (2r+1,) f32 weight vector
+    (replicated).  Returns the jitted function; call with committed sharded
+    arrays or let jit shard by in_shardings.
+    """
+    spec = _specs(mesh)
+    sharding = NamedSharding(mesh, spec)
+    rep = NamedSharding(mesh, P())
+
+    if filter_name == "gaussian":
+        body = partial(_gaussian_body, radius=radius)
+        shard_fn = jax.shard_map(
+            body, mesh=mesh, in_specs=(spec, P()), out_specs=spec
+        )
+        return jax.jit(shard_fn, in_shardings=(sharding, rep), out_shardings=sharding)
+    if filter_name == "box":
+        body = partial(_box_body, radius=radius)
+        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
+    if filter_name == "sobel":
+        body = partial(_sobel_body, level=level)
+        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
+    raise ValueError(f"Unknown filter: {filter_name}")

@@ -8,6 +8,25 @@ import os
 import jax
 
 
+def _force_platform() -> None:
+    """Honor GIP_TPU_PLATFORM=cpu|tpu|axon.
+
+    Needed because some PJRT plugin environments pin JAX_PLATFORMS globally
+    (and may ignore a user override); `jax.config` applied before backend
+    initialization always works, and restricting to `cpu` also prevents the
+    process from claiming a (possibly single-tenant) accelerator at all.
+    """
+    plat = os.environ.get("GIP_TPU_PLATFORM")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover
+            pass
+
+
+_force_platform()
+
+
 def _setup_compilation_cache() -> None:
     """Enable the XLA persistent compilation cache (opt-out via env).
 

@@ -22,18 +22,42 @@ except ImportError:  # pragma: no cover
     PIL_AVAILABLE = False
 
 
+from . import native_codec
+
+
 class ImageCodecError(ValueError):
     pass
 
 
 def decode_base64_image(base64_str: str) -> np.ndarray:
-    """Decode a (possibly data-URL-prefixed) base64 string to (H, W, 3) u8."""
+    """Decode a (possibly data-URL-prefixed) base64 string to (H, W, 3) u8.
+
+    Fast path: the native C++ codec (base64 + PNG inflate/unfilter); falls
+    back to PIL for formats the native tier doesn't cover (JPEG, palette or
+    16-bit PNG, interlaced, ...).
+    """
     try:
         if "," in base64_str:
             base64_str = base64_str.split(",", 1)[1]
-        raw = base64.b64decode(base64_str)
-    except (binascii.Error, ValueError) as exc:
+        raw = native_codec.b64_decode(base64_str.encode("ascii", "ignore"))
+        if raw is None:
+            raw = base64.b64decode(base64_str)
+    except (binascii.Error, ValueError, UnicodeEncodeError) as exc:
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
+    if not raw:
+        raise ImageCodecError("Failed to decode image: empty payload")
+
+    arr = native_codec.png_decode(raw)
+    if arr is not None:
+        # Normalize to RGB like the reference server (app.py:80-83).
+        if arr.shape[2] == 1:
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 2:     # gray+alpha
+            arr = np.repeat(arr[:, :, :1], 3, axis=2)
+        elif arr.shape[2] == 4:
+            arr = arr[:, :, :3].copy()
+        return arr
+
     try:
         image = Image.open(io.BytesIO(raw))
         if image.mode in ("RGBA", "L", "P", "LA"):
@@ -47,9 +71,16 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
 
 
 def encode_image_to_base64(img_array: np.ndarray) -> str:
-    """Encode an HWC uint8 array to a PNG data URL."""
+    """Encode an HWC uint8 array to a PNG data URL (native tier preferred)."""
     if img_array.dtype != np.uint8:
         img_array = img_array.astype(np.uint8)
+
+    png = native_codec.png_encode(img_array)
+    if png is not None:
+        b64 = native_codec.b64_encode(png)
+        payload = (b64 if b64 is not None else base64.b64encode(png)).decode("ascii")
+        return f"data:image/png;base64,{payload}"
+
     if img_array.ndim == 3 and img_array.shape[2] == 1:
         img_array = img_array[:, :, 0]
     image = Image.fromarray(img_array)

@@ -1,0 +1,141 @@
+"""ctypes binding for the native codec library (native/src/gip_codec.cpp).
+
+The native tier accelerates the serving hot path's byte work (PNG
+encode/decode, base64); every entry point has a pure-Python/PIL fallback in
+utils/image.py, so the framework works with or without the built library.
+
+Build: ``cmake -S native -B native/build && cmake --build native/build``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_SEARCHED = False
+
+
+def _find_library() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    candidates = [
+        os.environ.get("GIP_NATIVE_LIB", ""),
+        os.path.join(here, "native", "build", "libgip_codec.so"),
+    ]
+    for path in candidates:
+        if path and os.path.exists(path):
+            return path
+    return None
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _LIB, _SEARCHED
+    if _SEARCHED:
+        return _LIB
+    _SEARCHED = True
+    path = _find_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+
+    lib.gip_free.argtypes = [ctypes.c_void_p]
+    lib.gip_base64_encoded_size.restype = ctypes.c_size_t
+    lib.gip_base64_encoded_size.argtypes = [ctypes.c_size_t]
+    lib.gip_base64_encode.restype = ctypes.c_size_t
+    lib.gip_base64_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+    ]
+    lib.gip_base64_decode.restype = ctypes.c_longlong
+    lib.gip_base64_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p,
+    ]
+    lib.gip_png_encode.restype = ctypes.c_int
+    lib.gip_png_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.gip_png_decode.restype = ctypes.c_int
+    lib.gip_png_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def png_encode(img: np.ndarray, level: int = 1) -> Optional[bytes]:
+    """HWC uint8 (C in 1/3/4) -> PNG bytes, or None if unavailable/failed."""
+    lib = load()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    buf = ctypes.c_void_p()
+    length = ctypes.c_size_t()
+    rc = lib.gip_png_encode(
+        img.ctypes.data_as(ctypes.c_char_p), h, w, c, level,
+        ctypes.byref(buf), ctypes.byref(length),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(buf, length.value)
+    finally:
+        lib.gip_free(buf)
+
+
+def png_decode(data: bytes) -> Optional[np.ndarray]:
+    """PNG bytes -> HWC uint8 array, or None if unsupported (e.g. palette,
+    16-bit, interlaced -- the PIL fallback handles those)."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = ctypes.c_void_p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.gip_png_decode(
+        data, len(data), ctypes.byref(buf),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(buf, h.value * w.value * c.value)
+    finally:
+        lib.gip_free(buf)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h.value, w.value, c.value)
+
+
+def b64_encode(data: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer(lib.gip_base64_encoded_size(len(data)))
+    n = lib.gip_base64_encode(data, len(data), out)
+    return out.raw[:n]
+
+
+def b64_decode(text: bytes) -> Optional[bytes]:
+    lib = load()
+    if lib is None:
+        return None
+    out = ctypes.create_string_buffer((len(text) // 4 + 1) * 3)
+    n = lib.gip_base64_decode(text, len(text), out)
+    if n < 0:
+        return None
+    return out.raw[:n]

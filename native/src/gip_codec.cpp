@@ -1,0 +1,340 @@
+// gip_codec: native image codec + byte utilities for the serving hot path.
+//
+// The reference vendors stb_image/stb_image_write (~15k LoC C) for its C++
+// test programs (external/stb_image.h, used by tests/test_real_image.cu:7-11)
+// and leans on PIL inside the server.  This library is the TPU stack's
+// native equivalent: PNG encode/decode (zlib), PPM/PGM and BMP io, and fast
+// base64 -- the byte-level work that sits between HTTP and the device and
+// should not burn Python time on a serving host.
+//
+// C ABI only; bound from Python via ctypes (no pybind11 in this image).
+
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <cstdio>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// memory
+// ---------------------------------------------------------------------------
+
+void gip_free(void* p) { std::free(p); }
+
+// ---------------------------------------------------------------------------
+// base64 (standard alphabet, padded)
+// ---------------------------------------------------------------------------
+
+static const char B64_CHARS[] =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+
+size_t gip_base64_encoded_size(size_t n) { return ((n + 2) / 3) * 4; }
+
+size_t gip_base64_encode(const uint8_t* in, size_t n, char* out) {
+  size_t o = 0;
+  size_t i = 0;
+  for (; i + 3 <= n; i += 3) {
+    uint32_t v = (uint32_t(in[i]) << 16) | (uint32_t(in[i + 1]) << 8) | in[i + 2];
+    out[o++] = B64_CHARS[(v >> 18) & 63];
+    out[o++] = B64_CHARS[(v >> 12) & 63];
+    out[o++] = B64_CHARS[(v >> 6) & 63];
+    out[o++] = B64_CHARS[v & 63];
+  }
+  size_t rem = n - i;
+  if (rem == 1) {
+    uint32_t v = uint32_t(in[i]) << 16;
+    out[o++] = B64_CHARS[(v >> 18) & 63];
+    out[o++] = B64_CHARS[(v >> 12) & 63];
+    out[o++] = '=';
+    out[o++] = '=';
+  } else if (rem == 2) {
+    uint32_t v = (uint32_t(in[i]) << 16) | (uint32_t(in[i + 1]) << 8);
+    out[o++] = B64_CHARS[(v >> 18) & 63];
+    out[o++] = B64_CHARS[(v >> 12) & 63];
+    out[o++] = B64_CHARS[(v >> 6) & 63];
+    out[o++] = '=';
+  }
+  return o;
+}
+
+// returns decoded size or -1 on bad input; skips ASCII whitespace.
+long long gip_base64_decode(const char* in, size_t n, uint8_t* out) {
+  static int8_t lut[256];
+  static bool init = false;
+  if (!init) {
+    std::memset(lut, -1, sizeof(lut));
+    for (int k = 0; k < 64; ++k) lut[(uint8_t)B64_CHARS[k]] = (int8_t)k;
+    init = true;
+  }
+  uint32_t acc = 0;
+  int bits = 0;
+  size_t o = 0;
+  for (size_t i = 0; i < n; ++i) {
+    char ch = in[i];
+    if (ch == '=' ) break;
+    if (ch == '\n' || ch == '\r' || ch == ' ' || ch == '\t') continue;
+    int8_t v = lut[(uint8_t)ch];
+    if (v < 0) return -1;
+    acc = (acc << 6) | (uint32_t)v;
+    bits += 6;
+    if (bits >= 8) {
+      bits -= 8;
+      out[o++] = (uint8_t)(acc >> bits);
+    }
+  }
+  return (long long)o;
+}
+
+// ---------------------------------------------------------------------------
+// PNG encode (8-bit gray / RGB / RGBA, filter 0, zlib-compressed)
+// ---------------------------------------------------------------------------
+
+static void put_be32(std::vector<uint8_t>& v, uint32_t x) {
+  v.push_back(uint8_t(x >> 24));
+  v.push_back(uint8_t(x >> 16));
+  v.push_back(uint8_t(x >> 8));
+  v.push_back(uint8_t(x));
+}
+
+static void png_chunk(std::vector<uint8_t>& out, const char type[4],
+                      const uint8_t* data, size_t len) {
+  put_be32(out, (uint32_t)len);
+  size_t start = out.size();
+  out.insert(out.end(), type, type + 4);
+  if (len) out.insert(out.end(), data, data + len);
+  uLong crc = crc32(0L, out.data() + start, (uInt)(4 + len));
+  put_be32(out, (uint32_t)crc);
+}
+
+// img: HWC uint8, c in {1,3,4}. Returns 0 on success.
+int gip_png_encode(const uint8_t* img, int h, int w, int c, int level,
+                   uint8_t** out_buf, size_t* out_len) {
+  if (!img || h <= 0 || w <= 0 || (c != 1 && c != 3 && c != 4)) return 1;
+  const uint8_t color_type = c == 1 ? 0 : (c == 3 ? 2 : 6);
+  const size_t stride = (size_t)w * c;
+
+  // Raw stream: one filter byte (0) per scanline.
+  std::vector<uint8_t> raw((stride + 1) * (size_t)h);
+  for (int y = 0; y < h; ++y) {
+    raw[(stride + 1) * y] = 0;
+    std::memcpy(&raw[(stride + 1) * y + 1], img + stride * y, stride);
+  }
+
+  uLongf zcap = compressBound((uLong)raw.size());
+  std::vector<uint8_t> zbuf(zcap);
+  if (compress2(zbuf.data(), &zcap, raw.data(), (uLong)raw.size(),
+                level < 0 ? 1 : level) != Z_OK)
+    return 2;
+
+  std::vector<uint8_t> png;
+  png.reserve(zcap + 128);
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  png.insert(png.end(), sig, sig + 8);
+
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
+  ihdr[2] = uint8_t(w >> 8);  ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
+  ihdr[6] = uint8_t(h >> 8);  ihdr[7] = uint8_t(h);
+  ihdr[8] = 8;            // bit depth
+  ihdr[9] = color_type;
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate, adaptive, no interlace
+  png_chunk(png, "IHDR", ihdr, 13);
+  png_chunk(png, "IDAT", zbuf.data(), zcap);
+  png_chunk(png, "IEND", nullptr, 0);
+
+  *out_buf = (uint8_t*)std::malloc(png.size());
+  if (!*out_buf) return 3;
+  std::memcpy(*out_buf, png.data(), png.size());
+  *out_len = png.size();
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PNG decode (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+// ---------------------------------------------------------------------------
+
+static uint32_t get_be32(const uint8_t* p) {
+  return (uint32_t(p[0]) << 24) | (uint32_t(p[1]) << 16) |
+         (uint32_t(p[2]) << 8) | p[3];
+}
+
+static uint8_t paeth(int a, int b, int cc) {
+  int p = a + b - cc;
+  int pa = std::abs(p - a), pb = std::abs(p - b), pc = std::abs(p - cc);
+  if (pa <= pb && pa <= pc) return (uint8_t)a;
+  if (pb <= pc) return (uint8_t)b;
+  return (uint8_t)cc;
+}
+
+// Returns 0 on success; out is HWC uint8 with channels = PNG channels.
+int gip_png_decode(const uint8_t* png, size_t len,
+                   uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  if (!png || len < 45 || std::memcmp(png, sig, 8) != 0) return 1;
+
+  int w = 0, h = 0, channels = 0, bit_depth = 0;
+  std::vector<uint8_t> idat;
+  size_t pos = 8;
+  bool done = false;
+  while (pos + 12 <= len && !done) {
+    uint32_t clen = get_be32(png + pos);
+    const uint8_t* type = png + pos + 4;
+    const uint8_t* data = png + pos + 8;
+    if (pos + 12 + clen > len) return 1;
+    if (!std::memcmp(type, "IHDR", 4)) {
+      if (clen != 13) return 1;
+      w = (int)get_be32(data);
+      h = (int)get_be32(data + 4);
+      bit_depth = data[8];
+      int color = data[9];
+      if (bit_depth != 8) return 2;          // 8-bit only
+      if (data[12] != 0) return 3;           // no interlace
+      switch (color) {
+        case 0: channels = 1; break;
+        case 2: channels = 3; break;
+        case 4: channels = 2; break;
+        case 6: channels = 4; break;
+        default: return 4;                   // palette unsupported
+      }
+    } else if (!std::memcmp(type, "IDAT", 4)) {
+      idat.insert(idat.end(), data, data + clen);
+    } else if (!std::memcmp(type, "IEND", 4)) {
+      done = true;
+    }
+    pos += 12 + clen;
+  }
+  if (!w || !h || !channels || idat.empty()) return 1;
+
+  const size_t stride = (size_t)w * channels;
+  std::vector<uint8_t> raw((stride + 1) * (size_t)h);
+  uLongf rawlen = (uLongf)raw.size();
+  if (uncompress(raw.data(), &rawlen, idat.data(), (uLong)idat.size()) != Z_OK ||
+      rawlen != raw.size())
+    return 5;
+
+  uint8_t* img = (uint8_t*)std::malloc(stride * (size_t)h);
+  if (!img) return 6;
+  const int bpp = channels;  // bytes per pixel at depth 8
+  for (int y = 0; y < h; ++y) {
+    uint8_t filter = raw[(stride + 1) * y];
+    const uint8_t* src = &raw[(stride + 1) * y + 1];
+    uint8_t* dst = img + stride * y;
+    const uint8_t* up = y ? img + stride * (y - 1) : nullptr;
+    for (size_t x = 0; x < stride; ++x) {
+      int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
+      int b = up ? up[x] : 0;
+      int cc = (up && x >= (size_t)bpp) ? up[x - bpp] : 0;
+      int v = src[x];
+      switch (filter) {
+        case 0: break;
+        case 1: v += a; break;
+        case 2: v += b; break;
+        case 3: v += (a + b) / 2; break;
+        case 4: v += paeth(a, b, cc); break;
+        default: std::free(img); return 7;
+      }
+      dst[x] = (uint8_t)v;
+    }
+  }
+  *out_buf = img;
+  *out_h = h;
+  *out_w = w;
+  *out_c = channels;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PPM (P6) / PGM (P5)
+// ---------------------------------------------------------------------------
+
+int gip_ppm_write(const char* path, const uint8_t* img, int h, int w, int c) {
+  if (c != 1 && c != 3) return 1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 2;
+  std::fprintf(f, "P%d\n%d %d\n255\n", c == 1 ? 5 : 6, w, h);
+  size_t n = (size_t)h * w * c;
+  size_t written = std::fwrite(img, 1, n, f);
+  std::fclose(f);
+  return written == n ? 0 : 3;
+}
+
+int gip_ppm_read(const char* path, uint8_t** out, int* h, int* w, int* c) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  int kind = 0, width = 0, height = 0, maxval = 0;
+  if (std::fscanf(f, "P%d", &kind) != 1 || (kind != 5 && kind != 6)) {
+    std::fclose(f);
+    return 2;
+  }
+  // Skip whitespace/comments between header tokens.
+  auto next_int = [&](int* out_val) -> bool {
+    int ch;
+    while ((ch = std::fgetc(f)) != EOF) {
+      if (ch == '#') { while ((ch = std::fgetc(f)) != EOF && ch != '\n') {} }
+      else if (!isspace(ch)) { std::ungetc(ch, f); break; }
+    }
+    return std::fscanf(f, "%d", out_val) == 1;
+  };
+  if (!next_int(&width) || !next_int(&height) || !next_int(&maxval) ||
+      maxval != 255) {
+    std::fclose(f);
+    return 3;
+  }
+  std::fgetc(f);  // single whitespace after maxval
+  int channels = kind == 5 ? 1 : 3;
+  size_t n = (size_t)width * height * channels;
+  uint8_t* buf = (uint8_t*)std::malloc(n);
+  if (!buf) { std::fclose(f); return 4; }
+  size_t got = std::fread(buf, 1, n, f);
+  std::fclose(f);
+  if (got != n) { std::free(buf); return 5; }
+  *out = buf;
+  *h = height;
+  *w = width;
+  *c = channels;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BMP write (24-bit BGR, bottom-up) -- parity with stb_image_write's BMP path
+// ---------------------------------------------------------------------------
+
+int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
+  if (c != 1 && c != 3 && c != 4) return 1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 2;
+  int row = (w * 3 + 3) & ~3;
+  uint32_t data_size = (uint32_t)row * h;
+  uint32_t file_size = 54 + data_size;
+  uint8_t header[54] = {0};
+  header[0] = 'B'; header[1] = 'M';
+  std::memcpy(header + 2, &file_size, 4);
+  uint32_t off = 54, hdr = 40, planes_bpp = 1 | (24 << 16);
+  std::memcpy(header + 10, &off, 4);
+  std::memcpy(header + 14, &hdr, 4);
+  std::memcpy(header + 18, &w, 4);
+  std::memcpy(header + 22, &h, 4);
+  std::memcpy(header + 26, &planes_bpp, 4);
+  std::memcpy(header + 34, &data_size, 4);
+  std::fwrite(header, 1, 54, f);
+  std::vector<uint8_t> line(row, 0);
+  for (int y = h - 1; y >= 0; --y) {
+    for (int x = 0; x < w; ++x) {
+      const uint8_t* p = img + ((size_t)y * w + x) * c;
+      uint8_t r = p[0], g = c >= 3 ? p[1] : p[0], b = c >= 3 ? p[2] : p[0];
+      line[x * 3 + 0] = b;
+      line[x * 3 + 1] = g;
+      line[x * 3 + 2] = r;
+    }
+    std::fwrite(line.data(), 1, row, f);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,176 @@
+#!/usr/bin/env python3
+"""Process orchestration: start/stop/status for the backend + frontend.
+
+The TPU-native analog of the reference's start_servers.sh/stop_servers.sh
+(port probing, background launch with PID files, log capture, health poll,
+monitor loop) -- minus the venv bootstrap and CMake build steps, which this
+framework does not need (kernels compile through XLA at run time).
+
+Usage:
+    python scripts/serve.py start [--no-frontend] [--monitor]
+    python scripts/serve.py stop
+    python scripts/serve.py status
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from gpu_image_processing_tpu.core import config  # noqa: E402
+
+RUN_DIR = os.environ.get("GIP_TPU_RUN_DIR", "/tmp")
+BACKEND_PID = os.path.join(RUN_DIR, "gip_tpu_backend.pid")
+FRONTEND_PID = os.path.join(RUN_DIR, "gip_tpu_frontend.pid")
+BACKEND_LOG = os.path.join(RUN_DIR, "gip_tpu_backend.log")
+FRONTEND_LOG = os.path.join(RUN_DIR, "gip_tpu_frontend.log")
+
+
+def port_in_use(port: int) -> bool:
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        return s.connect_ex(("127.0.0.1", port)) == 0
+
+
+def read_pid(path: str) -> int | None:
+    try:
+        with open(path) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return pid
+    except (OSError, ValueError):
+        return None
+
+
+def spawn(cmd: list[str], log_path: str, pid_path: str, cwd: str | None = None) -> int:
+    log = open(log_path, "ab")
+    proc = subprocess.Popen(
+        cmd, stdout=log, stderr=subprocess.STDOUT, cwd=cwd or REPO,
+        start_new_session=True,
+    )
+    with open(pid_path, "w") as f:
+        f.write(str(proc.pid))
+    return proc.pid
+
+
+def wait_healthy(timeout_s: float = 300.0) -> bool:
+    url = f"http://127.0.0.1:{config.BACKEND_PORT}/api/health"
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(url, timeout=5) as resp:
+                body = json.loads(resp.read())
+                if body.get("status") == "healthy":
+                    return True
+        except Exception:
+            pass
+        time.sleep(2)
+    return False
+
+
+def cmd_start(args) -> int:
+    if port_in_use(config.BACKEND_PORT):
+        print(f"Backend port {config.BACKEND_PORT} already in use")
+        return 1
+    pid = spawn(
+        [sys.executable, "-m", "gpu_image_processing_tpu.server.app"],
+        BACKEND_LOG, BACKEND_PID,
+    )
+    print(f"Backend starting (pid {pid}, log {BACKEND_LOG}) ...")
+    if not wait_healthy():
+        print("Backend failed to become healthy; see log")
+        return 1
+    print(f"Backend healthy on http://127.0.0.1:{config.BACKEND_PORT}")
+
+    if not args.no_frontend:
+        if port_in_use(config.FRONTEND_PORT):
+            print(f"Frontend port {config.FRONTEND_PORT} already in use")
+        else:
+            fpid = spawn(
+                [sys.executable, "-m", "http.server", str(config.FRONTEND_PORT),
+                 "--bind", "0.0.0.0"],
+                FRONTEND_LOG, FRONTEND_PID, cwd=os.path.join(REPO, "frontend"),
+            )
+            print(f"Frontend on http://127.0.0.1:{config.FRONTEND_PORT} (pid {fpid})")
+
+    if args.monitor:
+        print("Monitoring (ctrl-c to detach; servers keep running) ...")
+        try:
+            while True:
+                time.sleep(10)
+                if read_pid(BACKEND_PID) is None:
+                    print("Backend died; stopping everything")
+                    cmd_stop(args)
+                    return 1
+        except KeyboardInterrupt:
+            pass
+    return 0
+
+
+def _stop_one(pid_path: str, port: int, name: str) -> None:
+    pid = read_pid(pid_path)
+    if pid:
+        try:
+            os.killpg(os.getpgid(pid), signal.SIGTERM)
+            print(f"Stopped {name} (pid {pid})")
+        except OSError as exc:
+            print(f"Could not stop {name} pid {pid}: {exc}")
+        try:
+            os.remove(pid_path)
+        except OSError:
+            pass
+    elif port_in_use(port):
+        # PID file lost; find the listener (stop_servers.sh:50-68 analog).
+        try:
+            out = subprocess.run(
+                ["lsof", "-t", f"-i:{port}"], capture_output=True, text=True
+            ).stdout.split()
+            for p in out:
+                os.kill(int(p), signal.SIGTERM)
+                print(f"Stopped {name} on port {port} (pid {p})")
+        except Exception as exc:
+            print(f"Could not free port {port}: {exc}")
+    else:
+        print(f"{name} not running")
+
+
+def cmd_stop(_args) -> int:
+    _stop_one(BACKEND_PID, config.BACKEND_PORT, "backend")
+    _stop_one(FRONTEND_PID, config.FRONTEND_PORT, "frontend")
+    return 0
+
+
+def cmd_status(_args) -> int:
+    for name, pid_path, port in [
+        ("backend", BACKEND_PID, config.BACKEND_PORT),
+        ("frontend", FRONTEND_PID, config.FRONTEND_PORT),
+    ]:
+        pid = read_pid(pid_path)
+        listening = port_in_use(port)
+        print(f"{name}: pid={pid or '-'} port_{port}={'up' if listening else 'down'}")
+    return 0
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    p_start = sub.add_parser("start")
+    p_start.add_argument("--no-frontend", action="store_true")
+    p_start.add_argument("--monitor", action="store_true")
+    sub.add_parser("stop")
+    sub.add_parser("status")
+    args = parser.parse_args()
+    return {"start": cmd_start, "stop": cmd_stop, "status": cmd_status}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,76 @@
+"""Filter model objects and the deep-profiling subsystem."""
+
+import jax
+import numpy as np
+import pytest
+
+from gpu_image_processing_tpu.models import BoxBlur, GaussianBlur, SobelEdgeDetection, get_filter
+from gpu_image_processing_tpu.profiling.profiler import (
+    check_profiler_available,
+    get_common_metrics,
+    profile_filter,
+)
+
+from . import oracle_numpy as oracle
+from .conftest import make_image
+
+
+def test_model_apply_composable_in_jit(rng):
+    img = make_image(rng, 16, 18, 3)
+    blur = GaussianBlur(sigma=2.0, radius=3, level=1)
+    edge = SobelEdgeDetection(level=2)
+
+    @jax.jit
+    def pipeline(x):
+        return edge.apply(blur.apply(x))
+
+    out = np.asarray(pipeline(img))
+    want = oracle.sobel(oracle.gaussian_blur(img, blur.weights, 3), 2)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_model_call_returns_metrics(rng):
+    img = make_image(rng, 12, 14, 3)
+    out, metrics = BoxBlur(radius=2, level=1)(img)
+    assert out.shape == img.shape
+    assert metrics["time_ms"] > 0 and metrics["fps"] > 0
+
+
+def test_get_filter_factory():
+    assert isinstance(get_filter("gaussian", sigma=3.0), GaussianBlur)
+    assert isinstance(get_filter("sobel", level=1), SobelEdgeDetection)
+    with pytest.raises(ValueError):
+        get_filter("median")
+
+
+def test_model_validates_params():
+    with pytest.raises(Exception):
+        GaussianBlur(sigma=-1.0)
+    with pytest.raises(Exception):
+        BoxBlur(radius=0)
+
+
+def test_profiler_available():
+    assert check_profiler_available() is True
+
+
+def test_profile_filter_contract(rng):
+    img = make_image(rng, 16, 20, 3)
+    deep = profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    # Categorized dict shape (SURVEY 5.1 contract).
+    for section in ("execution", "memory", "occupancy", "config"):
+        assert section in deep
+    assert deep["total_kernel_duration_ms"] > 0
+    assert deep["kernels_profiled"] == ["gaussian_blur_fused_l2"]
+
+    common = get_common_metrics(deep, ncu_data=deep)
+    assert common["time_ms"] > 0
+    assert common["total_kernels"] == 1
+    assert "memory_throughput_gbps" in common
+    assert "occupancy_pct" in common
+    assert isinstance(common["kernel_durations"], list)
+
+
+def test_common_metrics_empty():
+    assert get_common_metrics({}) == {}
+    assert get_common_metrics(None) == {}

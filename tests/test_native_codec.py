@@ -1,0 +1,76 @@
+"""Native C++ codec tier: correctness vs PIL/stdlib, and codec fallbacks."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpu_image_processing_tpu.utils import native_codec
+from gpu_image_processing_tpu.utils.image import decode_base64_image, encode_image_to_base64
+
+from .conftest import make_image
+
+needs_native = pytest.mark.skipif(
+    not native_codec.available(), reason="native codec not built"
+)
+
+
+@needs_native
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_png_roundtrip_native(rng, c):
+    img = make_image(rng, 23, 37, c)
+    png = native_codec.png_encode(img)
+    assert png is not None and png[:4] == b"\x89PNG"
+    # PIL must be able to read our PNGs...
+    via_pil = np.array(Image.open(io.BytesIO(png)))
+    if via_pil.ndim == 2:
+        via_pil = via_pil[:, :, None]
+    np.testing.assert_array_equal(via_pil, img)
+    # ...and our decoder must read them back exactly.
+    out = native_codec.png_decode(png)
+    np.testing.assert_array_equal(out, img)
+
+
+@needs_native
+def test_native_decodes_pil_png(rng):
+    # All five PNG filter types can appear in PIL output; decode must match.
+    img = make_image(rng, 64, 81, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    out = native_codec.png_decode(buf.getvalue())
+    assert out is not None
+    np.testing.assert_array_equal(out, img)
+
+
+@needs_native
+def test_b64_roundtrip(rng):
+    data = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    enc = native_codec.b64_encode(data)
+    assert enc == base64.b64encode(data)
+    assert native_codec.b64_decode(enc) == data
+
+
+@needs_native
+def test_b64_decode_rejects_garbage():
+    assert native_codec.b64_decode(b"!!!*&^not-base64") is None
+
+
+def test_codec_pipeline_rgba_normalized(rng):
+    # RGBA input -> RGB normalization through whichever tier is active.
+    img = make_image(rng, 12, 15, 4)
+    data_url = encode_image_to_base64(img)
+    arr = decode_base64_image(data_url)
+    assert arr.shape == (12, 15, 3)
+    np.testing.assert_array_equal(arr, img[:, :, :3])
+
+
+def test_codec_pipeline_jpeg_falls_back(rng):
+    # JPEG can't be decoded natively; the PIL fallback must kick in.
+    img = make_image(rng, 16, 16, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG")
+    data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
+    arr = decode_base64_image(data_url)
+    assert arr.shape == (16, 16, 3)
