@@ -51,9 +51,13 @@ class TpuConfig:
     # Rows of output produced per Pallas grid step for the fused separable
     # blur kernels.  (The VMEM analog of the reference's 16x16 thread blocks,
     # image_filters.cu:773 -- but sized for a 16 MB VMEM instead of 48 KB of
-    # shared memory.)
-    blur_tile_rows: int = 256
-    sobel_tile_rows: int = 256
+    # shared memory.)  128 rows x ~3.3k f32 lanes keeps the tile + f32
+    # intermediates + double-buffered output under the 16 MB VMEM budget for
+    # 4k-wide images.
+    blur_tile_rows: int = 128
+    # Sobel keeps C uint8 planes + several f32 gradient tiles live at once;
+    # 96 rows stays under the 16 MB VMEM budget at ~3.3k-lane widths.
+    sobel_tile_rows: int = 96
     # Lane alignment for the last (width) dimension.
     lane: int = 8 * 128
     sublane: int = 8

@@ -1,14 +1,20 @@
-"""Sobel edge detection as a Pallas TPU kernel.
+"""Sobel edge detection as a fully fused Pallas TPU kernel.
 
 The reference's level-2 kernel stages a grayscale tile (+1px halo) in shared
-memory with 8 separate halo-load branches (sobelEdgeDetectionShared,
-image_filters.cu:1329-1522).  On TPU the grayscale plane is produced once by
-XLA (fused conversion, quantized to uint8 exactly like the tile load at
-:1444), and each grid step DMAs a (tile_rows + 2) row band into VMEM; the
-3x3 gradients are shifted-slice arithmetic on the VPU.
+memory with 8 separate halo-load branches, converting RGB->gray (quantized
+to uint8) during the load (sobelEdgeDetectionShared,
+image_filters.cu:1329-1522).  Here EVERYTHING fuses into one kernel: each
+grid step DMAs a (C, tile_rows+2, Wp) planar uint8 row band into VMEM,
+computes the quantized gray tile in-register (same f32 op order as the
+tile load at :1436-1444), applies the 3x3 gradients on the VPU, and writes
+the edge value to every channel plane of the output block
+(:1311-1313 -- alpha included).
+
+The pipeline is deliberately shaped exactly like the fused blur: one
+uint8 planar transpose in, one out, a single kernel in between.
 
 Numerics: gx/gy tap order as in :1555-1579, magnitude min(sqrt, 255) and
-floor(+0.5) as in :1582-1584, 1-pixel border zeroed (:1532-1543).
+floor(+0.5) as in :1582-1584, 1-pixel global border zeroed (:1532-1543).
 """
 
 from __future__ import annotations
@@ -21,29 +27,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import TPU
-from ..ref import grayscale_f32
-from ..rounding import quantize_u8_f32
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, tile_rows: int,
-                  copy_rows: int, height: int, width: int, w_out: int):
-    """in_ref: (Hp+pad, Wp) u8 gray in HBM; out_ref: (TH, Wo) u8 block.
+def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
+                  tile_rows: int, copy_rows: int, height: int, width: int,
+                  w_out: int):
+    """in_ref: (C, Hp+pad, Wp) u8 planar in HBM; out_ref: (C, TH, Wo) block.
+
     copy_rows = TH+2 rounded up to the 8-row sublane tiling (Mosaic DMA
-    alignment); surplus rows are edge padding the gradients never read."""
+    alignment); surplus rows are edge padding the gradients never read.
+    """
     i = pl.program_id(0)
 
     copy = pltpu.make_async_copy(
-        in_ref.at[pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
+        in_ref.at[:, pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
     )
     copy.start()
     copy.wait()
 
-    # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
-    g = tile_u8[:].astype(jnp.int32).astype(jnp.float32)    # (TH+2, Wp)
+    # u8 -> f32 via i32 (Mosaic lacks a direct unsigned->float cast).
+    if channels == 1:
+        g = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
+    else:
+        r = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
+        gg = tile_u8[1].astype(jnp.int32).astype(jnp.float32)
+        b = tile_u8[2].astype(jnp.int32).astype(jnp.float32)
+        # Rec.601 in the exact f32 order (image_filters.cu:1443).
+        g = jnp.float32(0.299) * r + jnp.float32(0.587) * gg + jnp.float32(0.114) * b
+        if level == 2:
+            # Level 2 quantizes gray to uint8 during the tile load (:1444).
+            g = jnp.floor(g + jnp.float32(0.5))
 
     def tap(dy: int, dx: int) -> jnp.ndarray:
         return g[dy : dy + tile_rows, 1 + dx : 1 + dx + w_out]
@@ -65,15 +82,23 @@ def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, tile_rows: int,
     grow = i * tile_rows + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 0)
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 1)
     inside = (grow >= 1) & (grow <= height - 2) & (gcol >= 1) & (gcol <= width - 2)
-    out_ref[:] = jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
+    edge = jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
+
+    # Same edge value into every channel plane, alpha included (:1311-1313).
+    for c in range(channels):
+        out_ref[c] = edge
 
 
-def sobel_pallas(img_hwc: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
-    """(H, W, C) u8 -> (H, W, C) u8 edge map (level-2 numerics)."""
+def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
+                 interpret: bool = False) -> jnp.ndarray:
+    """(H, W, C) u8 -> (H, W, C) u8 edge map.
+
+    level=2 reproduces the shared-memory kernel's uint8 gray quantization;
+    level=1 keeps gray in f32 (sobelEdgeDetectionNaive numerics) -- the same
+    fused kernel serves both tiers.
+    """
     height, width, channels = img_hwc.shape
-    # Grayscale conversion + uint8 quantization, fused by XLA (the analog of
-    # the tile-load conversion at image_filters.cu:1436-1444).
-    gray = quantize_u8_f32(grayscale_f32(img_hwc)).astype(jnp.uint8)
+    planar = jnp.transpose(img_hwc, (2, 0, 1))
 
     tile_rows = min(TPU.sobel_tile_rows, _round_up(height, 8))
     hp = _round_up(height, tile_rows)
@@ -83,11 +108,13 @@ def sobel_pallas(img_hwc: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
     copy_rows = _round_up(tile_rows + 2, 8)
 
     bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
-    g = jnp.pad(gray, ((1, bottom), (1, wp - width - 1)), mode="edge")
+    x = jnp.pad(planar, ((0, 0), (1, bottom), (1, wp - width - 1)), mode="edge")
 
     out = pl.pallas_call(
         functools.partial(
             _sobel_kernel,
+            channels=channels,
+            level=level,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
             height=height,
@@ -97,15 +124,15 @@ def sobel_pallas(img_hwc: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (tile_rows, w_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (channels, tile_rows, w_out), lambda i: (0, i, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((hp, w_out), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(g)
+    )(x)
 
-    edge = out[:height, :width]
-    return jnp.broadcast_to(edge[..., None], (height, width, channels))
+    return jnp.transpose(out[:, :height, :width], (1, 2, 0))
