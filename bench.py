@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import sys
-import time
 
 BASELINE_GAUSSIAN_L2_MS = 0.953   # README.md:235
 BASELINES_FULL = {
@@ -61,30 +60,13 @@ def _apply_fn(filter_name: str, level: int):
     return impls[filter_name]
 
 
-def _loop_time(apply, args, n_iters: int, sync_reps: int = 4) -> float:
-    """Best wall time (s) of a jitted fori_loop running `apply` n_iters times."""
-    import jax
-    from jax import lax
-
-    def fn(x, *rest):
-        return lax.fori_loop(0, n_iters, lambda i, a: apply(a, *rest), x)
-
-    compiled = jax.jit(fn).lower(*args).compile()
-    compiled(*args).block_until_ready()   # warm: program load onto device
-    best = float("inf")
-    for _ in range(sync_reps):
-        t0 = time.perf_counter()
-        compiled(*args).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 def measure_ms(filter_name: str, level: int, img) -> float:
-    """Per-iteration device time in ms via loop-delta."""
+    """Per-iteration device time in ms via loop-delta (runtime/timing.py)."""
     import jax
 
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
     from gpu_image_processing_tpu.runtime.device import default_device
+    from gpu_image_processing_tpu.runtime.timing import device_time_ms
 
     args = [jax.device_put(img, default_device())]
     if filter_name == "gaussian":
@@ -93,11 +75,7 @@ def measure_ms(filter_name: str, level: int, img) -> float:
                 gaussian_kernel_f32(GAUSS_RADIUS, GAUSS_SIGMA), default_device()
             )
         )
-    jax.block_until_ready(args)
-    apply = _apply_fn(filter_name, level)
-    t1 = _loop_time(apply, args, 1)
-    tn = _loop_time(apply, args, 1 + LOOP_ITERS)
-    return max((tn - t1) / LOOP_ITERS * 1000.0, 1e-4)
+    return device_time_ms(_apply_fn(filter_name, level), args, iters=LOOP_ITERS)
 
 
 def main() -> None:

@@ -107,11 +107,15 @@ def profile_filter(
     }
     exe = runtime._cache.get(key_map[filter_type])
 
-    # Steady-state timing over multiple launches (the analog of ncu's
-    # --launch-count 10, ncu_profiler.py:142).
+    # Device-side kernel timing via the loop-delta method (the analog of
+    # ncu's on-device measurement with --launch-count 10,
+    # ncu_profiler.py:142); also keep a wall-time sample set.
     times_ms: list[float] = []
+    duration_ms = first_metrics.time_ms
     if exe is not None and exe._compiled is not None:
         import jax
+
+        from ..runtime.timing import device_time_ms
 
         flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
         args = [jax.device_put(flat, default_device())]
@@ -125,12 +129,28 @@ def profile_filter(
                 )
             )
         jax.block_until_ready(args)
-        for _ in range(10):
+        for _ in range(3):
             t0 = time.perf_counter()
             exe._compiled(*args).block_until_ready()
             times_ms.append((time.perf_counter() - t0) * 1000.0)
+        try:
+            from ..runtime import dispatch as _d
 
-    duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+            fn = {
+                "gaussian": lambda f=filter_type: _d._trace_gaussian(
+                    lvl, kwargs["radius"], height, width, channels
+                ),
+                "box": lambda f=filter_type: _d._trace_box(
+                    lvl, kwargs["radius"], height, width, channels
+                ),
+                "sobel": lambda f=filter_type: _d._trace_sobel(
+                    lvl, height, width, channels
+                ),
+            }[filter_type]()
+            duration_ms = device_time_ms(fn, args, iters=10, sync_reps=2)
+        except Exception:
+            duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+
     mean_ms = float(np.mean(times_ms)) if times_ms else first_metrics.time_ms
 
     # XLA's own analyses.

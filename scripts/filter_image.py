@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""Filter an image file from the command line.
+
+The analog of the reference's `tests/test_real_image.cu` CLI (stb load ->
+validate sigma/radius -> gaussianBlur -> write in the format chosen by the
+output extension -> print metrics + 30/60 FPS verdicts, :59-281), extended
+to all three filters.  Output format by extension: .png/.ppm/.pgm/.bmp via
+the native codec, anything else via PIL.
+
+Usage:
+    python scripts/filter_image.py INPUT [OUTPUT] [--filter gaussian|box|sobel]
+        [--level 1|2] [--sigma 2.0] [--radius 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from gpu_image_processing_tpu.core import config  # noqa: E402
+
+
+def load_image(path: str) -> np.ndarray:
+    from gpu_image_processing_tpu.utils import native_codec
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext in (".ppm", ".pgm") and native_codec.available():
+        import ctypes  # noqa: F401
+
+        lib = native_codec.load()
+        import ctypes as ct
+
+        buf = ct.c_void_p()
+        h = ct.c_int()
+        w = ct.c_int()
+        c = ct.c_int()
+        lib.gip_ppm_read.restype = ct.c_int
+        lib.gip_ppm_read.argtypes = [ct.c_char_p, ct.POINTER(ct.c_void_p),
+                                     ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
+                                     ct.POINTER(ct.c_int)]
+        rc = lib.gip_ppm_read(path.encode(), ct.byref(buf), ct.byref(h),
+                              ct.byref(w), ct.byref(c))
+        if rc == 0:
+            raw = ct.string_at(buf, h.value * w.value * c.value)
+            lib.gip_free(buf)
+            return np.frombuffer(raw, np.uint8).reshape(h.value, w.value, c.value)
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode == "RGBA":
+        # Strip alpha like the reference CLI (test_real_image.cu:122-125).
+        img = img.convert("RGB")
+    elif img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    arr = np.array(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def save_image(path: str, arr: np.ndarray) -> None:
+    from gpu_image_processing_tpu.utils import native_codec
+
+    ext = os.path.splitext(path)[1].lower()
+    lib = native_codec.load()
+    if lib is not None and ext in (".png", ".ppm", ".pgm", ".bmp"):
+        h, w, c = arr.shape
+        flat = np.ascontiguousarray(arr, np.uint8)
+        import ctypes as ct
+
+        if ext == ".png":
+            data = native_codec.png_encode(flat)
+            if data:
+                with open(path, "wb") as f:
+                    f.write(data)
+                return
+        elif ext in (".ppm", ".pgm"):
+            lib.gip_ppm_write.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int,
+                                          ct.c_int, ct.c_int]
+            if lib.gip_ppm_write(path.encode(),
+                                 flat.ctypes.data_as(ct.c_char_p), h, w, c) == 0:
+                return
+        elif ext == ".bmp":
+            lib.gip_bmp_write.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int,
+                                          ct.c_int, ct.c_int]
+            if lib.gip_bmp_write(path.encode(),
+                                 flat.ctypes.data_as(ct.c_char_p), h, w, c) == 0:
+                return
+    from PIL import Image
+
+    Image.fromarray(arr if arr.shape[2] != 1 else arr[:, :, 0]).save(path)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("input")
+    parser.add_argument("output", nargs="?", default=None)
+    parser.add_argument("--filter", default="gaussian",
+                        choices=["gaussian", "box", "sobel"])
+    parser.add_argument("--level", type=int, default=2)
+    parser.add_argument("--sigma", type=float, default=config.DEFAULT_SIGMA)
+    parser.add_argument("--radius", type=int, default=config.DEFAULT_RADIUS)
+    args = parser.parse_args()
+
+    # Same CLI-side validation as test_real_image.cu:77-85.
+    lo, hi = config.SIGMA_RANGE
+    if not (lo <= args.sigma <= hi):
+        print(f"Error: sigma must be in [{lo}, {hi}]")
+        return 1
+    rlo, rhi = config.RADIUS_RANGE
+    if not (rlo <= args.radius <= rhi):
+        print(f"Error: radius must be in [{rlo}, {rhi}]")
+        return 1
+
+    img = load_image(args.input)
+    h, w, c = img.shape
+    print(f"Loaded {args.input}: {w}x{h}, {c} channel(s)")
+
+    import gpu_filters
+
+    if args.filter == "gaussian":
+        result = gpu_filters.gaussian_blur(img, sigma=args.sigma,
+                                           radius=args.radius, level=args.level)
+    elif args.filter == "box":
+        result = gpu_filters.box_blur(img, radius=args.radius, level=args.level)
+    else:
+        result = gpu_filters.sobel_edge_detection(img, level=args.level)
+
+    out_path = args.output or (
+        os.path.splitext(args.input)[0] + f"_{args.filter}_l{args.level}.png"
+    )
+    save_image(out_path, result["image"])
+
+    t = result["time_ms"]
+    print(f"Filter: {args.filter} level {args.level}")
+    print(f"  Time:      {t:.3f} ms")
+    print(f"  Bandwidth: {result['bandwidth_gbps']:.2f} GB/s")
+    print(f"  FPS:       {result['fps']:.2f}")
+    # 30/60 FPS verdicts, as in test_real_image.cu:259-265.
+    for target in (30, 60):
+        budget = 1000.0 / target
+        verdict = "meets" if t <= budget else "misses"
+        print(f"  {verdict} {target} FPS target ({budget:.1f} ms budget)")
+    print(f"Saved: {out_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
