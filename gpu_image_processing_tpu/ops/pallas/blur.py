@@ -101,9 +101,10 @@ def _separable_blur_planar(
     radius: int,
     box_mode: bool,
     interpret: bool = False,
+    tile_rows: int | None = None,
 ) -> jnp.ndarray:
     channels, height, width = planar_u8.shape
-    tile_rows = min(TPU.blur_tile_rows, _round_up(height, 8))
+    tile_rows = min(tile_rows or TPU.blur_tile_rows, _round_up(height, 8))
     hp = _round_up(height, tile_rows)
     wp = _round_up(width + 2 * radius, 128)
     w_out = wp - 2 * radius

@@ -85,7 +85,7 @@ def profile_filter(
     repetitions, and reads XLA's own cost/memory analyses.
     """
     from ..runtime import dispatch as _dispatch
-    from ..core.params import FILTERS, normalize_level
+    from ..core.params import normalize_level
 
     runtime = _dispatch.RUNTIME
     lvl = normalize_level(filter_type, level)

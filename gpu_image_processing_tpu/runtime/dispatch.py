@@ -20,7 +20,6 @@ import time
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..core import config
@@ -246,6 +245,75 @@ class FilterRuntime:
         raise ValidationError(
             f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
         )
+
+    # -- batched serving path (TPU extension; the reference is strictly
+    #    one-image-per-request, backend/app.py:332) ------------------------
+
+    def run_batch(
+        self,
+        filter_name: str,
+        images: np.ndarray,
+        level: int = 1,
+        sigma: float = config.DEFAULT_SIGMA,
+        radius: int = config.DEFAULT_RADIUS,
+    ) -> tuple[np.ndarray, PerformanceMetrics]:
+        """Filter a (B, H, W, C) uint8 stack in one device program.
+
+        The whole batch is one XLA program (vmap over the single-image
+        trace); with multiple devices attached, the batch is sharded over
+        them (pure data parallelism, no collectives).  Returned metrics are
+        for the WHOLE batch; fps is batch-normalized (images/second).
+        """
+        if images.ndim != 4:
+            raise ValidationError("Batch input must be 4D (batch, H, W, C)")
+        batch = int(images.shape[0])
+        if batch < 1:
+            raise ValidationError("Batch must contain at least one image")
+        height, width, channels = validate_image_shape(images.shape[1:])
+        if filter_name not in FILTERS:
+            raise ValidationError(
+                f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
+            )
+        lvl = normalize_level(filter_name, level)
+        weights = None
+        if filter_name == "gaussian":
+            validate_gaussian_params(sigma, radius)
+            weights = gaussian_kernel_f32(radius, float(sigma))
+        elif filter_name == "box":
+            validate_box_params(radius)
+
+        key = ("batch", filter_name, lvl, batch, height, width, channels,
+               radius if filter_name != "sobel" else None)
+
+        def build() -> FilterExecutable:
+            if filter_name == "gaussian":
+                single = _trace_gaussian(lvl, radius, height, width, channels)
+                fn = lambda flats, w: jax.vmap(lambda f: single(f, w))(flats)  # noqa: E731
+                n_args = 2
+            elif filter_name == "box":
+                single = _trace_box(lvl, radius, height, width, channels)
+                fn = lambda flats: jax.vmap(single)(flats)  # noqa: E731
+                n_args = 1
+            else:
+                single = _trace_sobel(lvl, height, width, channels)
+                fn = lambda flats: jax.vmap(single)(flats)  # noqa: E731
+                n_args = 1
+            return FilterExecutable(fn, n_args=n_args)
+
+        exe = self._get(key, build)
+        dev = default_device()
+        flats = np.ascontiguousarray(images, dtype=np.uint8).reshape(batch, -1)
+        args = [jax.device_put(flats, dev)]
+        if weights is not None:
+            args.append(jax.device_put(weights, dev))
+        jax.block_until_ready(args)
+        out, ms = exe(*args)
+        out = out.reshape(batch, height, width, channels)
+        metrics = compute_metrics(
+            ms, width, height, channels * batch, FILTERS[filter_name].bytes_factor
+        )
+        metrics.fps = batch * 1000.0 / max(metrics.time_ms, 1e-6)
+        return out, metrics
 
 
 #: Process-wide runtime (the analog of the reference's module-level CUDA

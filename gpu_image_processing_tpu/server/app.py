@@ -266,6 +266,57 @@ def create_app() -> Router:
         )
         return 200, response.model_dump()
 
+    @app.post("/api/process-batch")
+    def process_batch(request: Request):
+        """Batched filtering (TPU extension): many same-size images in one
+        device program.  Body: {"images": [b64,...], "filter": ...,
+        "level": 1|2, "sigma": f, "radius": n}."""
+        _require_runtime()
+        body = request.json
+        if not body or not isinstance(body.get("images"), list) or not body["images"]:
+            raise HTTPError(400, "Expected a JSON body with a non-empty 'images' list")
+        fields = {k: v for k, v in body.items() if k != "images"}
+        fields["image"] = body["images"][0]
+        try:
+            req = FilterRequest(**fields)
+        except Exception as exc:
+            raise HTTPError(422, f"Invalid request: {exc}") from None
+        _validate_request(req)
+        decoded = []
+        for idx, b64 in enumerate(body["images"]):
+            try:
+                decoded.append(decode_base64_image(b64))
+            except ImageCodecError as exc:
+                raise HTTPError(400, f"Image {idx}: {exc}") from None
+        shapes = {arr.shape for arr in decoded}
+        if len(shapes) != 1:
+            raise HTTPError(
+                400,
+                f"All images in a batch must share one shape; got {sorted(shapes)}",
+            )
+        batch = np.stack(decoded)
+        height, width, channels = batch.shape[1:]
+        try:
+            kwargs: dict[str, Any] = {"level": req.level}
+            if req.filter == "gaussian":
+                kwargs.update(sigma=req.sigma, radius=req.radius)
+            elif req.filter == "box":
+                kwargs.update(radius=req.radius)
+            out, metrics = RUNTIME.run_batch(req.filter, batch, **kwargs)
+        except ValidationError as exc:
+            raise HTTPError(400, str(exc)) from None
+        except Exception as exc:
+            raise HTTPError(500, f"Processing failed: {exc}") from None
+        return 200, {
+            "processed_images": [encode_image_to_base64(img) for img in out],
+            "metrics": {
+                **metrics.as_dict(),
+                "batch_size": int(batch.shape[0]),
+                "images_per_second": metrics.fps,
+            },
+            "info": _info_dict(req, req.level, height, width, channels),
+        }
+
     @app.post("/api/upload")
     def upload_image(request: Request):
         if "file" not in request.files:

@@ -1,0 +1,87 @@
+"""Batched runtime path and /api/process-batch endpoint."""
+
+import base64
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpu_image_processing_tpu.core.params import ValidationError
+from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+from gpu_image_processing_tpu.server.app import create_app
+from gpu_image_processing_tpu.server.http import Request
+
+from . import oracle_numpy as oracle
+from .conftest import make_image
+
+
+def _stack(rng, b, h, w, c):
+    return np.stack([make_image(rng, h, w, c) for _ in range(b)])
+
+
+def test_run_batch_gaussian_matches_oracle(rng):
+    imgs = _stack(rng, 4, 16, 19, 3)
+    out, metrics = RUNTIME.run_batch("gaussian", imgs, level=2, sigma=2.0, radius=3)
+    assert out.shape == imgs.shape
+    from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+
+    w = gaussian_kernel_f32(3, 2.0)
+    for i in range(4):
+        np.testing.assert_array_equal(out[i], oracle.gaussian_blur(imgs[i], w, 3))
+    assert metrics.fps > 0 and metrics.time_ms > 0
+
+
+def test_run_batch_sobel(rng):
+    imgs = _stack(rng, 3, 12, 14, 1)
+    out, _ = RUNTIME.run_batch("sobel", imgs, level=1)
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], oracle.sobel(imgs[i], 1))
+
+
+def test_run_batch_validates(rng):
+    with pytest.raises(ValidationError, match="4D"):
+        RUNTIME.run_batch("box", make_image(rng, 8, 8, 3))
+    with pytest.raises(ValidationError, match="Invalid filter"):
+        RUNTIME.run_batch("median", _stack(rng, 2, 8, 8, 3))
+
+
+def _png_b64(arr):
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    return "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+
+
+@pytest.fixture(scope="module")
+def app():
+    return create_app()
+
+
+def test_endpoint_batch(rng, app):
+    imgs = [_png_b64(make_image(rng, 14, 17, 3)) for _ in range(3)]
+    status, body = app.dispatch(Request(
+        method="POST", path="/api/process-batch",
+        json={"images": imgs, "filter": "box", "level": 2, "radius": 2},
+    ))
+    assert status == 200
+    assert len(body["processed_images"]) == 3
+    assert body["metrics"]["batch_size"] == 3
+    assert body["metrics"]["images_per_second"] > 0
+    assert body["info"]["level"] == "shared_memory"
+
+
+def test_endpoint_batch_shape_mismatch(rng, app):
+    imgs = [_png_b64(make_image(rng, 14, 17, 3)), _png_b64(make_image(rng, 10, 9, 3))]
+    status, body = app.dispatch(Request(
+        method="POST", path="/api/process-batch",
+        json={"images": imgs, "filter": "box"},
+    ))
+    assert status == 400
+    assert "share one shape" in body["detail"]
+
+
+def test_endpoint_batch_empty(app):
+    status, body = app.dispatch(Request(
+        method="POST", path="/api/process-batch", json={"images": [], "filter": "box"},
+    ))
+    assert status == 400
