@@ -29,7 +29,11 @@ RADIUS_RANGE: tuple[int, int] = (1, 15)
 MAX_KERNEL_TAPS: int = 64
 
 VALID_CHANNELS: tuple[int, ...] = (1, 3, 4)
+#: Levels the comparison endpoints iterate over (backend/app.py:332).
 VALID_LEVELS: tuple[int, ...] = (1, 2)
+#: Levels a single /api/process request may ask for (4 = ADVANCED tier,
+#: declared-but-unimplemented in the reference, image_filters.h:28).
+REQUEST_LEVELS: tuple[int, ...] = (1, 2, 4)
 
 # ---------------------------------------------------------------------------
 # Serving (reference: start_servers.sh:16-17, frontend/js/app.js:2)

@@ -64,10 +64,11 @@ GAUSSIAN = FilterSpec(
     description="Smooth blur with weighted averaging (bell curve)",
     has_sigma=True,
     has_radius=True,
-    level_names={1: "naive", 2: "texture_memory"},
+    level_names={1: "naive", 2: "texture_memory", 4: "advanced"},
     level_catalog={
         "1": "Naive (pure-XLA oracle)",
         "2": "Fused Pallas (VMEM-resident separable passes)",
+        "4": "Advanced (symmetric-folded taps, maxdiff<=1 vs level 2)",
     },
     bytes_factor=4,
 )
@@ -78,10 +79,11 @@ BOX = FilterSpec(
     description="Simple average blur (faster than Gaussian)",
     has_sigma=False,
     has_radius=True,
-    level_names={1: "naive", 2: "shared_memory"},
+    level_names={1: "naive", 2: "shared_memory", 4: "advanced"},
     level_catalog={
         "1": "Naive (pure-XLA oracle)",
         "2": "Fused Pallas (VMEM tiling)",
+        "4": "Advanced (pair-folded taps, maxdiff<=1 vs level 2)",
     },
     bytes_factor=4,
 )
@@ -92,10 +94,11 @@ SOBEL = FilterSpec(
     description="Detect edges using gradient magnitude (Gx, Gy)",
     has_sigma=False,
     has_radius=False,
-    level_names={1: "naive", 2: "shared_memory"},
+    level_names={1: "naive", 2: "shared_memory", 4: "advanced"},
     level_catalog={
         "1": "Naive (pure-XLA oracle)",
         "2": "Fused Pallas (grayscale tile in VMEM)",
+        "4": "Advanced (f32 gray, no tile-load quantization)",
     },
     bytes_factor=2,
 )
@@ -104,11 +107,15 @@ FILTERS: dict[str, FilterSpec] = {f.name: f for f in (GAUSSIAN, BOX, SOBEL)}
 
 
 def normalize_level(filter_name: str, level: int) -> int:
-    """Map a user/API level or OptimizationLevel alias to canonical 1 or 2.
+    """Map a user/API level or OptimizationLevel alias to canonical 1, 2 or 4.
 
     Accepts the enum aliases the reference's own tooling uses: for gaussian
     both TEXTURE_MEMORY(3) and SHARED_MEMORY(2) mean level 2; for box/sobel
-    SHARED_MEMORY(2) means level 2.
+    SHARED_MEMORY(2) means level 2.  Level 4 is the ADVANCED tier the
+    reference declares but never implements (image_filters.h:28,
+    README.md:316): relaxed accumulation order for extra speed, gated at
+    max pixel diff <= 1 vs level 2 (the reference's own fidelity threshold,
+    tests/test_comparison.cu:204-221).
     """
     if level in (1,):
         return 1
@@ -117,8 +124,11 @@ def normalize_level(filter_name: str, level: int) -> int:
     if level == 3 and filter_name == "gaussian":
         # TEXTURE_MEMORY alias (bindings map user level 2 -> enum 3).
         return 2
+    if level == 4:
+        return 4
     raise ValidationError(
-        f"Level must be 1 (naive) or 2 (optimized) for {filter_name}; got {level}"
+        f"Level must be 1 (naive), 2 (optimized), or 4 (advanced) for "
+        f"{filter_name}; got {level}"
     )
 
 

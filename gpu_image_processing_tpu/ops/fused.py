@@ -93,7 +93,12 @@ def sobel_fused(img_hwc: jnp.ndarray) -> jnp.ndarray:
 
 
 def register_all(register: Callable[[str, Callable], None]) -> None:
-    """Install level-2 implementations, preferring the Pallas tier."""
+    """Install optimized implementations, preferring the Pallas tier.
+
+    Keys: "gaussian"/"box"/"sobel" are level 2; "<name>_adv" are the
+    ADVANCED level-4 variants (falling back to the level-2 impls when the
+    Pallas tier is unavailable -- advanced is then merely not-faster).
+    """
     impls: dict[str, Callable] = {
         "gaussian": gaussian_fused,
         "box": box_fused,
@@ -104,9 +109,14 @@ def register_all(register: Callable[[str, Callable], None]) -> None:
             from .pallas import api as pallas_api
 
             impls.update(pallas_api.level2_impls())
+            impls.update(
+                {f"{k}_adv": v for k, v in pallas_api.level4_impls().items()}
+            )
         except Exception as exc:  # pragma: no cover - env without Mosaic
             import warnings
 
             warnings.warn(f"Pallas level-2 tier unavailable, using XLA tier: {exc}")
+    for name in ("gaussian", "box", "sobel"):
+        impls.setdefault(f"{name}_adv", impls[name])
     for name, fn in impls.items():
         register(name, fn)

@@ -25,3 +25,23 @@ def level2_impls() -> dict[str, Callable]:
         "box": lambda img, radius: box_pallas(img, radius, interpret=interpret),
         "sobel": lambda img: sobel_pallas(img, interpret=interpret),
     }
+
+
+def level4_impls() -> dict[str, Callable]:
+    """ADVANCED tier: relaxed accumulation order (maxdiff <= 1 vs level 2)."""
+    from .blur import box_pallas, gaussian_pallas
+    from .sobel import sobel_pallas
+
+    interpret = not is_tpu()
+    return {
+        "gaussian": lambda img, w, radius: gaussian_pallas(
+            img, w, radius, interpret=interpret, folded=True
+        ),
+        "box": lambda img, radius: box_pallas(
+            img, radius, interpret=interpret, folded=True
+        ),
+        # Advanced sobel skips the tile-load gray quantization (f32 gray):
+        # the level-1 numerics through the fused kernel, which measured
+        # ~30% faster than the quantized level-2 path on v5e.
+        "sobel": lambda img: sobel_pallas(img, level=1, interpret=interpret),
+    }

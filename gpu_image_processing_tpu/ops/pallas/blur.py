@@ -46,7 +46,8 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
-                 tile_rows: int, copy_rows: int, w_out: int, box_mode: bool):
+                 tile_rows: int, copy_rows: int, w_out: int, box_mode: bool,
+                 folded: bool = False):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -72,24 +73,40 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
     # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
     x = tile_u8[:].astype(jnp.int32).astype(jnp.float32)   # (TH+2r, Wp)
 
-    # Horizontal pass -> (TH+2r, Wo), then uint8 re-quantization.
-    hacc = None
-    for t in range(taps):
-        sl = x[:, t : t + w_out]
-        term = sl if box_mode else sl * w_ref[0, t]
-        hacc = term if hacc is None else hacc + term
-    if box_mode:
-        hacc = hacc * w_ref[0, 0]
-    h = _quant(hacc)
+    def conv(src, take, length):
+        """One separable pass: taps in CUDA order, or symmetric-folded.
 
-    # Vertical pass -> (TH, Wo).
-    vacc = None
-    for t in range(taps):
-        sl = h[t : t + tile_rows, :]
-        term = sl if box_mode else sl * w_ref[0, t]
-        vacc = term if vacc is None else vacc + term
-    if box_mode:
-        vacc = vacc * w_ref[0, 0]
+        `folded` is the ADVANCED tier: kernels are symmetric (gaussian by
+        construction, box trivially), so pair taps t and 2r-t to halve the
+        multiply count.  The regrouped f32 sum can differ from the strict
+        order by 1 ulp -> <=1 after rounding (the reference's own L1<->L2
+        gate, tests/test_comparison.cu:204-221).
+        """
+        if folded:
+            acc = None
+            for t in range(radius):
+                pair = take(src, t, length) + take(src, 2 * radius - t, length)
+                term = pair if box_mode else pair * w_ref[0, t]
+                acc = term if acc is None else acc + term
+            mid = take(src, radius, length)
+            acc = acc + (mid if box_mode else mid * w_ref[0, radius])
+        else:
+            acc = None
+            for t in range(taps):
+                sl = take(src, t, length)
+                term = sl if box_mode else sl * w_ref[0, t]
+                acc = term if acc is None else acc + term
+        if box_mode:
+            acc = acc * w_ref[0, 0]
+        return acc
+
+    take_cols = lambda s, t, n: s[:, t : t + n]        # noqa: E731
+    take_rows = lambda s, t, n: s[t : t + n, :]        # noqa: E731
+
+    # Horizontal pass -> (TH+2r, Wo) with uint8 re-quantization, then
+    # vertical pass -> (TH, Wo).
+    h = _quant(conv(x, take_cols, w_out))
+    vacc = conv(h, take_rows, tile_rows)
     out_ref[0] = (
         jnp.clip(_quant(vacc), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     )
@@ -102,6 +119,7 @@ def _separable_blur_planar(
     box_mode: bool,
     interpret: bool = False,
     tile_rows: int | None = None,
+    folded: bool = False,
 ) -> jnp.ndarray:
     channels, height, width = planar_u8.shape
     tile_rows = min(tile_rows or TPU.blur_tile_rows, _round_up(height, 8))
@@ -132,6 +150,7 @@ def _separable_blur_planar(
             copy_rows=copy_rows,
             w_out=w_out,
             box_mode=box_mode,
+            folded=folded,
         ),
         grid=(channels, n_tiles),
         in_specs=[
@@ -155,19 +174,24 @@ def _separable_blur_planar(
 
 
 def gaussian_pallas(
-    img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int, interpret: bool = False
+    img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
+    interpret: bool = False, folded: bool = False,
 ) -> jnp.ndarray:
-    """(H, W, C) u8 -> u8 fused separable Gaussian blur."""
+    """(H, W, C) u8 -> u8 fused separable Gaussian blur.
+
+    folded=True is the ADVANCED (level 4) tier: symmetric tap pairing.
+    """
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, weights, radius, box_mode=False,
-                                 interpret=interpret)
+                                 interpret=interpret, folded=folded)
     return jnp.transpose(out, (1, 2, 0))
 
 
-def box_pallas(img_hwc: jnp.ndarray, radius: int, interpret: bool = False) -> jnp.ndarray:
+def box_pallas(img_hwc: jnp.ndarray, radius: int, interpret: bool = False,
+               folded: bool = False) -> jnp.ndarray:
     """(H, W, C) u8 -> u8 fused separable box blur."""
     inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, jnp.asarray(inv), radius, box_mode=True,
-                                 interpret=interpret)
+                                 interpret=interpret, folded=folded)
     return jnp.transpose(out, (1, 2, 0))

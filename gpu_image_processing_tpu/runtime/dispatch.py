@@ -76,12 +76,17 @@ def _flatio(fn: Callable, height: int, width: int, channels: int) -> Callable:
     return wrapped
 
 
+def _opt_impl(name: str, level: int) -> Callable:
+    """Resolve the optimized implementation for level 2 or 4."""
+    _load_level2()
+    return _LEVEL2_IMPLS[f"{name}_adv" if level == 4 else name]
+
+
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         fn = lambda img, w: ref.gaussian_blur(img, w, radius)  # noqa: E731
     else:
-        _load_level2()
-        impl = _LEVEL2_IMPLS["gaussian"]
+        impl = _opt_impl("gaussian", level)
         fn = lambda img, w: impl(img, w, radius)  # noqa: E731
     return _flatio(fn, h, w_, c)
 
@@ -90,8 +95,7 @@ def _trace_box(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         fn = lambda img: ref.box_blur(img, radius)  # noqa: E731
     else:
-        _load_level2()
-        impl = _LEVEL2_IMPLS["box"]
+        impl = _opt_impl("box", level)
         fn = lambda img: impl(img, radius)  # noqa: E731
     return _flatio(fn, h, w_, c)
 
@@ -100,8 +104,7 @@ def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         fn = lambda img: ref.sobel(img, 1)  # noqa: E731
     else:
-        _load_level2()
-        impl = _LEVEL2_IMPLS["sobel"]
+        impl = _opt_impl("sobel", level)
         fn = lambda img: impl(img)  # noqa: E731
     return _flatio(fn, h, w_, c)
 

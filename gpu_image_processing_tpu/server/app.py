@@ -64,12 +64,12 @@ def _validate_request(req: FilterRequest) -> None:
             400,
             f"Invalid filter: {req.filter}. Must be 'gaussian', 'box', or 'sobel'",
         )
-    if req.level not in config.VALID_LEVELS:
+    if req.level not in config.REQUEST_LEVELS:
         spec = FILTERS[req.filter]
         raise HTTPError(
             400,
             f"Invalid level: {req.level}. {spec.display_name} supports levels "
-            f"1 (naive) or 2 ({spec.level_names[2]})",
+            f"1 (naive), 2 ({spec.level_names[2]}), or 4 (advanced)",
         )
 
 
