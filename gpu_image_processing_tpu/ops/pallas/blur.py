@@ -173,6 +173,41 @@ def _separable_blur_planar(
     return out[:, :height, :width]
 
 
+def gaussian_pallas_batch(
+    imgs_bhwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
+    interpret: bool = False, folded: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W, C) u8 -> u8 batched fused Gaussian blur.
+
+    The separable blur treats every (image, channel) plane independently, so
+    a batch folds into the kernel's channel grid dimension: grid (B*C,
+    row-tiles) over a (B*C, H, W) planar stack.  No vmap -- Pallas ANY-space
+    operands cannot be batched by vmap on TPU.
+    """
+    b, height, width, channels = imgs_bhwc.shape
+    planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2)).reshape(b * channels, height, width)
+    out = _separable_blur_planar(planar, weights, radius, box_mode=False,
+                                 interpret=interpret, folded=folded)
+    return jnp.transpose(
+        out.reshape(b, channels, height, width), (0, 2, 3, 1)
+    )
+
+
+def box_pallas_batch(
+    imgs_bhwc: jnp.ndarray, radius: int, interpret: bool = False,
+    folded: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W, C) u8 -> u8 batched fused box blur."""
+    b, height, width, channels = imgs_bhwc.shape
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2)).reshape(b * channels, height, width)
+    out = _separable_blur_planar(planar, jnp.asarray(inv), radius, box_mode=True,
+                                 interpret=interpret, folded=folded)
+    return jnp.transpose(
+        out.reshape(b, channels, height, width), (0, 2, 3, 1)
+    )
+
+
 def gaussian_pallas(
     img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
     interpret: bool = False, folded: bool = False,

@@ -33,22 +33,9 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
-                  tile_rows: int, copy_rows: int, height: int, width: int,
-                  w_out: int):
-    """in_ref: (C, Hp+pad, Wp) u8 planar in HBM; out_ref: (C, TH, Wo) block.
-
-    copy_rows = TH+2 rounded up to the 8-row sublane tiling (Mosaic DMA
-    alignment); surplus rows are edge padding the gradients never read.
-    """
-    i = pl.program_id(0)
-
-    copy = pltpu.make_async_copy(
-        in_ref.at[:, pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
-    )
-    copy.start()
-    copy.wait()
-
+def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
+               height: int, width: int, w_out: int):
+    """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile."""
     # u8 -> f32 via i32 (Mosaic lacks a direct unsigned->float cast).
     if channels == 1:
         g = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
@@ -82,11 +69,94 @@ def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
     grow = i * tile_rows + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 0)
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 1)
     inside = (grow >= 1) & (grow <= height - 2) & (gcol >= 1) & (gcol <= width - 2)
-    edge = jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
+    return jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
 
+
+def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
+                  tile_rows: int, copy_rows: int, height: int, width: int,
+                  w_out: int):
+    """in_ref: (C, Hp+pad, Wp) u8 planar in HBM; out_ref: (C, TH, Wo) block.
+
+    copy_rows = TH+2 rounded up to the 8-row sublane tiling (Mosaic DMA
+    alignment); surplus rows are edge padding the gradients never read.
+    """
+    i = pl.program_id(0)
+    copy = pltpu.make_async_copy(
+        in_ref.at[:, pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
+    )
+    copy.start()
+    copy.wait()
+    edge = _edge_tile(tile_u8, i, channels=channels, level=level,
+                      tile_rows=tile_rows, height=height, width=width,
+                      w_out=w_out)
     # Same edge value into every channel plane, alpha included (:1311-1313).
     for c in range(channels):
         out_ref[c] = edge
+
+
+def _sobel_kernel_batch(in_ref, out_ref, tile_u8, sem, *, channels: int,
+                        level: int, tile_rows: int, copy_rows: int,
+                        height: int, width: int, w_out: int):
+    """Batched: in_ref (B, C, Hp+pad, Wp); out block (1, C, TH, Wo)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        in_ref.at[b, :, pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
+    )
+    copy.start()
+    copy.wait()
+    edge = _edge_tile(tile_u8, i, channels=channels, level=level,
+                      tile_rows=tile_rows, height=height, width=width,
+                      w_out=w_out)
+    for c in range(channels):
+        out_ref[0, c] = edge
+
+
+def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W, C) u8 -> u8 batched fused Sobel (no vmap -- the batch is a
+    kernel grid dimension, since Pallas ANY-space operands can't be vmapped
+    on TPU)."""
+    b, height, width, channels = imgs_bhwc.shape
+    planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2))
+
+    tile_rows = min(TPU.sobel_tile_rows, _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
+    wp = _round_up(width + 2, 128)
+    w_out = wp - 2
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2, 8)
+
+    bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
+    x = jnp.pad(planar, ((0, 0), (0, 0), (1, bottom), (1, wp - width - 1)),
+                mode="edge")
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sobel_kernel_batch,
+            channels=channels,
+            level=level,
+            tile_rows=tile_rows,
+            copy_rows=copy_rows,
+            height=height,
+            width=width,
+            w_out=w_out,
+        ),
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, channels, tile_rows, w_out), lambda bb, i: (bb, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, channels, hp, w_out), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+
+    return jnp.transpose(out[:, :, :height, :width], (0, 2, 3, 1))
 
 
 def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,

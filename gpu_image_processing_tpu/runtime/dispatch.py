@@ -109,6 +109,66 @@ def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
     return _flatio(fn, h, w_, c)
 
 
+def _trace_batch(filter_name: str, level: int, radius: int,
+                 h: int, w_: int, c: int) -> Callable:
+    """Batched trace fn over (B, H*W*C) flat uint8.
+
+    Level 1 vmaps the pure-jnp oracle.  Levels 2/4 use the natively batched
+    Pallas kernels (the batch rides the kernel grid; Pallas ANY-space
+    operands cannot be vmapped on TPU) with the XLA-fused tier vmapped as
+    fallback.
+    """
+    import os as _os
+
+    def hwc(fn):
+        def wrapped(flats, *rest):
+            imgs = flats.reshape(-1, h, w_, c)
+            return fn(imgs, *rest).reshape(flats.shape[0], -1)
+
+        return wrapped
+
+    if level == 1:
+        singles = {
+            "gaussian": lambda img, w: ref.gaussian_blur(img, w, radius),
+            "box": lambda img: ref.box_blur(img, radius),
+            "sobel": lambda img: ref.sobel(img, 1),
+        }
+        single = singles[filter_name]
+        if filter_name == "gaussian":
+            return hwc(lambda imgs, w: jax.vmap(lambda im: single(im, w))(imgs))
+        return hwc(lambda imgs: jax.vmap(single)(imgs))
+
+    use_pallas = _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"
+    if use_pallas:
+        try:
+            from ..ops.pallas.blur import box_pallas_batch, gaussian_pallas_batch
+            from ..ops.pallas.sobel import sobel_pallas_batch
+            from .device import is_tpu
+
+            interp = not is_tpu()
+            folded = level == 4
+            if filter_name == "gaussian":
+                return hwc(lambda imgs, w: gaussian_pallas_batch(
+                    imgs, w, radius, interpret=interp, folded=folded))
+            if filter_name == "box":
+                return hwc(lambda imgs: box_pallas_batch(
+                    imgs, radius, interpret=interp, folded=folded))
+            return hwc(lambda imgs: sobel_pallas_batch(
+                imgs, level=1 if level == 4 else 2, interpret=interp))
+        except ImportError:  # pragma: no cover
+            pass
+
+    from ..ops import fused
+
+    if filter_name == "gaussian":
+        return hwc(lambda imgs, w: jax.vmap(
+            lambda im: fused.gaussian_fused(im, w, radius))(imgs))
+    if filter_name == "box":
+        return hwc(lambda imgs: jax.vmap(
+            lambda im: fused.box_fused(im, radius))(imgs))
+    return hwc(lambda imgs: jax.vmap(fused.sobel_fused)(imgs))
+
+
 class FilterExecutable:
     """One compiled filter: an AOT-compiled XLA executable + timing harness.
 
@@ -289,19 +349,8 @@ class FilterRuntime:
                radius if filter_name != "sobel" else None)
 
         def build() -> FilterExecutable:
-            if filter_name == "gaussian":
-                single = _trace_gaussian(lvl, radius, height, width, channels)
-                fn = lambda flats, w: jax.vmap(lambda f: single(f, w))(flats)  # noqa: E731
-                n_args = 2
-            elif filter_name == "box":
-                single = _trace_box(lvl, radius, height, width, channels)
-                fn = lambda flats: jax.vmap(single)(flats)  # noqa: E731
-                n_args = 1
-            else:
-                single = _trace_sobel(lvl, height, width, channels)
-                fn = lambda flats: jax.vmap(single)(flats)  # noqa: E731
-                n_args = 1
-            return FilterExecutable(fn, n_args=n_args)
+            fn = _trace_batch(filter_name, lvl, radius, height, width, channels)
+            return FilterExecutable(fn, n_args=2 if filter_name == "gaussian" else 1)
 
         exe = self._get(key, build)
         dev = default_device()

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""On-hardware validation matrix: every filter x level x channel count x
+radius extreme, checked against the independent numpy oracle on the REAL
+device (the CPU pytest suite runs the same kernels through the Pallas
+interpreter; this script is the proof on silicon).
+
+Gates:
+  * gaussian/box (all levels) and sobel level 2: EXACT equality.
+  * sobel level 1 color: maxdiff <= 1.  The VPU contracts the Rec.601
+    mul-add chain into FMAs (as nvcc does for the CUDA reference), so the
+    unquantized f32 gray can differ from the strict mul-then-add order by
+    1 ulp, occasionally flipping a rounded pixel by one -- within the
+    reference's own fidelity threshold (tests/test_comparison.cu:204-221).
+  * level 4 (ADVANCED): maxdiff <= 1 vs oracle.
+
+Run: python scripts/tpu_validation.py   (takes several minutes: ~40 XLA
+compiles; keep it the only TPU process).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+import oracle_numpy as oracle  # noqa: E402
+
+from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32  # noqa: E402
+from gpu_image_processing_tpu.runtime.device import warmup_transfers  # noqa: E402
+from gpu_image_processing_tpu.runtime.dispatch import RUNTIME  # noqa: E402
+
+FAILS = 0
+
+
+def check(label: str, ok: bool, detail: str = "") -> None:
+    global FAILS
+    FAILS += not ok
+    print(f"{label}: {'OK' if ok else 'MISMATCH ' + detail}", flush=True)
+
+
+def main() -> int:
+    t0 = time.time()
+    warmup_transfers()
+    print(f"[{time.time() - t0:.0f}s] device ready", flush=True)
+    rng = np.random.default_rng(99)
+
+    for c in (1, 3, 4):
+        img = rng.integers(0, 256, (310, 421, c), np.uint8)
+        for level in (1, 2):
+            for radius, sigma in ((1, 0.5), (3, 2.0), (15, 8.0)):
+                out, _ = RUNTIME.gaussian_blur(
+                    img, sigma=sigma, radius=radius, level=level
+                )
+                want = oracle.gaussian_blur(
+                    img, gaussian_kernel_f32(radius, sigma), radius
+                )
+                check(f"gauss c{c} L{level} r{radius}", (out == want).all())
+            for radius in (1, 15):
+                out, _ = RUNTIME.box_blur(img, radius=radius, level=level)
+                check(
+                    f"box   c{c} L{level} r{radius}",
+                    (out == oracle.box_blur(img, radius)).all(),
+                )
+            out, _ = RUNTIME.sobel_edge_detection(img, level=level)
+            want = oracle.sobel(img, level)
+            diff = np.abs(out.astype(int) - want.astype(int)).max()
+            if level == 1 and c > 1:
+                check(f"sobel c{c} L{level} (FMA gate<=1)", diff <= 1, f"max={diff}")
+            else:
+                check(f"sobel c{c} L{level}", diff == 0, f"max={diff}")
+
+    # ADVANCED tier gates.
+    img = rng.integers(0, 256, (310, 421, 3), np.uint8)
+    l2, _ = RUNTIME.gaussian_blur(img, level=2)
+    l4, _ = RUNTIME.gaussian_blur(img, level=4)
+    check("gauss L4 gate<=1", np.abs(l2.astype(int) - l4.astype(int)).max() <= 1)
+    b2, _ = RUNTIME.box_blur(img, radius=5, level=2)
+    b4, _ = RUNTIME.box_blur(img, radius=5, level=4)
+    check("box L4 gate<=1", np.abs(b2.astype(int) - b4.astype(int)).max() <= 1)
+
+    # Batched path (native Pallas batching, not vmap).
+    imgs = np.stack([rng.integers(0, 256, (64, 97, 3), np.uint8) for _ in range(4)])
+    w = gaussian_kernel_f32(3, 2.0)
+    out, m = RUNTIME.run_batch("gaussian", imgs, level=2, sigma=2.0, radius=3)
+    check(
+        "batch gauss L2",
+        all((out[i] == oracle.gaussian_blur(imgs[i], w, 3)).all() for i in range(4)),
+    )
+
+    print(f"TOTAL FAILURES: {FAILS}", flush=True)
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
