@@ -22,6 +22,7 @@ Profiled timings never override the primary device-timed `time_ms`
 from __future__ import annotations
 
 import logging
+import time as _time
 import traceback
 from typing import Any
 
@@ -115,6 +116,39 @@ def _parse_filter_request(request: Request) -> FilterRequest:
 
 def create_app() -> Router:
     app = Router()
+    stats = {"started_at": _time.time(), "requests_total": 0, "by_route": {}}
+
+    _dispatch = app.dispatch
+
+    def counting_dispatch(request: Request):
+        stats["requests_total"] += 1
+        key = f"{request.method} {request.path}"
+        stats["by_route"][key] = stats["by_route"].get(key, 0) + 1
+        return _dispatch(request)
+
+    app.dispatch = counting_dispatch
+
+    @app.get("/api/stats")
+    def server_stats(_req: Request):
+        """Observability extension (the reference has only bare prints,
+        SURVEY 5.5): request counters, uptime, executable-cache size."""
+        cache_size = len(RUNTIME._cache) if TPU_AVAILABLE else 0
+        device = None
+        if TPU_AVAILABLE:
+            try:
+                from ..runtime.device import default_device
+
+                device = str(default_device())
+            except Exception:
+                pass
+        return 200, {
+            "uptime_s": round(_time.time() - stats["started_at"], 1),
+            "requests_total": stats["requests_total"],
+            "requests_by_route": stats["by_route"],
+            "compiled_executables": cache_size,
+            "device": device,
+            "tpu_available": TPU_AVAILABLE,
+        }
 
     @app.get("/")
     def root(_req: Request):

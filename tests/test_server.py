@@ -212,3 +212,12 @@ def test_live_cors_preflight(live_server):
     with urllib.request.urlopen(req) as resp:
         assert resp.status == 204
         assert resp.headers["Access-Control-Allow-Origin"] == "*"
+
+
+def test_stats_endpoint(app):
+    app.dispatch(Request(method="GET", path="/api/health"))
+    status, body = app.dispatch(Request(method="GET", path="/api/stats"))
+    assert status == 200
+    assert body["requests_total"] >= 2
+    assert "GET /api/health" in body["requests_by_route"]
+    assert body["uptime_s"] >= 0
