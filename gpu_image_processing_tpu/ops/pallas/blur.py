@@ -45,9 +45,9 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + jnp.float32(0.5))
 
 
-def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
-                 tile_rows: int, copy_rows: int, w_out: int, box_mode: bool,
-                 folded: bool = False):
+def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
+                 radius: int, tile_rows: int, copy_rows: int, w_out: int,
+                 box_mode: bool, folded: bool = False):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -57,6 +57,16 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
             CR = copy_rows = TH+2r rounded up to the 8-row sublane tiling
             (Mosaic requires 8-aligned DMA slices; surplus rows are junk
             edge padding that the vertical pass never reads).
+    xbuf:   (CR, Wp) f32 scratch          -- the tile as f32
+    hbuf:   (CR, Wo) f32 scratch          -- horizontal-pass accumulator
+    vbuf:   (TH, Wo) f32 scratch          -- vertical-pass accumulator
+
+    Tap accumulation goes THROUGH the scratch refs: with value-chained
+    accumulation Mosaic keeps every unrolled tap slice live on the VMEM
+    stack at once, which blows the 16 MB budget for large radii (observed
+    49 MB at radius 15).  Sequenced ref stores bound liveness to one term
+    while keeping the exact CUDA f32 operation order
+    (image_filters.cu:86-99).
     """
     c = pl.program_id(0)
     i = pl.program_id(1)
@@ -71,9 +81,9 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
     copy.wait()
 
     # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
-    x = tile_u8[:].astype(jnp.int32).astype(jnp.float32)   # (TH+2r, Wp)
+    xbuf[:, :] = tile_u8[:].astype(jnp.int32).astype(jnp.float32)
 
-    def conv(src, take, length):
+    def conv(src_ref, acc_ref, take, length):
         """One separable pass: taps in CUDA order, or symmetric-folded.
 
         `folded` is the ADVANCED tier: kernels are symmetric (gaussian by
@@ -83,32 +93,38 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, sem, *, radius: int,
         gate, tests/test_comparison.cu:204-221).
         """
         if folded:
-            acc = None
             for t in range(radius):
-                pair = take(src, t, length) + take(src, 2 * radius - t, length)
+                pair = take(src_ref, t, length) + take(src_ref, 2 * radius - t, length)
                 term = pair if box_mode else pair * w_ref[0, t]
-                acc = term if acc is None else acc + term
-            mid = take(src, radius, length)
-            acc = acc + (mid if box_mode else mid * w_ref[0, radius])
+                if t == 0:
+                    acc_ref[:, :] = term
+                else:
+                    acc_ref[:, :] = acc_ref[:, :] + term
+            mid = take(src_ref, radius, length)
+            acc_ref[:, :] = acc_ref[:, :] + (
+                mid if box_mode else mid * w_ref[0, radius]
+            )
         else:
-            acc = None
             for t in range(taps):
-                sl = take(src, t, length)
+                sl = take(src_ref, t, length)
                 term = sl if box_mode else sl * w_ref[0, t]
-                acc = term if acc is None else acc + term
+                if t == 0:
+                    acc_ref[:, :] = term
+                else:
+                    acc_ref[:, :] = acc_ref[:, :] + term
         if box_mode:
-            acc = acc * w_ref[0, 0]
-        return acc
+            acc_ref[:, :] = acc_ref[:, :] * w_ref[0, 0]
 
     take_cols = lambda s, t, n: s[:, t : t + n]        # noqa: E731
     take_rows = lambda s, t, n: s[t : t + n, :]        # noqa: E731
 
-    # Horizontal pass -> (TH+2r, Wo) with uint8 re-quantization, then
-    # vertical pass -> (TH, Wo).
-    h = _quant(conv(x, take_cols, w_out))
-    vacc = conv(h, take_rows, tile_rows)
+    # Horizontal pass -> hbuf with uint8 re-quantization, then vertical
+    # pass -> vbuf.
+    conv(xbuf, hbuf, take_cols, w_out)
+    hbuf[:, :] = _quant(hbuf[:, :])
+    conv(hbuf, vbuf, take_rows, tile_rows)
     out_ref[0] = (
-        jnp.clip(_quant(vacc), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        jnp.clip(_quant(vbuf[:, :]), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     )
 
 
@@ -165,6 +181,9 @@ def _separable_blur_planar(
         out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((copy_rows, wp), jnp.float32),
+            pltpu.VMEM((copy_rows, w_out), jnp.float32),
+            pltpu.VMEM((tile_rows, w_out), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
