@@ -77,7 +77,30 @@ def wait_healthy(timeout_s: float = 300.0) -> bool:
     return False
 
 
+def maybe_build_native() -> None:
+    """Build the native codec if absent (the analog of start_servers.sh
+    auto-building the CUDA lib + bindings, :100-184).  Serving works without
+    it (PIL fallback), so failures only warn."""
+    lib = os.path.join(REPO, "native", "build", "libgip_codec.so")
+    if os.path.exists(lib):
+        return
+    try:
+        subprocess.run(
+            ["cmake", "-S", os.path.join(REPO, "native"), "-B",
+             os.path.join(REPO, "native", "build")],
+            check=True, capture_output=True, timeout=120,
+        )
+        subprocess.run(
+            ["cmake", "--build", os.path.join(REPO, "native", "build")],
+            check=True, capture_output=True, timeout=300,
+        )
+        print("Built native codec (native/build/libgip_codec.so)")
+    except Exception as exc:
+        print(f"Native codec build skipped ({exc}); serving with PIL codecs")
+
+
 def cmd_start(args) -> int:
+    maybe_build_native()
     if port_in_use(config.BACKEND_PORT):
         print(f"Backend port {config.BACKEND_PORT} already in use")
         return 1

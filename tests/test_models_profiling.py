@@ -74,3 +74,15 @@ def test_profile_filter_contract(rng):
 def test_common_metrics_empty():
     assert get_common_metrics({}) == {}
     assert get_common_metrics(None) == {}
+
+
+def test_capture_xla_trace(tmp_path, rng):
+    from gpu_image_processing_tpu.profiling.profiler import capture_xla_trace
+
+    img = make_image(rng, 8, 10, 3)
+    out_dir = capture_xla_trace(
+        lambda: BoxBlur(radius=1, level=1)(img), trace_dir=str(tmp_path)
+    )
+    # The profiler must leave a trace artifact behind for offline inspection.
+    found = list(__import__("pathlib").Path(out_dir).rglob("*"))
+    assert any(f.is_file() for f in found)
