@@ -136,8 +136,15 @@ def _separable_blur_planar(
     interpret: bool = False,
     tile_rows: int | None = None,
     folded: bool = False,
+    rows_prepadded: bool = False,
 ) -> jnp.ndarray:
+    """rows_prepadded=True: the input already carries `radius` valid rows
+    above and below (e.g. halo rows exchanged from neighbor shards over
+    ICI); only alignment junk is appended, no clamp-to-edge row padding.
+    Shape is then (C, H + 2*radius, W) for an (C, H, W) output."""
     channels, height, width = planar_u8.shape
+    if rows_prepadded:
+        height -= 2 * radius
     tile_rows = min(tile_rows or TPU.blur_tile_rows, _round_up(height, 8))
     hp = _round_up(height, tile_rows)
     wp = _round_up(width + 2 * radius, 128)
@@ -145,16 +152,26 @@ def _separable_blur_planar(
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
 
-    # Clamp-to-edge padding, done once in XLA on uint8:
-    #   rows:  radius top (edge); bottom: radius + tile alignment + DMA
-    #          alignment slack (junk rows past radius are never read)
-    #   cols:  radius left (edge) + right up to wp (edge)
-    bottom = (hp - height) + (copy_rows - tile_rows)
-    x = jnp.pad(
-        planar_u8,
-        ((0, 0), (radius, bottom), (radius, wp - width - radius)),
-        mode="edge",
-    )
+    # Clamp-to-edge padding, done once in XLA on uint8.  The DMA for tile i
+    # reads rows [i*TH, i*TH + CR), so the padded array needs
+    # hp - TH + CR rows total: [r top halo][height rows][r bottom halo]
+    # [alignment junk, never read].  cols: radius left/right (edge) up to wp.
+    total_rows = hp - tile_rows + copy_rows
+    if rows_prepadded:
+        # Input already carries the top/bottom halo rows (height + 2r).
+        junk = total_rows - (height + 2 * radius)
+        x = jnp.pad(
+            planar_u8,
+            ((0, 0), (0, junk), (radius, wp - width - radius)),
+            mode="edge",
+        )
+    else:
+        x = jnp.pad(
+            planar_u8,
+            ((0, 0), (radius, total_rows - height - radius),
+             (radius, wp - width - radius)),
+            mode="edge",
+        )
 
     w2d = weights.reshape(1, -1)
 

@@ -34,7 +34,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
-               height: int, width: int, w_out: int):
+               height: int, width: int, w_out: int, zero_rows: bool = True):
     """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile."""
     # u8 -> f32 via i32 (Mosaic lacks a direct unsigned->float cast).
     if channels == 1:
@@ -66,9 +66,16 @@ def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
     out = jnp.floor(mag + jnp.float32(0.5))
 
     # Zero the global 1-pixel border (image_filters.cu:1532-1543).
-    grow = i * tile_rows + jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 0)
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 1)
-    inside = (grow >= 1) & (grow <= height - 2) & (gcol >= 1) & (gcol <= width - 2)
+    inside = (gcol >= 1) & (gcol <= width - 2)
+    if zero_rows:
+        # zero_rows=False: the caller zeroes global border rows itself
+        # (sharded execution, where the global row index depends on the
+        # shard position).
+        grow = i * tile_rows + jax.lax.broadcasted_iota(
+            jnp.int32, (tile_rows, w_out), 0
+        )
+        inside = inside & (grow >= 1) & (grow <= height - 2)
     return jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
 
 
@@ -96,7 +103,8 @@ def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
 
 def _sobel_kernel_batch(in_ref, out_ref, tile_u8, sem, *, channels: int,
                         level: int, tile_rows: int, copy_rows: int,
-                        height: int, width: int, w_out: int):
+                        height: int, width: int, w_out: int,
+                        zero_rows: bool = True):
     """Batched: in_ref (B, C, Hp+pad, Wp); out block (1, C, TH, Wo)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -107,17 +115,26 @@ def _sobel_kernel_batch(in_ref, out_ref, tile_u8, sem, *, channels: int,
     copy.wait()
     edge = _edge_tile(tile_u8, i, channels=channels, level=level,
                       tile_rows=tile_rows, height=height, width=width,
-                      w_out=w_out)
+                      w_out=w_out, zero_rows=zero_rows)
     for c in range(channels):
         out_ref[0, c] = edge
 
 
 def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       rows_prepadded: bool = False,
+                       zero_rows: bool = True) -> jnp.ndarray:
     """(B, H, W, C) u8 -> u8 batched fused Sobel (no vmap -- the batch is a
     kernel grid dimension, since Pallas ANY-space operands can't be vmapped
-    on TPU)."""
+    on TPU).
+
+    rows_prepadded=True: input is (B, H+2, W, C) with one valid row above
+    and below (halo rows from neighbor shards); zero_rows=False defers
+    global border-row zeroing to the caller.
+    """
     b, height, width, channels = imgs_bhwc.shape
+    if rows_prepadded:
+        height -= 2
     planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2))
 
     tile_rows = min(TPU.sobel_tile_rows, _round_up(height, 8))
@@ -127,9 +144,21 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
 
-    bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
-    x = jnp.pad(planar, ((0, 0), (0, 0), (1, bottom), (1, wp - width - 1)),
-                mode="edge")
+    # DMA for tile i reads rows [i*TH, i*TH+CR); pad to hp - TH + CR rows:
+    # [1 top halo][height rows][1 bottom halo][alignment junk].
+    total_rows = hp - tile_rows + copy_rows
+    if rows_prepadded:
+        x = jnp.pad(
+            planar,
+            ((0, 0), (0, 0), (0, total_rows - height - 2), (1, wp - width - 1)),
+            mode="edge",
+        )
+    else:
+        x = jnp.pad(
+            planar,
+            ((0, 0), (0, 0), (1, total_rows - height - 1), (1, wp - width - 1)),
+            mode="edge",
+        )
 
     out = pl.pallas_call(
         functools.partial(
@@ -141,6 +170,7 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
             height=height,
             width=width,
             w_out=w_out,
+            zero_rows=zero_rows,
         ),
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],

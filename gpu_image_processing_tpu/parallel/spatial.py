@@ -27,25 +27,31 @@ from ..ops.weights import box_inv_taps_f32
 from ..ops import ref
 
 
-def exchange_halo_rows(x: jnp.ndarray, radius: int, axis_name: str = "sp") -> jnp.ndarray:
-    """Extend a local row-band (..., Hl, W) with `radius` halo rows per side.
+def exchange_halo_rows(x: jnp.ndarray, radius: int, axis_name: str = "sp",
+                       axis: int = -2) -> jnp.ndarray:
+    """Extend a local row-band with `radius` halo rows per side along `axis`.
 
     Interior shards receive neighbor rows via two ppermute rings; the global
     first/last shard replicate their own edge row (clamp-to-edge).
     """
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    top_rows = x[..., :radius, :]
-    bot_rows = x[..., -radius:, :]
+    hl = x.shape[axis]
+
+    def rows(start, size):
+        return jax.lax.slice_in_dim(x, start, start + size, axis=axis)
+
+    top_rows = rows(0, radius)
+    bot_rows = rows(hl - radius, radius)
     fwd = [(i, (i + 1) % n) for i in range(n)]   # my bottom rows -> next shard
     bwd = [(i, (i - 1) % n) for i in range(n)]   # my top rows -> prev shard
     halo_top = jax.lax.ppermute(bot_rows, axis_name, fwd)   # from prev shard
     halo_bot = jax.lax.ppermute(top_rows, axis_name, bwd)   # from next shard
-    edge_top = jnp.broadcast_to(x[..., :1, :], top_rows.shape)
-    edge_bot = jnp.broadcast_to(x[..., -1:, :], bot_rows.shape)
+    edge_top = jnp.broadcast_to(rows(0, 1), top_rows.shape)
+    edge_bot = jnp.broadcast_to(rows(hl - 1, 1), bot_rows.shape)
     halo_top = jnp.where(idx == 0, edge_top, halo_top)
     halo_bot = jnp.where(idx == n - 1, edge_bot, halo_bot)
-    return jnp.concatenate([halo_top, x, halo_bot], axis=-2)
+    return jnp.concatenate([halo_top, x, halo_bot], axis=axis)
 
 
 def _conv_valid_rows(x: jnp.ndarray, weights, radius: int) -> jnp.ndarray:
@@ -90,11 +96,36 @@ def _sum_pass_last(x: jnp.ndarray, radius: int) -> jnp.ndarray:
 
 # ---------------------------------------------------------------------------
 # Per-shard step bodies (run inside shard_map; x is the local block)
+#
+# Each shard exchanges RAW halo rows over ICI and then runs the same fused
+# Pallas kernels as the single-chip path in rows-prepadded ("valid") mode.
+# The horizontal pass is row-local and deterministic, so recomputing it on
+# the halo rows yields exactly the values the neighbor shard computed --
+# the sharded output is bit-identical to single-chip.  Set use_pallas=False
+# (or run where Mosaic is unavailable) for the pure-jnp bodies.
 # ---------------------------------------------------------------------------
 
 
-def _gaussian_body(local_u8: jnp.ndarray, weights: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _use_interpret() -> bool:
+    from ..runtime.device import is_tpu
+
+    return not is_tpu()
+
+
+def _gaussian_body(local_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
+                   use_pallas: bool = True) -> jnp.ndarray:
     """local_u8: (B_local, H_local, W, C) -> same, gaussian-blurred."""
+    if use_pallas:
+        from ..ops.pallas.blur import _separable_blur_planar
+
+        b, hl, width, c = local_u8.shape
+        planar = jnp.transpose(local_u8, (0, 3, 1, 2)).reshape(b * c, hl, width)
+        ext = exchange_halo_rows(planar, radius)          # (B*C, Hl+2r, W) u8
+        out = _separable_blur_planar(
+            ext, weights, radius, box_mode=False,
+            interpret=_use_interpret(), rows_prepadded=True,
+        )
+        return jnp.transpose(out.reshape(b, c, hl, width), (0, 2, 3, 1))
     x = jnp.transpose(local_u8, (0, 3, 1, 2)).astype(jnp.float32)  # (B,C,Hl,W)
     h = quantize_u8_f32(_conv_pass_last(x, weights, radius))
     ext = exchange_halo_rows(h, radius)
@@ -102,7 +133,23 @@ def _gaussian_body(local_u8: jnp.ndarray, weights: jnp.ndarray, radius: int) -> 
     return jnp.transpose(v, (0, 2, 3, 1))
 
 
-def _box_body(local_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _box_body(local_u8: jnp.ndarray, radius: int, use_pallas: bool = True) -> jnp.ndarray:
+    if use_pallas:
+        import numpy as _np
+
+        from ..ops.pallas.blur import _separable_blur_planar
+
+        b, hl, width, c = local_u8.shape
+        inv = jnp.asarray(
+            _np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=_np.float32)
+        )
+        planar = jnp.transpose(local_u8, (0, 3, 1, 2)).reshape(b * c, hl, width)
+        ext = exchange_halo_rows(planar, radius)
+        out = _separable_blur_planar(
+            ext, inv, radius, box_mode=True,
+            interpret=_use_interpret(), rows_prepadded=True,
+        )
+        return jnp.transpose(out.reshape(b, c, hl, width), (0, 2, 3, 1))
     inv = box_inv_taps_f32(radius)
     x = jnp.transpose(local_u8, (0, 3, 1, 2)).astype(jnp.float32)
     h = quantize_u8_f32(_sum_pass_last(x, radius) * inv)
@@ -111,9 +158,34 @@ def _box_body(local_u8: jnp.ndarray, radius: int) -> jnp.ndarray:
     return jnp.transpose(v, (0, 2, 3, 1))
 
 
-def _sobel_body(local_u8: jnp.ndarray, level: int) -> jnp.ndarray:
+def _zero_global_border_rows(out_u8: jnp.ndarray) -> jnp.ndarray:
+    """Zero rows whose GLOBAL index is 0 or H-1 (image_filters.cu:1164).
+
+    out_u8: (B, Hl, W, C); local row j is global row sp_index*Hl + j.
+    Width borders are already zeroed per shard (W is fully local).
+    """
+    _, hl, _, _ = out_u8.shape
+    n = jax.lax.axis_size("sp")
+    idx = jax.lax.axis_index("sp")
+    grow = idx * hl + jax.lax.broadcasted_iota(jnp.int32, (1, hl, 1, 1), 1)
+    row_ok = (grow >= 1) & (grow <= n * hl - 2)
+    return jnp.where(row_ok, out_u8, jnp.uint8(0))
+
+
+def _sobel_body(local_u8: jnp.ndarray, level: int,
+                use_pallas: bool = True) -> jnp.ndarray:
     """Sobel with distributed 1-row halo and global border zeroing."""
     b, hl, width, channels = local_u8.shape
+    if use_pallas:
+        from ..ops.pallas.sobel import sobel_pallas_batch
+
+        ext = exchange_halo_rows(local_u8, 1, axis=-3)   # (B, Hl+2, W, C) u8
+        out = sobel_pallas_batch(
+            ext, level=level, interpret=_use_interpret(),
+            rows_prepadded=True, zero_rows=False,
+        )
+        return _zero_global_border_rows(out)
+
     gray = ref.grayscale_f32(local_u8)           # (B, Hl, W)
     if level == 2:
         gray = quantize_u8_f32(gray)
@@ -136,17 +208,11 @@ def _sobel_body(local_u8: jnp.ndarray, level: int) -> jnp.ndarray:
     mag = jnp.minimum(jnp.sqrt(gx * gx + gy * gy), jnp.float32(255.0))
     out = quantize_u8(mag)
 
-    # Zero the GLOBAL 1-pixel border (image_filters.cu:1164-1176): local row
-    # j is global row idx*Hl + j.
-    n = jax.lax.axis_size("sp")
-    idx = jax.lax.axis_index("sp")
-    grow = idx * hl + jax.lax.broadcasted_iota(jnp.int32, (1, hl, 1), 1)
-    total_h = n * hl
-    row_ok = (grow >= 1) & (grow <= total_h - 2)
     col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, width), 2)
     col_ok = (col >= 1) & (col <= width - 2)
-    out = jnp.where(row_ok & col_ok, out, jnp.uint8(0))
-    return jnp.broadcast_to(out[..., None], (b, hl, width, channels))
+    out = jnp.where(col_ok, out, jnp.uint8(0))
+    out4 = jnp.broadcast_to(out[..., None], (b, hl, width, channels))
+    return _zero_global_border_rows(out4)
 
 
 # ---------------------------------------------------------------------------
@@ -179,15 +245,18 @@ def make_sharded_filter(
     if filter_name == "gaussian":
         body = partial(_gaussian_body, radius=radius)
         shard_fn = jax.shard_map(
-            body, mesh=mesh, in_specs=(spec, P()), out_specs=spec
+            body, mesh=mesh, in_specs=(spec, P()), out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma metadata
         )
         return jax.jit(shard_fn, in_shardings=(sharding, rep), out_shardings=sharding)
     if filter_name == "box":
         body = partial(_box_body, radius=radius)
-        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                                 check_vma=False)
         return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
     if filter_name == "sobel":
         body = partial(_sobel_body, level=level)
-        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                                 check_vma=False)
         return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
     raise ValueError(f"Unknown filter: {filter_name}")
