@@ -40,6 +40,26 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Per-kernel VMEM working-set budget (bytes).  The hard limit is 16 MB;
+# leave room for Mosaic's own double-buffered output blocks.
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def _pick_tile_rows(requested: int, wp: int, radius: int) -> int:
+    """Cap tile rows so the kernel's VMEM working set fits for any width.
+
+    Live buffers per grid step: tile u8 (CRxWp), xbuf f32 (CRxWp), hbuf f32
+    (CRxWo), vbuf f32 (THxWo) plus the double-buffered u8 output block --
+    roughly 13.5 bytes per (row x Wp lane).  A 3.3k-wide image supports
+    ~190 copy rows; an 8k-wide image only ~90.
+    """
+    bytes_per_row = wp * 13.5
+    max_copy_rows = max(int(_VMEM_BUDGET / bytes_per_row), 8)
+    tile = max_copy_rows - 2 * radius
+    tile = max((tile // 8) * 8, 8)
+    return min(requested, tile)
+
+
 def _quant(x: jnp.ndarray) -> jnp.ndarray:
     """floor(x + 0.5) staying in f32 (values are within [0, 255.6])."""
     return jnp.floor(x + jnp.float32(0.5))
@@ -145,9 +165,12 @@ def _separable_blur_planar(
     channels, height, width = planar_u8.shape
     if rows_prepadded:
         height -= 2 * radius
-    tile_rows = min(tile_rows or TPU.blur_tile_rows, _round_up(height, 8))
-    hp = _round_up(height, tile_rows)
     wp = _round_up(width + 2 * radius, 128)
+    tile_rows = min(
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius),
+        _round_up(height, 8),
+    )
+    hp = _round_up(height, tile_rows)
     w_out = wp - 2 * radius
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)

@@ -33,6 +33,16 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_tile_rows(requested: int, wp: int) -> int:
+    """Cap tile rows so the VMEM working set fits for any width: C uint8
+    planes + several live f32 tiles (gray, gx, gy, magnitude) cost ~30
+    bytes per (row x Wp lane)."""
+    budget = 10 * 1024 * 1024
+    tile = max(int(budget / (wp * 30.0)) - 2, 8)
+    tile = max((tile // 8) * 8, 8)
+    return min(requested, tile)
+
+
 def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
                height: int, width: int, w_out: int, zero_rows: bool = True):
     """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile."""
@@ -137,9 +147,9 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
         height -= 2
     planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2))
 
-    tile_rows = min(TPU.sobel_tile_rows, _round_up(height, 8))
-    hp = _round_up(height, tile_rows)
     wp = _round_up(width + 2, 128)
+    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, wp), _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
     w_out = wp - 2
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
@@ -200,9 +210,9 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
     height, width, channels = img_hwc.shape
     planar = jnp.transpose(img_hwc, (2, 0, 1))
 
-    tile_rows = min(TPU.sobel_tile_rows, _round_up(height, 8))
-    hp = _round_up(height, tile_rows)
     wp = _round_up(width + 2, 128)
+    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, wp), _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
     w_out = wp - 2
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)

@@ -182,19 +182,37 @@ class FilterExecutable:
     """
 
     def __init__(self, fn: Callable, n_args: int):
+        self._raw_fn = fn
         self.fn = jax.jit(fn)
         self.n_args = n_args
         self._compiled = None
+        self._kernel_ms: float | None = None
 
     def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
         """Run and return (output u8 HWC, kernel time in ms)."""
+        import os as _os
+
         if reps is None:
             reps = config.TPU.timing_reps
+        loop_timing = _os.environ.get("GIP_TPU_LOOP_TIMING", "0") == "1"
         if self._compiled is None:
             self._compiled = self.fn.lower(*args).compile()
             # Untimed warmup execution: PJRT loads the program onto the
             # device at first run (observed ~60 ms on v5e via the tunnel).
             self._compiled(*args).block_until_ready()
+            if loop_timing:
+                # Opt-in: measure pure device time once via the loop-delta
+                # method and report it for every request.  Costs two extra
+                # compiles per executable but removes per-execute RPC
+                # overhead from time_ms on remote-attached devices.
+                from .timing import device_time_ms
+
+                try:
+                    self._kernel_ms = device_time_ms(
+                        self._raw_fn, list(args), iters=8, sync_reps=2
+                    )
+                except Exception:
+                    self._kernel_ms = None
         best = float("inf")
         out = None
         for _ in range(max(1, reps)):
@@ -202,6 +220,8 @@ class FilterExecutable:
             out = self._compiled(*args)
             out.block_until_ready()
             best = min(best, (time.perf_counter() - t0) * 1000.0)
+        if loop_timing and self._kernel_ms is not None:
+            best = self._kernel_ms
         return np.asarray(out), best
 
 
