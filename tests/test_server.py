@@ -221,3 +221,39 @@ def test_stats_endpoint(app):
     assert body["requests_total"] >= 2
     assert "GET /api/health" in body["requests_by_route"]
     assert body["uptime_s"] >= 0
+
+
+def test_degraded_mode_503(monkeypatch):
+    # Accelerator-unavailable degradation (app.py:21-27,131-137,190-194):
+    # health reports it, process endpoints 503, server still serves.
+    from gpu_image_processing_tpu.server import app as app_mod
+
+    monkeypatch.setattr(app_mod, "TPU_AVAILABLE", False)
+    degraded = app_mod.create_app()
+    status, body = degraded.dispatch(Request(method="GET", path="/api/health"))
+    assert status == 200 and body["gpu_available"] is False
+    status, body = degraded.dispatch(Request(
+        method="POST", path="/api/process",
+        json={"image": _png_b64(_small_image()), "filter": "box"},
+    ))
+    assert status == 503
+    assert "not available" in body["detail"]
+
+
+def test_process_level4_rest(app):
+    img = _small_image()
+    status, body = _post(app, "/api/process", {
+        "image": _png_b64(img), "filter": "gaussian", "level": 4,
+    })
+    assert status == 200
+    assert body["info"]["level"] == "advanced"
+
+
+def test_batch_level4_rest(app):
+    img = _small_image()
+    status, body = _post(app, "/api/process-batch", {
+        "images": [_png_b64(img)] * 2, "filter": "sobel", "level": 4,
+    })
+    assert status == 200
+    assert body["info"]["level"] == "advanced"
+    assert body["metrics"]["batch_size"] == 2
