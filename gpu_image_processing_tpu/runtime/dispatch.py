@@ -225,6 +225,60 @@ class FilterExecutable:
         return np.asarray(out), best
 
 
+# ---------------------------------------------------------------------------
+# Shape bucketing
+#
+# XLA compiles per static shape; a serving host seeing arbitrary image sizes
+# would pay a multi-second compile per novel shape (the CUDA reference's
+# kernels are shape-dynamic and never recompile).  Images are therefore
+# padded up to a geometric bucket grid with EDGE REPLICATION, filtered at the
+# bucket shape, and cropped back.  This is bit-exact: clamp-to-edge taps
+# beyond the true border read the edge pixel, and every replicated pad pixel
+# equals that edge pixel; Sobel's true 1-px border is re-zeroed after the
+# crop (the padded run treats those pixels as interior).
+# Opt out with GIP_TPU_NO_BUCKETING=1 (e.g. for fixed-shape pipelines).
+# ---------------------------------------------------------------------------
+
+_BUCKETS: list[int] = [64]
+while _BUCKETS[-1] < 16384:
+    _BUCKETS.append(((int(_BUCKETS[-1] * 1.25) + 63) // 64) * 64)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if b >= n:
+            return b
+    return n
+
+
+def _bucketing_enabled() -> bool:
+    import os as _os
+
+    return _os.environ.get("GIP_TPU_NO_BUCKETING", "0") != "1"
+
+
+def _pad_to_bucket(image: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(H, W, C) u8 -> edge-padded (Hb, Wb, C); returns (padded, H, W)."""
+    h, w = image.shape[:2]
+    hb, wb = _bucket(h), _bucket(w)
+    if (hb, wb) == (h, w):
+        return image, h, w
+    return (
+        np.pad(image, ((0, hb - h), (0, wb - w), (0, 0)), mode="edge"),
+        h,
+        w,
+    )
+
+
+def _zero_true_border(out: np.ndarray) -> np.ndarray:
+    """Re-apply Sobel's 1-px border zeroing at the TRUE image border."""
+    out[0, :, :] = 0
+    out[-1, :, :] = 0
+    out[:, 0, :] = 0
+    out[:, -1, :] = 0
+    return out
+
+
 class FilterRuntime:
     """Executable cache + public run API.  Thread-safe for CPython use."""
 
@@ -248,9 +302,13 @@ class FilterRuntime:
         radius: int = config.DEFAULT_RADIUS,
         level: int = config.DEFAULT_LEVEL,
     ) -> tuple[np.ndarray, PerformanceMetrics]:
-        height, width, channels = validate_image_shape(image.shape)
+        true_h, true_w, channels = validate_image_shape(image.shape)
         lvl = normalize_level("gaussian", level)
         validate_gaussian_params(sigma, radius)
+        image = np.ascontiguousarray(image, dtype=np.uint8)
+        if _bucketing_enabled():
+            image, _, _ = _pad_to_bucket(image)
+        height, width = image.shape[:2]
         key = ("gaussian", lvl, height, width, channels, radius)
         exe = self._get(
             key,
@@ -260,13 +318,12 @@ class FilterRuntime:
         )
         weights = gaussian_kernel_f32(radius, float(sigma))
         dev = default_device()
-        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
-        img_dev = jax.device_put(flat, dev)
+        img_dev = jax.device_put(image.reshape(-1), dev)
         w_dev = jax.device_put(weights, dev)
         jax.block_until_ready((img_dev, w_dev))
         out, ms = exe(img_dev, w_dev)
-        out = out.reshape(height, width, channels)
-        return out, compute_metrics(ms, width, height, channels, FILTERS["gaussian"].bytes_factor)
+        out = out.reshape(height, width, channels)[:true_h, :true_w]
+        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["gaussian"].bytes_factor)
 
     def box_blur(
         self,
@@ -274,9 +331,13 @@ class FilterRuntime:
         radius: int = config.DEFAULT_RADIUS,
         level: int = config.DEFAULT_LEVEL,
     ) -> tuple[np.ndarray, PerformanceMetrics]:
-        height, width, channels = validate_image_shape(image.shape)
+        true_h, true_w, channels = validate_image_shape(image.shape)
         lvl = normalize_level("box", level)
         validate_box_params(radius)
+        image = np.ascontiguousarray(image, dtype=np.uint8)
+        if _bucketing_enabled():
+            image, _, _ = _pad_to_bucket(image)
+        height, width = image.shape[:2]
         key = ("box", lvl, height, width, channels, radius)
         exe = self._get(
             key,
@@ -284,18 +345,23 @@ class FilterRuntime:
                 _trace_box(lvl, radius, height, width, channels), n_args=1
             ),
         )
-        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
-        img_dev = jax.device_put(flat, default_device())
+        img_dev = jax.device_put(image.reshape(-1), default_device())
         jax.block_until_ready(img_dev)
         out, ms = exe(img_dev)
-        out = out.reshape(height, width, channels)
-        return out, compute_metrics(ms, width, height, channels, FILTERS["box"].bytes_factor)
+        out = out.reshape(height, width, channels)[:true_h, :true_w]
+        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["box"].bytes_factor)
 
     def sobel_edge_detection(
         self, image: np.ndarray, level: int = config.DEFAULT_LEVEL
     ) -> tuple[np.ndarray, PerformanceMetrics]:
-        height, width, channels = validate_image_shape(image.shape)
+        true_h, true_w, channels = validate_image_shape(image.shape)
         lvl = normalize_level("sobel", level)
+        image = np.ascontiguousarray(image, dtype=np.uint8)
+        bucketed = False
+        if _bucketing_enabled():
+            image, _, _ = _pad_to_bucket(image)
+            bucketed = image.shape[:2] != (true_h, true_w)
+        height, width = image.shape[:2]
         key = ("sobel", lvl, height, width, channels)
         exe = self._get(
             key,
@@ -303,12 +369,15 @@ class FilterRuntime:
                 _trace_sobel(lvl, height, width, channels), n_args=1
             ),
         )
-        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
-        img_dev = jax.device_put(flat, default_device())
+        img_dev = jax.device_put(image.reshape(-1), default_device())
         jax.block_until_ready(img_dev)
         out, ms = exe(img_dev)
-        out = out.reshape(height, width, channels)
-        return out, compute_metrics(ms, width, height, channels, FILTERS["sobel"].bytes_factor)
+        out = out.reshape(height, width, channels)[:true_h, :true_w]
+        if bucketed:
+            # The padded run treated the true border as interior; restore the
+            # reference's border zeroing (image_filters.cu:1164-1176).
+            out = _zero_true_border(np.ascontiguousarray(out))
+        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["sobel"].bytes_factor)
 
     def run(
         self,
@@ -352,7 +421,19 @@ class FilterRuntime:
         batch = int(images.shape[0])
         if batch < 1:
             raise ValidationError("Batch must contain at least one image")
-        height, width, channels = validate_image_shape(images.shape[1:])
+        true_h, true_w, channels = validate_image_shape(images.shape[1:])
+        images = np.ascontiguousarray(images, dtype=np.uint8)
+        bucketed = False
+        if _bucketing_enabled():
+            hb, wb = _bucket(true_h), _bucket(true_w)
+            if (hb, wb) != (true_h, true_w):
+                images = np.pad(
+                    images,
+                    ((0, 0), (0, hb - true_h), (0, wb - true_w), (0, 0)),
+                    mode="edge",
+                )
+                bucketed = True
+        height, width = images.shape[1:3]
         if filter_name not in FILTERS:
             raise ValidationError(
                 f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
@@ -374,15 +455,20 @@ class FilterRuntime:
 
         exe = self._get(key, build)
         dev = default_device()
-        flats = np.ascontiguousarray(images, dtype=np.uint8).reshape(batch, -1)
-        args = [jax.device_put(flats, dev)]
+        args = [jax.device_put(images.reshape(batch, -1), dev)]
         if weights is not None:
             args.append(jax.device_put(weights, dev))
         jax.block_until_ready(args)
         out, ms = exe(*args)
-        out = out.reshape(batch, height, width, channels)
+        out = out.reshape(batch, height, width, channels)[:, :true_h, :true_w]
+        if bucketed and filter_name == "sobel":
+            out = np.ascontiguousarray(out)
+            out[:, 0, :, :] = 0
+            out[:, -1, :, :] = 0
+            out[:, :, 0, :] = 0
+            out[:, :, -1, :] = 0
         metrics = compute_metrics(
-            ms, width, height, channels * batch, FILTERS[filter_name].bytes_factor
+            ms, true_w, true_h, channels * batch, FILTERS[filter_name].bytes_factor
         )
         metrics.fps = batch * 1000.0 / max(metrics.time_ms, 1e-6)
         return out, metrics

@@ -14,6 +14,7 @@ from gpu_image_processing_tpu.server.http import Request
 
 from . import oracle_numpy as oracle
 from .conftest import make_image
+from .sobel_tolerance import assert_sobel_close
 
 
 def _stack(rng, b, h, w, c):
@@ -36,7 +37,7 @@ def test_run_batch_sobel(rng):
     imgs = _stack(rng, 3, 12, 14, 1)
     out, _ = RUNTIME.run_batch("sobel", imgs, level=1)
     for i in range(3):
-        np.testing.assert_array_equal(out[i], oracle.sobel(imgs[i], 1))
+        assert_sobel_close(out[i], oracle.sobel(imgs[i], 1))
 
 
 def test_run_batch_validates(rng):

@@ -1,0 +1,69 @@
+"""Shape bucketing: arbitrary image sizes share compiled executables via
+edge-padded bucket shapes, with bit-exact results (clamp-to-edge taps past
+the true border read the edge pixel, which is exactly what every replicated
+pad pixel holds; Sobel's true border is re-zeroed post-crop)."""
+
+import numpy as np
+
+from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+from gpu_image_processing_tpu.runtime import dispatch
+from gpu_image_processing_tpu.runtime.dispatch import RUNTIME, _bucket
+
+from . import oracle_numpy as oracle
+from .conftest import make_image
+from .sobel_tolerance import assert_sobel_close
+
+
+def test_bucket_values():
+    assert _bucket(1) == 64
+    assert _bucket(64) == 64
+    assert _bucket(65) == 128
+    assert _bucket(129) == 192
+    for n in (333, 1000, 3239):
+        assert _bucket(n) >= n
+        assert _bucket(n) % 64 == 0
+
+
+def test_gaussian_exact_across_bucket_pad(rng):
+    # 100x75 pads to 128x128; result must equal the unpadded oracle.
+    img = make_image(rng, 100, 75, 3)
+    out, m = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=2)
+    w = gaussian_kernel_f32(3, 2.0)
+    np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
+    assert out.shape == img.shape
+
+
+def test_sobel_border_rezeroed(rng):
+    img = make_image(rng, 70, 90, 3)
+    out, _ = RUNTIME.sobel_edge_detection(img, level=2)
+    assert_sobel_close(out, oracle.sobel(img, 2))
+    assert (out[0] == 0).all() and (out[-1] == 0).all()
+    assert (out[:, 0] == 0).all() and (out[:, -1] == 0).all()
+
+
+def test_executable_reuse_within_bucket(rng):
+    # Two different true sizes in the same bucket share one executable.
+    before = len(RUNTIME._cache)
+    a = make_image(rng, 97, 70, 3)
+    b = make_image(rng, 100, 66, 3)   # same 128x128 bucket
+    RUNTIME.box_blur(a, radius=4, level=2)
+    n_after_first = len(RUNTIME._cache)
+    RUNTIME.box_blur(b, radius=4, level=2)
+    assert len(RUNTIME._cache) == n_after_first
+    assert n_after_first > before
+
+
+def test_box_batch_bucketed_exact(rng):
+    imgs = np.stack([make_image(rng, 90, 77, 1) for _ in range(2)])
+    out, _ = RUNTIME.run_batch("box", imgs, radius=5, level=2)
+    for i in range(2):
+        np.testing.assert_array_equal(out[i], oracle.box_blur(imgs[i], 5))
+
+
+def test_bucketing_opt_out(rng, monkeypatch):
+    monkeypatch.setenv("GIP_TPU_NO_BUCKETING", "1")
+    img = make_image(rng, 33, 41, 3)
+    out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=1)
+    w = gaussian_kernel_f32(3, 2.0)
+    np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
+    assert ("gaussian", 1, 33, 41, 3, 3) in dispatch.RUNTIME._cache

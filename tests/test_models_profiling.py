@@ -26,7 +26,9 @@ def test_model_apply_composable_in_jit(rng):
 
     out = np.asarray(pipeline(img))
     want = oracle.sobel(oracle.gaussian_blur(img, blur.weights, 3), 2)
-    np.testing.assert_array_equal(out, want)
+    from .sobel_tolerance import assert_sobel_close
+
+    assert_sobel_close(out, want)
 
 
 def test_model_call_returns_metrics(rng):

@@ -16,6 +16,7 @@ from gpu_image_processing_tpu.parallel.spatial import make_sharded_filter
 
 from . import oracle_numpy as oracle
 from .conftest import make_image
+from .sobel_tolerance import assert_sobel_close
 
 
 @pytest.fixture(scope="module")
@@ -65,7 +66,7 @@ def test_spatial_sobel_matches_oracle(rng, mesh8, level):
     fn = make_sharded_filter(mesh8, "sobel", level=level)
     out = np.asarray(fn(imgs))
     for i in range(2):
-        np.testing.assert_array_equal(out[i], oracle.sobel(imgs[i], level))
+        assert_sobel_close(out[i], oracle.sobel(imgs[i], level))
 
 
 def test_batch_dp_gaussian(rng, mesh8):
