@@ -146,6 +146,26 @@ def main() -> int:
     except Exception as exc:
         record("process-all L1 vs L2", False, str(exc))
 
+    # 7. batch endpoint (TPU extension)
+    try:
+        status, body = http_json(f"{base}/api/process-batch", {
+            "images": [image_b64, image_b64], "filter": "box", "level": 2,
+            "radius": 3,
+        })
+        ok = status == 200 and body["metrics"]["batch_size"] == 2
+        record("batch endpoint", ok,
+               f"{body['metrics']['images_per_second']:.1f} img/s" if ok else "")
+    except Exception as exc:
+        record("batch endpoint", False, str(exc))
+
+    # 8. stats endpoint (observability extension)
+    try:
+        status, body = http_json(f"{base}/api/stats")
+        record("stats endpoint", status == 200 and body["requests_total"] > 0,
+               f"{body.get('compiled_executables', 0)} executables cached")
+    except Exception as exc:
+        record("stats endpoint", False, str(exc))
+
     passed = sum(1 for _, ok, _ in RESULTS if ok)
     print(f"\n{passed}/{len(RESULTS)} tests passed; images in {args.outdir}")
     return 0 if passed == len(RESULTS) else 1
