@@ -1,0 +1,52 @@
+"""Command-line tools: filter_image.py end-to-end over real processes."""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CLI = os.path.join(REPO, "scripts", "filter_image.py")
+
+ENV = {**os.environ, "GIP_TPU_PLATFORM": "cpu", "JAX_PLATFORM_NAME": "cpu"}
+
+
+def _run(*args, timeout=240):
+    return subprocess.run(
+        [sys.executable, CLI, *args], env=ENV, capture_output=True,
+        text=True, timeout=timeout,
+    )
+
+
+@pytest.mark.slow
+def test_filter_image_roundtrip(rng):
+    workdir = tempfile.mkdtemp(prefix="gip_cli_")
+    src = os.path.join(workdir, "in.png")
+    dst = os.path.join(workdir, "out.ppm")
+    img = rng.integers(0, 256, (48, 60, 3), dtype=np.uint8)
+    Image.fromarray(img).save(src)
+
+    r = _run(src, dst, "--filter", "gaussian", "--level", "2",
+             "--sigma", "2.0", "--radius", "3")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "Time:" in r.stdout and "FPS" in r.stdout
+    assert os.path.exists(dst)
+    with open(dst, "rb") as f:
+        assert f.read(2) == b"P6"
+
+
+@pytest.mark.slow
+def test_filter_image_validates_ranges(rng):
+    workdir = tempfile.mkdtemp(prefix="gip_cli_")
+    src = os.path.join(workdir, "in.png")
+    Image.fromarray(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)).save(src)
+    r = _run(src, "--sigma", "99")
+    assert r.returncode == 1
+    assert "sigma must be in" in r.stdout
+    r = _run(src, "--radius", "40")
+    assert r.returncode == 1
+    assert "radius must be in" in r.stdout
