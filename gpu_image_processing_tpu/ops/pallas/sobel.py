@@ -43,21 +43,27 @@ def _pick_tile_rows(requested: int, wp: int) -> int:
     return min(requested, tile)
 
 
-def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
+def _edge_tile(tile_u8, gbuf, i, *, channels: int, level: int, tile_rows: int,
                height: int, width: int, w_out: int, zero_rows: bool = True):
-    """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile."""
+    """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile.
+
+    gbuf: (CR, Wp) f32 scratch holding the gray plane -- accumulated through
+    the ref so Mosaic doesn't keep all three channel casts live at once.
+    """
     # u8 -> f32 via i32 (Mosaic lacks a direct unsigned->float cast).
     if channels == 1:
-        g = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
     else:
-        r = tile_u8[0].astype(jnp.int32).astype(jnp.float32)
-        gg = tile_u8[1].astype(jnp.int32).astype(jnp.float32)
-        b = tile_u8[2].astype(jnp.int32).astype(jnp.float32)
         # Rec.601 in the exact f32 order (image_filters.cu:1443).
-        g = jnp.float32(0.299) * r + jnp.float32(0.587) * gg + jnp.float32(0.114) * b
+        gbuf[:, :] = jnp.float32(0.299) * tile_u8[0].astype(jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.587) * tile_u8[1].astype(
+            jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.114) * tile_u8[2].astype(
+            jnp.int32).astype(jnp.float32)
         if level == 2:
             # Level 2 quantizes gray to uint8 during the tile load (:1444).
-            g = jnp.floor(g + jnp.float32(0.5))
+            gbuf[:, :] = jnp.floor(gbuf[:, :] + jnp.float32(0.5))
+    g = gbuf[:, :]
 
     def tap(dy: int, dx: int) -> jnp.ndarray:
         return g[dy : dy + tile_rows, 1 + dx : 1 + dx + w_out]
@@ -89,9 +95,9 @@ def _edge_tile(tile_u8, i, *, channels: int, level: int, tile_rows: int,
     return jnp.where(inside, out, 0.0).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
-                  tile_rows: int, copy_rows: int, height: int, width: int,
-                  w_out: int):
+def _sobel_kernel(in_ref, out_ref, tile_u8, gbuf, sem, *, channels: int,
+                  level: int, tile_rows: int, copy_rows: int, height: int,
+                  width: int, w_out: int):
     """in_ref: (C, Hp+pad, Wp) u8 planar in HBM; out_ref: (C, TH, Wo) block.
 
     copy_rows = TH+2 rounded up to the 8-row sublane tiling (Mosaic DMA
@@ -103,7 +109,7 @@ def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
     )
     copy.start()
     copy.wait()
-    edge = _edge_tile(tile_u8, i, channels=channels, level=level,
+    edge = _edge_tile(tile_u8, gbuf, i, channels=channels, level=level,
                       tile_rows=tile_rows, height=height, width=width,
                       w_out=w_out)
     # Same edge value into every channel plane, alpha included (:1311-1313).
@@ -111,7 +117,7 @@ def _sobel_kernel(in_ref, out_ref, tile_u8, sem, *, channels: int, level: int,
         out_ref[c] = edge
 
 
-def _sobel_kernel_batch(in_ref, out_ref, tile_u8, sem, *, channels: int,
+def _sobel_kernel_batch(in_ref, out_ref, tile_u8, gbuf, sem, *, channels: int,
                         level: int, tile_rows: int, copy_rows: int,
                         height: int, width: int, w_out: int,
                         zero_rows: bool = True):
@@ -123,7 +129,7 @@ def _sobel_kernel_batch(in_ref, out_ref, tile_u8, sem, *, channels: int,
     )
     copy.start()
     copy.wait()
-    edge = _edge_tile(tile_u8, i, channels=channels, level=level,
+    edge = _edge_tile(tile_u8, gbuf, i, channels=channels, level=level,
                       tile_rows=tile_rows, height=height, width=width,
                       w_out=w_out, zero_rows=zero_rows)
     for c in range(channels):
@@ -191,6 +197,7 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
         out_shape=jax.ShapeDtypeStruct((b, channels, hp, w_out), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((copy_rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -240,6 +247,7 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
         out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((copy_rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
