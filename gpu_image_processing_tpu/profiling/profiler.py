@@ -98,12 +98,16 @@ def profile_filter(
     elif filter_type == "box":
         kwargs.update(radius=radius if radius is not None else 3)
 
-    # Warm + locate the executable via a normal run.
+    # Warm + locate the executable via a normal run.  Cache keys use the
+    # BUCKETED shape (see dispatch shape bucketing).
     _, first_metrics = runtime.run(filter_type, image, **kwargs)
+    kh, kw = height, width
+    if _dispatch._bucketing_enabled():
+        kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
     key_map = {
-        "gaussian": ("gaussian", lvl, height, width, channels, kwargs.get("radius")),
-        "box": ("box", lvl, height, width, channels, kwargs.get("radius")),
-        "sobel": ("sobel", lvl, height, width, channels),
+        "gaussian": ("gaussian", lvl, kh, kw, channels, kwargs.get("radius")),
+        "box": ("box", lvl, kh, kw, channels, kwargs.get("radius")),
+        "sobel": ("sobel", lvl, kh, kw, channels),
     }
     exe = runtime._cache.get(key_map[filter_type])
 
@@ -117,8 +121,12 @@ def profile_filter(
 
         from ..runtime.timing import device_time_ms
 
-        flat = np.ascontiguousarray(image, dtype=np.uint8).reshape(-1)
-        args = [jax.device_put(flat, default_device())]
+        img_exec = np.ascontiguousarray(image, dtype=np.uint8)
+        if (kh, kw) != (height, width):
+            img_exec = np.pad(
+                img_exec, ((0, kh - height), (0, kw - width), (0, 0)), mode="edge"
+            )
+        args = [jax.device_put(img_exec.reshape(-1), default_device())]
         if filter_type == "gaussian":
             from ..ops.weights import gaussian_kernel_f32
 
@@ -138,13 +146,13 @@ def profile_filter(
 
             fn = {
                 "gaussian": lambda f=filter_type: _d._trace_gaussian(
-                    lvl, kwargs["radius"], height, width, channels
+                    lvl, kwargs["radius"], kh, kw, channels
                 ),
                 "box": lambda f=filter_type: _d._trace_box(
-                    lvl, kwargs["radius"], height, width, channels
+                    lvl, kwargs["radius"], kh, kw, channels
                 ),
                 "sobel": lambda f=filter_type: _d._trace_sobel(
-                    lvl, height, width, channels
+                    lvl, kh, kw, channels
                 ),
             }[filter_type]()
             duration_ms = device_time_ms(fn, args, iters=10, sync_reps=2)
