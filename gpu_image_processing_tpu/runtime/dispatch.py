@@ -182,11 +182,14 @@ class FilterExecutable:
     """
 
     def __init__(self, fn: Callable, n_args: int):
+        import threading
+
         self._raw_fn = fn
         self.fn = jax.jit(fn)
         self.n_args = n_args
         self._compiled = None
         self._kernel_ms: float | None = None
+        self._compile_lock = threading.Lock()
 
     def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
         """Run and return (output u8 HWC, kernel time in ms)."""
@@ -196,23 +199,28 @@ class FilterExecutable:
             reps = config.TPU.timing_reps
         loop_timing = _os.environ.get("GIP_TPU_LOOP_TIMING", "0") == "1"
         if self._compiled is None:
-            self._compiled = self.fn.lower(*args).compile()
-            # Untimed warmup execution: PJRT loads the program onto the
-            # device at first run (observed ~60 ms on v5e via the tunnel).
-            self._compiled(*args).block_until_ready()
-            if loop_timing:
-                # Opt-in: measure pure device time once via the loop-delta
-                # method and report it for every request.  Costs two extra
-                # compiles per executable but removes per-execute RPC
-                # overhead from time_ms on remote-attached devices.
-                from .timing import device_time_ms
+            # Lock: concurrent first requests would each pay the XLA compile.
+            with self._compile_lock:
+                if self._compiled is None:
+                    compiled = self.fn.lower(*args).compile()
+                    # Untimed warmup execution: PJRT loads the program onto
+                    # the device at first run (~60 ms on v5e via the tunnel).
+                    compiled(*args).block_until_ready()
+                    if loop_timing:
+                        # Opt-in: measure pure device time once via the
+                        # loop-delta method and report it for every request.
+                        # Costs two extra compiles per executable but removes
+                        # per-execute RPC overhead from time_ms on
+                        # remote-attached devices.
+                        from .timing import device_time_ms
 
-                try:
-                    self._kernel_ms = device_time_ms(
-                        self._raw_fn, list(args), iters=8, sync_reps=2
-                    )
-                except Exception:
-                    self._kernel_ms = None
+                        try:
+                            self._kernel_ms = device_time_ms(
+                                self._raw_fn, list(args), iters=8, sync_reps=2
+                            )
+                        except Exception:
+                            self._kernel_ms = None
+                    self._compiled = compiled
         best = float("inf")
         out = None
         for _ in range(max(1, reps)):
@@ -284,13 +292,21 @@ class FilterRuntime:
 
     def __init__(self):
         self._cache: dict[tuple, FilterExecutable] = {}
+        import threading
+
+        self._build_lock = threading.Lock()
 
     def _get(self, key: tuple, build: Callable[[], FilterExecutable]) -> FilterExecutable:
         exe = self._cache.get(key)
         if exe is None:
-            warmup_transfers()
-            exe = build()
-            self._cache[key] = exe
+            # Serialize builds: concurrent requests for the same novel shape
+            # would otherwise each compile the program (seconds of XLA work).
+            with self._build_lock:
+                exe = self._cache.get(key)
+                if exe is None:
+                    warmup_transfers()
+                    exe = build()
+                    self._cache[key] = exe
         return exe
 
     # -- public API --------------------------------------------------------
