@@ -60,13 +60,22 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
 
     try:
         image = Image.open(io.BytesIO(raw))
-        if image.mode in ("RGBA", "L", "P", "LA"):
+        if image.mode != "RGB":
+            # RGBA/L normalization as in the reference (app.py:80-83),
+            # extended to every other mode (palette, 16-bit, float) so the
+            # pipeline always sees uint8 RGB.
+            if image.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+                arr16 = np.asarray(image, dtype=np.float32)
+                scale = 255.0 / max(float(arr16.max()), 1.0)
+                image = Image.fromarray((arr16 * scale).astype(np.uint8))
             image = image.convert("RGB")
         arr = np.array(image)
     except Exception as exc:
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
+    if arr.dtype != np.uint8:
+        raise ImageCodecError(f"Failed to decode image: unsupported pixel type {arr.dtype}")
     return arr
 
 

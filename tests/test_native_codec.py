@@ -74,3 +74,36 @@ def test_codec_pipeline_jpeg_falls_back(rng):
     data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
     arr = decode_base64_image(data_url)
     assert arr.shape == (16, 16, 3)
+
+
+def test_palette_png_falls_back_to_pil(rng):
+    # Palette-mode PNGs are outside the native decoder's subset; the PIL
+    # fallback must produce a normalized RGB array.
+    img = make_image(rng, 10, 11, 3)
+    pal = Image.fromarray(img).convert("P", palette=Image.ADAPTIVE)
+    buf = io.BytesIO()
+    pal.save(buf, format="PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    arr = decode_base64_image(data_url)
+    assert arr.shape == (10, 11, 3)
+
+
+def test_16bit_png_falls_back(rng):
+    arr16 = rng.integers(0, 65535, (8, 9), dtype=np.uint16)
+    im = Image.fromarray(arr16, mode="I;16")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    out = decode_base64_image(data_url)
+    assert out.ndim == 3 and out.shape[2] == 3
+
+
+def test_gray_alpha_png_normalized(rng):
+    la = np.dstack([make_image(rng, 7, 8, 1)[:, :, 0],
+                    np.full((7, 8), 200, np.uint8)])
+    im = Image.fromarray(la, mode="LA")
+    buf = io.BytesIO()
+    im.save(buf, format="PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    out = decode_base64_image(data_url)
+    assert out.shape == (7, 8, 3)
