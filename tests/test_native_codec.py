@@ -90,7 +90,7 @@ def test_palette_png_falls_back_to_pil(rng):
 
 def test_16bit_png_falls_back(rng):
     arr16 = rng.integers(0, 65535, (8, 9), dtype=np.uint16)
-    im = Image.fromarray(arr16.astype(np.int32), mode=None).convert("I")
+    im = Image.fromarray(arr16)  # uint16 -> mode I;16
     buf = io.BytesIO()
     im.save(buf, format="PNG")
     data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
