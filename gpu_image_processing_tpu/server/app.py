@@ -168,6 +168,50 @@ def create_app() -> Router:
             },
         }
 
+    @app.get("/docs")
+    def docs(_req: Request):
+        """API documentation (the analog of uvicorn/FastAPI's /docs,
+        advertised by the reference at startup, app.py:540)."""
+        return 200, {
+            "openapi_like": True,
+            "title": "TPU Image Processing API",
+            "version": API_VERSION,
+            "endpoints": {
+                "GET /": {"description": "Service info"},
+                "GET /api/health": {"description": "Health check"},
+                "GET /api/filters": {
+                    "description": "Filter catalog with parameter ranges"
+                },
+                "GET /api/stats": {"description": "Request counters + uptime"},
+                "POST /api/process": {
+                    "description": "Filter one image at one level",
+                    "body": {
+                        "image": "base64 or data-URL PNG/JPEG/...",
+                        "filter": "gaussian | box | sobel",
+                        "level": "1 (naive) | 2 (optimized) | 4 (advanced)",
+                        "sigma": "float, gaussian only, [0.5, 20]",
+                        "radius": "int, gaussian/box, [1, 15]",
+                    },
+                    "returns": "{processed_image, metrics{time_ms,"
+                               "bandwidth_gbps,fps}, info}",
+                },
+                "POST /api/process-all": {
+                    "description": "Filter at levels 1 and 2 for comparison",
+                    "body": "same as /api/process + enable_profiling: bool",
+                    "returns": "{original_image, results{level_1,level_2},"
+                               " image_info, profiling_available}",
+                },
+                "POST /api/process-batch": {
+                    "description": "Filter a batch of same-size images in one"
+                                   " device program",
+                    "body": "{images: [b64,...], filter, level, sigma, radius}",
+                },
+                "POST /api/upload": {
+                    "description": "multipart/form-data file -> base64"
+                },
+            },
+        }
+
     @app.get("/api/health")
     def health(_req: Request):
         return 200, {

@@ -257,3 +257,10 @@ def test_batch_level4_rest(app):
     assert status == 200
     assert body["info"]["level"] == "advanced"
     assert body["metrics"]["batch_size"] == 2
+
+
+def test_docs_endpoint(app):
+    status, body = app.dispatch(Request(method="GET", path="/docs"))
+    assert status == 200
+    assert "POST /api/process" in body["endpoints"]
+    assert "POST /api/process-batch" in body["endpoints"]
