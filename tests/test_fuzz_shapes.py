@@ -1,0 +1,59 @@
+"""Shape fuzzing: random (H, W, C, filter, level, radius) combos against the
+oracle.  This is the broad guard on the tiling/padding arithmetic (bucket
+pads, DMA alignment slack, halo bands, odd widths/heights)."""
+
+import numpy as np
+import pytest
+
+from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+
+from . import oracle_numpy as oracle
+from .sobel_tolerance import assert_sobel_close
+
+CASES = []
+_rng = np.random.default_rng(20260816)
+for _ in range(14):
+    CASES.append((
+        int(_rng.integers(3, 140)),          # H
+        int(_rng.integers(3, 140)),          # W
+        int(_rng.choice([1, 3, 4])),         # C
+        str(_rng.choice(["gaussian", "box", "sobel"])),
+        int(_rng.choice([1, 2])),
+        int(_rng.integers(1, 9)),            # radius
+    ))
+# A couple of degenerate extremes.
+CASES += [(1, 1, 1, "gaussian", 2, 3), (2, 200, 3, "box", 2, 7),
+          (200, 2, 4, "sobel", 2, 1), (8, 8, 3, "gaussian", 2, 8)]
+
+
+@pytest.mark.parametrize("h,w,c,filter_name,level,radius", CASES)
+def test_fuzz_matches_oracle(h, w, c, filter_name, level, radius):
+    rng = np.random.default_rng(h * 1000 + w * 10 + c)
+    img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+    if filter_name == "gaussian":
+        sigma = 0.5 + (radius % 5)
+        out, _ = RUNTIME.gaussian_blur(img, sigma=sigma, radius=radius, level=level)
+        want = oracle.gaussian_blur(img, gaussian_kernel_f32(radius, sigma), radius)
+        np.testing.assert_array_equal(out, want)
+    elif filter_name == "box":
+        out, _ = RUNTIME.box_blur(img, radius=radius, level=level)
+        np.testing.assert_array_equal(out, oracle.box_blur(img, radius))
+    else:
+        out, _ = RUNTIME.sobel_edge_detection(img, level=level)
+        assert_sobel_close(out, oracle.sobel(img, level))
+
+
+@pytest.mark.parametrize("value", [0, 255])
+@pytest.mark.parametrize("level", [1, 2])
+def test_constant_image_invariant(value, level):
+    # Blurring a constant image must return it unchanged (weights sum to ~1;
+    # the +0.5-floor rounding and clip must not drift at saturation).
+    img = np.full((40, 52, 3), value, dtype=np.uint8)
+    out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=level)
+    np.testing.assert_array_equal(out, img)
+    out, _ = RUNTIME.box_blur(img, radius=5, level=level)
+    np.testing.assert_array_equal(out, img)
+    # Sobel of a constant image is all zeros (zero gradient + zero border).
+    out, _ = RUNTIME.sobel_edge_detection(img, level=level)
+    assert (out == 0).all()
