@@ -36,7 +36,7 @@ BASELINES_FULL = {
 H, W, C = 2146, 3239, 3          # README workload: 3239x2146 RGB
 BOX_RADIUS = 5                    # README.md:242
 GAUSS_SIGMA, GAUSS_RADIUS = 2.0, 3
-LOOP_ITERS = 16
+LOOP_ITERS = 64
 
 
 def _apply_fn(filter_name: str, level: int):

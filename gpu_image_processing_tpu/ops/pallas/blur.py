@@ -67,7 +67,7 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
 
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
-                 box_mode: bool, folded: bool = False):
+                 box_mode: bool, folded: bool = False, passes: str = "both"):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -139,9 +139,21 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
     take_rows = lambda s, t, n: s[t : t + n, :]        # noqa: E731
 
     # Horizontal pass -> hbuf with uint8 re-quantization, then vertical
-    # pass -> vbuf.
-    conv(xbuf, hbuf, take_cols, w_out)
-    hbuf[:, :] = _quant(hbuf[:, :])
+    # pass -> vbuf.  `passes` isolates one pass for the profiler's per-pass
+    # duration breakdown (the analog of ncu timing the horizontal and
+    # vertical kernels separately, ncu_profiler.py:499-557); serving always
+    # runs "both".
+    if passes in ("both", "horizontal"):
+        conv(xbuf, hbuf, take_cols, w_out)
+        hbuf[:, :] = _quant(hbuf[:, :])
+    else:
+        hbuf[:, :] = xbuf[:, :w_out]
+    if passes == "horizontal":
+        out_ref[0] = (
+            jnp.clip(hbuf[:tile_rows, :], 0.0, 255.0)
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
+        return
     conv(hbuf, vbuf, take_rows, tile_rows)
     out_ref[0] = (
         jnp.clip(_quant(vbuf[:, :]), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
@@ -157,6 +169,7 @@ def _separable_blur_planar(
     tile_rows: int | None = None,
     folded: bool = False,
     rows_prepadded: bool = False,
+    passes: str = "both",
 ) -> jnp.ndarray:
     """rows_prepadded=True: the input already carries `radius` valid rows
     above and below (e.g. halo rows exchanged from neighbor shards over
@@ -207,6 +220,7 @@ def _separable_blur_planar(
             w_out=w_out,
             box_mode=box_mode,
             folded=folded,
+            passes=passes,
         ),
         grid=(channels, n_tiles),
         in_specs=[
@@ -269,23 +283,26 @@ def box_pallas_batch(
 
 def gaussian_pallas(
     img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
-    interpret: bool = False, folded: bool = False,
+    interpret: bool = False, folded: bool = False, passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W, C) u8 -> u8 fused separable Gaussian blur.
 
     folded=True is the ADVANCED (level 4) tier: symmetric tap pairing.
+    passes isolates one separable pass (profiler breakdown only).
     """
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, weights, radius, box_mode=False,
-                                 interpret=interpret, folded=folded)
+                                 interpret=interpret, folded=folded,
+                                 passes=passes)
     return jnp.transpose(out, (1, 2, 0))
 
 
 def box_pallas(img_hwc: jnp.ndarray, radius: int, interpret: bool = False,
-               folded: bool = False) -> jnp.ndarray:
+               folded: bool = False, passes: str = "both") -> jnp.ndarray:
     """(H, W, C) u8 -> u8 fused separable box blur."""
     inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, jnp.asarray(inv), radius, box_mode=True,
-                                 interpret=interpret, folded=folded)
+                                 interpret=interpret, folded=folded,
+                                 passes=passes)
     return jnp.transpose(out, (1, 2, 0))

@@ -56,6 +56,88 @@ def check_profiler_available() -> bool:
     return True
 
 
+def _pass_fn(filter_type: str, lvl: int, radius: int, which: str):
+    """A jittable HWC u8 -> u8 fn running ONE separable pass of a blur.
+
+    Matches the implementation tier the runtime actually serves: the Pallas
+    kernel with the other pass elided (levels 2/4), or the XLA shifted-slice
+    pass (level 1 / Pallas disabled).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.rounding import quantize_u8
+    from ..ops.weights import box_inv_taps_f32
+
+    if lvl >= 2 and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
+        try:
+            from ..ops.pallas.blur import box_pallas, gaussian_pallas
+            from ..runtime.device import is_tpu
+
+            interp = not is_tpu()
+            folded = lvl == 4
+            if filter_type == "gaussian":
+                return lambda img, w: gaussian_pallas(
+                    img, w, radius, interpret=interp, folded=folded, passes=which
+                )
+            return lambda img: box_pallas(
+                img, radius, interpret=interp, folded=folded, passes=which
+            )
+        except Exception:  # pragma: no cover - env without Mosaic
+            pass
+
+    from ..ops import fused
+
+    conv = fused._conv_last if which == "horizontal" else fused._conv_rows
+    if filter_type == "gaussian":
+        def fn(img, w):
+            x = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
+            return jnp.transpose(quantize_u8(conv(x, w, radius)), (1, 2, 0))
+
+        return fn
+
+    s = fused._sum_last if which == "horizontal" else fused._sum_rows
+
+    def fn(img):
+        inv = box_inv_taps_f32(radius)
+        x = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
+        return jnp.transpose(quantize_u8(s(x, radius) * inv), (1, 2, 0))
+
+    return fn
+
+
+# (filter, level, radius, H, W, C, platform) -> (h_ms, v_ms); per-pass
+# variants are compile-heavy, so measure each profiled config once.
+_PASS_CACHE: dict[tuple, tuple[float, float]] = {}
+
+
+def _pass_breakdown(
+    filter_type: str, lvl: int, radius: int,
+    kh: int, kw: int, channels: int, args,
+) -> tuple[float, float]:
+    """Measured durations of isolated horizontal/vertical pass kernels.
+
+    The analog of ncu reporting per-kernel Durations for the two separable
+    launches (ncu_profiler.py:499-557).  Our level-2 kernel fuses both
+    passes, so each is timed as a pass-isolated kernel variant; callers
+    rescale the pair to the fused kernel's measured total (the reference
+    itself estimates missing pass durations by ratio, ncu_profiler.py:630).
+    """
+    key = (filter_type, lvl, radius, kh, kw, channels, platform())
+    if key in _PASS_CACHE:
+        return _PASS_CACHE[key]
+    from ..runtime import dispatch as _d
+    from ..runtime.device import is_tpu
+    from ..runtime.timing import device_time_ms
+
+    iters = 16 if is_tpu() else 4
+    out = []
+    for which in ("horizontal", "vertical"):
+        fn = _d._flatio(_pass_fn(filter_type, lvl, radius, which), kh, kw, channels)
+        out.append(device_time_ms(fn, args, iters=iters, sync_reps=2))
+    _PASS_CACHE[key] = (out[0], out[1])
+    return out[0], out[1]
+
+
 def _kernel_label(filter_type: str, level: int) -> str:
     names = {
         ("gaussian", 1): "gaussian_blur_oracle_l1",
@@ -116,6 +198,7 @@ def profile_filter(
     # ncu_profiler.py:142); also keep a wall-time sample set.
     times_ms: list[float] = []
     duration_ms = first_metrics.time_ms
+    per_pass: Optional[tuple[float, float]] = None
     if exe is not None and exe._compiled is not None:
         import jax
 
@@ -155,9 +238,16 @@ def profile_filter(
                     lvl, kh, kw, channels
                 ),
             }[filter_type]()
-            duration_ms = device_time_ms(fn, args, iters=10, sync_reps=2)
+            duration_ms = device_time_ms(fn, args, iters=32, sync_reps=3)
         except Exception:
             duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+        if filter_type in ("gaussian", "box"):
+            try:
+                per_pass = _pass_breakdown(
+                    filter_type, lvl, kwargs["radius"], kh, kw, channels, args
+                )
+            except Exception:
+                per_pass = None
 
     mean_ms = float(np.mean(times_ms)) if times_ms else first_metrics.time_ms
 
@@ -232,6 +322,20 @@ def profile_filter(
         "profiler": "xla_cost_analysis",
     }
 
+    # Per-pass durations for the separable blurs, rescaled so the pair sums
+    # to the fused kernel's measured total (see _pass_breakdown).
+    if per_pass is not None and (per_pass[0] + per_pass[1]) > 0:
+        share = per_pass[0] / (per_pass[0] + per_pass[1])
+        h_ms = duration_ms * share
+        v_ms = duration_ms - h_ms
+        metrics["kernels_profiled"] = [f"{label}_horizontal", f"{label}_vertical"]
+        metrics["per_pass_durations_ms"] = {
+            "horizontal": h_ms,
+            "vertical": v_ms,
+        }
+        metrics["execution"]["Duration horizontal pass (ms)"] = h_ms
+        metrics["execution"]["Duration vertical pass (ms)"] = v_ms
+
     if capture_trace:
         metrics["trace_dir"] = capture_xla_trace(
             lambda: runtime.run(filter_type, image, **kwargs), trace_dir
@@ -290,12 +394,17 @@ def get_common_metrics(
         if not isinstance(value, (int, float)) or value is None:
             continue
         kl = key.lower()
-        if kl.startswith("duration"):
+        if kl.startswith("duration") and "pass" not in kl:
             common.setdefault("kernel_durations", []).append(float(value))
         elif "compute throughput" in kl:
             common["compute_throughput_pct"] = float(value)
 
     source = ncu_data if (ncu_data and "total_kernel_duration_ms" in ncu_data) else metrics
+    if "per_pass_durations_ms" in source:
+        # Separable blurs: one duration per pass, like ncu's per-kernel rows.
+        common["kernel_durations"] = [
+            float(v) for v in source["per_pass_durations_ms"].values()
+        ]
     if "total_kernel_duration_ms" in source:
         common["time_ms"] = source["total_kernel_duration_ms"]
         common["kernel_duration_ms"] = source["total_kernel_duration_ms"]

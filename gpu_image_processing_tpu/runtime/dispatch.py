@@ -280,6 +280,10 @@ def _pad_to_bucket(image: np.ndarray) -> tuple[np.ndarray, int, int]:
 
 def _zero_true_border(out: np.ndarray) -> np.ndarray:
     """Re-apply Sobel's 1-px border zeroing at the TRUE image border."""
+    if not out.flags.writeable:
+        # The unpadding slice is contiguous when only H was bucketed, so
+        # ascontiguousarray hands back the read-only jax-backed array.
+        out = out.copy()
     out[0, :, :] = 0
     out[-1, :, :] = 0
     out[:, 0, :] = 0

@@ -3,10 +3,17 @@
 CUDA events time the kernels on-stream, excluding launch latency
 (image_filters.cu:804-894).  The TPU equivalent must exclude per-execute
 RPC/dispatch overhead, which on remote-attached devices can be 50x the
-kernel itself.  `device_time_ms` therefore runs the op N times inside ONE
-jitted `lax.fori_loop` (uint8 image in == out, so iterations chain) and
-reports (T(1+N) - T(1)) / N -- pure device time, no host round-trips in the
-delta.
+kernel itself.  `device_time_ms` therefore runs the op inside ONE jitted
+`lax.fori_loop` (uint8 image in == out, so iterations chain) at TWO loop
+lengths and reports the slope (T(hi) - T(lo)) / (hi - lo).
+
+Both loop lengths are kept well above 1: the per-execute RPC overhead
+through a relay drifts by tens of ms between calls, so a T(1) baseline
+poisons the delta (measured on the axon v5e: back-to-back estimates of the
+same kernel spread 0.15-0.51 ms with a T(1) baseline, vs 0.60-0.63 ms with
+a T(17)/T(65) slope).  Medians over the repetition samples, not minima --
+min pairs an unlucky-fast baseline with the true larger loop and
+systematically underestimates.
 """
 
 from __future__ import annotations
@@ -18,18 +25,26 @@ import jax
 from jax import lax
 
 
-def _loop_time(apply: Callable, args: Sequence, n_iters: int, sync_reps: int) -> float:
+def _loop_samples(
+    apply: Callable, args: Sequence, n_iters: int, sync_reps: int
+) -> list[float]:
     def fn(x, *rest):
         return lax.fori_loop(0, n_iters, lambda i, a: apply(a, *rest), x)
 
     compiled = jax.jit(fn).lower(*args).compile()
     compiled(*args).block_until_ready()   # program load
-    best = float("inf")
+    out = []
     for _ in range(sync_reps):
         t0 = time.perf_counter()
         compiled(*args).block_until_ready()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        out.append(time.perf_counter() - t0)
+    return out
+
+
+def _median(xs: Sequence[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
 
 
 def device_time_ms(
@@ -38,9 +53,16 @@ def device_time_ms(
     iters: int = 16,
     sync_reps: int = 4,
 ) -> float:
-    """Per-iteration device time (ms) of `apply(img, *rest) -> img`."""
+    """Per-iteration device time (ms) of `apply(img, *rest) -> img`.
+
+    `iters` sets the larger loop length; the smaller is iters//4.  Larger
+    values buy noise rejection with wall time (the loop runs sync_reps
+    times at each length).
+    """
     args = list(args)
     jax.block_until_ready(args)
-    t1 = _loop_time(apply, args, 1, sync_reps)
-    tn = _loop_time(apply, args, 1 + iters, sync_reps)
-    return max((tn - t1) / iters * 1000.0, 1e-4)
+    lo = max(1, iters // 4)
+    hi = max(lo + 1, iters)
+    t_lo = _median(_loop_samples(apply, args, lo, sync_reps))
+    t_hi = _median(_loop_samples(apply, args, hi, sync_reps))
+    return max((t_hi - t_lo) / (hi - lo) * 1000.0, 1e-4)

@@ -63,14 +63,34 @@ def test_profile_filter_contract(rng):
     for section in ("execution", "memory", "occupancy", "config"):
         assert section in deep
     assert deep["total_kernel_duration_ms"] > 0
-    assert deep["kernels_profiled"] == ["gaussian_blur_fused_l2"]
+    # Separable blurs report one duration per pass (the ncu analog of the
+    # horizontal + vertical kernel rows); both pass labels carry the fused
+    # kernel name.
+    assert deep["kernels_profiled"] == [
+        "gaussian_blur_fused_l2_horizontal",
+        "gaussian_blur_fused_l2_vertical",
+    ]
+    pp = deep["per_pass_durations_ms"]
+    assert pp["horizontal"] > 0 and pp["vertical"] > 0
+    assert pp["horizontal"] + pp["vertical"] == pytest.approx(
+        deep["total_kernel_duration_ms"]
+    )
 
     common = get_common_metrics(deep, ncu_data=deep)
     assert common["time_ms"] > 0
-    assert common["total_kernels"] == 1
+    assert common["total_kernels"] == 2
     assert "memory_throughput_gbps" in common
     assert "occupancy_pct" in common
-    assert isinstance(common["kernel_durations"], list)
+    assert common["kernel_durations"] == [pp["horizontal"], pp["vertical"]]
+    # The per-pass split must never displace the primary device time.
+    assert common["time_ms"] == deep["total_kernel_duration_ms"]
+
+
+def test_profile_filter_sobel_single_kernel(rng):
+    img = make_image(rng, 16, 20, 3)
+    deep = profile_filter(img, "sobel", 2)
+    assert deep["kernels_profiled"] == ["sobel_fused_l2"]
+    assert "per_pass_durations_ms" not in deep
 
 
 def test_common_metrics_empty():
