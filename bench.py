@@ -9,12 +9,15 @@ CUDA kernel time.
 
 Methodology -- the device-side analog of CUDA-event timing
 (image_filters.cu:804-894: events bracket kernels only, no transfers):
-the filter is iterated N times inside ONE jitted `lax.fori_loop` program
-(uint8 image in, uint8 image out, so iterations chain); per-iteration device
-time = (T(1+N) - T(1)) / N.  This excludes host->device transfers, PNG
-codecs, compilation, AND per-call RPC overhead on remote-attached devices,
-which per-call wall timing cannot (observed ~2.5 ms/call through the axon
-tunnel -- 50x the actual kernel time).
+the filter is iterated inside ONE jitted `lax.fori_loop` program (uint8
+image in, uint8 image out, so iterations chain) at two loop lengths;
+per-iteration device time = the median slope (runtime/timing.py).  This
+excludes host->device transfers, PNG codecs, compilation, AND per-call RPC
+overhead on remote-attached devices, which per-call wall timing cannot
+(observed ~2.5 ms/call through the axon tunnel -- 50x the actual kernel
+time).  The shared chip's effective speed also drifts between rounds
+(observed up to 2.7x over minutes), so the reported value is the MEDIAN of
+ROUNDS independent measurements.
 
 Run `python bench.py --full` for the whole README table (stderr).
 """
@@ -37,6 +40,7 @@ H, W, C = 2146, 3239, 3          # README workload: 3239x2146 RGB
 BOX_RADIUS = 5                    # README.md:242
 GAUSS_SIGMA, GAUSS_RADIUS = 2.0, 3
 LOOP_ITERS = 64
+ROUNDS = 3
 
 
 def _apply_fn(filter_name: str, level: int):
@@ -60,8 +64,8 @@ def _apply_fn(filter_name: str, level: int):
     return impls[filter_name]
 
 
-def measure_ms(filter_name: str, level: int, img) -> float:
-    """Per-iteration device time in ms via loop-delta (runtime/timing.py)."""
+def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float:
+    """Median of `rounds` slope-based device timings (runtime/timing.py)."""
     import jax
 
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
@@ -75,7 +79,11 @@ def measure_ms(filter_name: str, level: int, img) -> float:
                 gaussian_kernel_f32(GAUSS_RADIUS, GAUSS_SIGMA), default_device()
             )
         )
-    return device_time_ms(_apply_fn(filter_name, level), args, iters=LOOP_ITERS)
+    fn = _apply_fn(filter_name, level)
+    samples = sorted(
+        device_time_ms(fn, args, iters=LOOP_ITERS) for _ in range(rounds)
+    )
+    return samples[len(samples) // 2]
 
 
 def main() -> None:
