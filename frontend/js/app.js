@@ -274,23 +274,52 @@ const LABELS = {
   occupancy_pct: "Bandwidth occupancy (%)",
 };
 
+/* Expand the profiler's per-pass duration lists (kernel_durations +
+ * kernels_profiled, e.g. the separable blur's horizontal/vertical split)
+ * into scalar rows, like the reference's per-kernel ncu Duration rows. */
+function expandPassDurations(m, labels) {
+  const out = { ...m };
+  if (Array.isArray(m.kernel_durations) && m.kernel_durations.length > 1 &&
+      Array.isArray(m.kernels_profiled)) {
+    m.kernel_durations.forEach((v, i) => {
+      const key = `kernel_${i}_duration_ms`;
+      const name = String(m.kernels_profiled[i] || `kernel ${i}`);
+      const pass = name.match(/(horizontal|vertical)$/);
+      out[key] = v;
+      labels[key] = `└ ${pass ? pass[1] + " pass" : name} (ms)`;
+    });
+  }
+  return out;
+}
+
 function renderMetricsTable(results) {
   const host = $("metricsTable");
   const levels = Object.keys(results).sort();
+  const dynLabels = {};
+  const metricsByLevel = {};
+  for (const lv of levels) {
+    metricsByLevel[lv] = expandPassDurations(results[lv].metrics, dynLabels);
+  }
   let html = "<table class='metrics'><tr><th>Metric</th>";
   for (const key of levels) html += `<th>${levelLabel(key, results[key].info)}</th>`;
   html += "</tr>";
 
   for (const [section, keys] of METRIC_SECTIONS) {
-    const present = keys.filter((k) =>
-      levels.some((lv) => results[lv].metrics[k] !== undefined));
+    let sectionKeys = keys;
+    if (section === "Execution") {
+      const passKeys = Object.keys(dynLabels).sort();
+      const at = keys.indexOf("kernel_duration_ms") + 1;
+      sectionKeys = [...keys.slice(0, at), ...passKeys, ...keys.slice(at)];
+    }
+    const present = sectionKeys.filter((k) =>
+      levels.some((lv) => metricsByLevel[lv][k] !== undefined));
     if (!present.length) continue;
     html += `<tr class="section"><td colspan="${levels.length + 1}">${section}</td></tr>`;
     for (const k of present) {
       const star = IMPORTANT.has(k) ? `<span class="star">★</span> ` : "";
-      html += `<tr><td>${star}${LABELS[k] || k}</td>`;
+      html += `<tr><td>${star}${LABELS[k] || dynLabels[k] || k}</td>`;
       for (const lv of levels) {
-        const v = results[lv].metrics[k];
+        const v = metricsByLevel[lv][k];
         html += `<td class="num ${pctClass(k, v)}">${fmtNum(typeof v === "number" ? v : NaN)}</td>`;
       }
       html += "</tr>";

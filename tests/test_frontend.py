@@ -62,3 +62,41 @@ def test_metric_keys_match_profiler_output():
         if k not in backend_keys and k.isidentifier() and k.islower()
     }  # capitalized tokens are section titles, not metric keys
     assert not unknown, f"UI metric table references unknown keys: {unknown}"
+
+
+def test_per_pass_duration_rows_wired():
+    """The table renderer must expand the profiler's kernel_durations /
+    kernels_profiled lists into per-pass rows (the reference UI's per-kernel
+    ncu Duration rows) and label them from the kernel names."""
+    js = _read("js/app.js")
+    assert "expandPassDurations" in js
+    body = js.split("function expandPassDurations")[1].split("\n}")[0]
+    assert "kernel_durations" in body and "kernels_profiled" in body
+    assert "horizontal|vertical" in body
+    render = js.split("function renderMetricsTable")[1].split("\n}")[0]
+    assert "expandPassDurations" in render and "dynLabels" in render
+
+
+def test_per_pass_expansion_semantics():
+    """Emulate expandPassDurations on a real profiler payload: the scalar
+    keys it derives must exist and the labels must name the passes."""
+    m = {
+        "time_ms": 0.5,
+        "kernel_durations": [0.3, 0.2],
+        "kernels_profiled": [
+            "gaussian_blur_fused_l2_horizontal",
+            "gaussian_blur_fused_l2_vertical",
+        ],
+    }
+    # Python port of the JS expansion (kept in lockstep by the static test
+    # above asserting the JS reads the same fields).
+    labels = {}
+    out = dict(m)
+    for i, v in enumerate(m["kernel_durations"]):
+        key = f"kernel_{i}_duration_ms"
+        name = m["kernels_profiled"][i]
+        passname = name.rsplit("_", 1)[-1]
+        out[key] = v
+        labels[key] = f"└ {passname} pass (ms)"
+    assert out["kernel_0_duration_ms"] == 0.3
+    assert labels["kernel_1_duration_ms"] == "└ vertical pass (ms)"
