@@ -193,11 +193,11 @@ class FilterExecutable:
 
     def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
         """Run and return (output u8 HWC, kernel time in ms)."""
-        import os as _os
+        import os as _os  # noqa: F401  (kept for monkeypatch compatibility)
 
         if reps is None:
             reps = config.TPU.timing_reps
-        loop_timing = _os.environ.get("GIP_TPU_LOOP_TIMING", "0") == "1"
+        loop_timing = _loop_timing_enabled()
         if self._compiled is None:
             # Lock: concurrent first requests would each pay the XLA compile.
             with self._compile_lock:
@@ -207,16 +207,19 @@ class FilterExecutable:
                     # the device at first run (~60 ms on v5e via the tunnel).
                     compiled(*args).block_until_ready()
                     if loop_timing:
-                        # Opt-in: measure pure device time once via the
-                        # loop-delta method and report it for every request.
-                        # Costs two extra compiles per executable but removes
-                        # per-execute RPC overhead from time_ms on
-                        # remote-attached devices.
-                        from .timing import device_time_ms
+                        # Measure pure device time once via the loop-delta
+                        # method and report it for every request -- the
+                        # CUDA-event analog (kernel-only time).  Costs two
+                        # extra compiles per executable (bounded by shape
+                        # bucketing) but removes per-execute RPC overhead,
+                        # which on remote-attached devices is 3-50x the
+                        # kernel itself.  The auto variant sizes the loop so
+                        # sub-ms kernels still outweigh relay jitter.
+                        from .timing import device_time_ms_auto
 
                         try:
-                            self._kernel_ms = device_time_ms(
-                                self._raw_fn, list(args), iters=8, sync_reps=2
+                            self._kernel_ms = device_time_ms_auto(
+                                self._raw_fn, list(args)
                             )
                         except Exception:
                             self._kernel_ms = None
@@ -263,6 +266,25 @@ def _bucketing_enabled() -> bool:
     import os as _os
 
     return _os.environ.get("GIP_TPU_NO_BUCKETING", "0") != "1"
+
+
+def _loop_timing_enabled() -> bool:
+    """Whether served time_ms comes from loop-delta kernel timing.
+
+    Default ON on real TPUs: per-call wall time through a remote relay is
+    3-50x the kernel and would dominate time_ms, where the reference
+    reports kernel-only CUDA-event time (image_filters.cu:804-894).  OFF
+    elsewhere (CPU wall time has no RPC tax; tests stay fast).  Override
+    either way with GIP_TPU_LOOP_TIMING=1/0.
+    """
+    import os as _os
+
+    v = _os.environ.get("GIP_TPU_LOOP_TIMING")
+    if v is not None:
+        return v == "1"
+    from .device import is_tpu
+
+    return is_tpu()
 
 
 def _pad_to_bucket(image: np.ndarray) -> tuple[np.ndarray, int, int]:

@@ -66,3 +66,31 @@ def device_time_ms(
     t_lo = _median(_loop_samples(apply, args, lo, sync_reps))
     t_hi = _median(_loop_samples(apply, args, hi, sync_reps))
     return max((t_hi - t_lo) / (hi - lo) * 1000.0, 1e-4)
+
+
+def device_time_ms_auto(
+    apply: Callable,
+    args: Sequence,
+    target_ms: float = 30.0,
+    sync_reps: int = 3,
+    max_hi: int = 1024,
+) -> float:
+    """Like device_time_ms, but sizes the larger loop so the measured work
+    rises above relay jitter regardless of kernel size.
+
+    A pilot slope over (16, 64) iterations sets the scale (a raw T(N)/N
+    bound is useless here -- per-execute RPC inflates it by RPC/N, which for
+    sub-ms kernels keeps the loop far too short).  If 64 iterations of the
+    estimated kernel are still below target_ms of device work, one longer
+    loop is run and the slope re-taken against it.  2-3 loop compiles."""
+    args = list(args)
+    jax.block_until_ready(args)
+    n_a, n_b = 16, 64
+    t_a = _median(_loop_samples(apply, args, n_a, sync_reps))
+    t_b = _median(_loop_samples(apply, args, n_b, sync_reps))
+    slope = max((t_b - t_a) / (n_b - n_a), 1e-9)   # s/iter, jitter-noisy
+    if slope * n_b * 1000.0 < target_ms:
+        n_c = int(min(max(target_ms / 1000.0 / slope, 2 * n_b), max_hi))
+        t_c = _median(_loop_samples(apply, args, n_c, sync_reps))
+        slope = (t_c - t_b) / (n_c - n_b)
+    return max(slope * 1000.0, 1e-4)

@@ -82,3 +82,23 @@ def test_sobel_bucket_aligned_width_prefix_slice(rng):
     assert diff.max() <= 6
     assert (out[0] == 0).all() and (out[-1] == 0).all()
     assert (out[:, 0] == 0).all() and (out[:, -1] == 0).all()
+
+
+def test_loop_timing_env_override(rng, monkeypatch):
+    # Forced ON (CPU default is off): the executable measures loop-delta
+    # kernel time once and reports it for every request.
+    monkeypatch.setenv("GIP_TPU_LOOP_TIMING", "1")
+    img = make_image(rng, 40, 56, 3)
+    out, metrics = RUNTIME.box_blur(img, radius=2, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 2))
+    assert metrics.time_ms > 0
+    key = ("box", 2, _bucket(40), _bucket(56), 3, 2)
+    assert RUNTIME._cache[key]._kernel_ms is not None
+    assert metrics.time_ms == RUNTIME._cache[key]._kernel_ms
+
+
+def test_loop_timing_default_off_on_cpu(rng, monkeypatch):
+    monkeypatch.delenv("GIP_TPU_LOOP_TIMING", raising=False)
+    from gpu_image_processing_tpu.runtime.dispatch import _loop_timing_enabled
+
+    assert _loop_timing_enabled() is False  # tests force the CPU platform
