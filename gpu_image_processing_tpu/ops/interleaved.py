@@ -1,0 +1,169 @@
+"""Interleaved-HWC (flat-buffer) filter implementations, pure jnp.
+
+The serving boundary ships images as FLAT uint8 buffers (HWC byte order);
+`flat.reshape(H, W*C)` is a free, contiguity-preserving reshape, whereas
+materializing an (H, W, C) device array from the flat buffer forces a
+pathological XLA relayout (measured 16.3 ms for the 3239x2146 README image
+-- 26x the level-2 kernel).  These implementations therefore operate on the
+(H, W*C) "interleaved rows" layout directly:
+
+* a horizontal tap at pixel offset t is a lane offset of t*C (all channels
+  shift together; slices stay contiguous),
+* clamp-to-edge replicates PIXELS: the first/last C lanes are tiled,
+* Sobel computes gray at EVERY lane (g[l] = .299 x[l] + .587 x[l+1] +
+  .114 x[l+2]); pixel-phase lanes carry the true gray, the rest is
+  phase-garbage that the channel-replication masks never select.
+
+Numerics are bit-identical to the planar oracle (ops/ref.py): each output
+element sees the exact same f32 operation sequence as the CUDA naive
+kernels (image_filters.cu:64-144,362-431,1152-1315).  This module serves
+level 1 and is the XLA fallback tier for levels 2/4 when Pallas is
+unavailable (the Pallas interleaved kernels live in ops/pallas/).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .rounding import quantize_u8, quantize_u8_f32
+from .weights import box_inv_taps_f32
+
+_GRAY_R = jnp.float32(0.299)
+_GRAY_G = jnp.float32(0.587)
+_GRAY_B = jnp.float32(0.114)
+
+
+def _pad_pixels_lr(x: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:
+    """Pixel-replicated clamp-to-edge padding on the last (W*C) axis."""
+    first = jnp.tile(x[..., :channels], (1,) * (x.ndim - 1) + (radius,))
+    last = jnp.tile(x[..., x.shape[-1] - channels:],
+                    (1,) * (x.ndim - 1) + (radius,))
+    return jnp.concatenate([first, x, last], axis=-1)
+
+
+def _pad_rows_edge(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    pad = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (0, 0)]
+    return jnp.pad(x, pad, mode="edge")
+
+
+def _conv_cols(x: jnp.ndarray, weights, radius: int, channels: int) -> jnp.ndarray:
+    """Weighted horizontal pass on (..., H, W*C) f32, CUDA tap order."""
+    wf = x.shape[-1]
+    xp = _pad_pixels_lr(x, radius, channels)
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i * channels : i * channels + wf] * weights[i]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _conv_rows(x: jnp.ndarray, weights, radius: int) -> jnp.ndarray:
+    height = x.shape[-2]
+    xp = _pad_rows_edge(x, radius)
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i : i + height, :] * weights[i]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _sum_cols(x: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:
+    wf = x.shape[-1]
+    xp = _pad_pixels_lr(x, radius, channels)
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i * channels : i * channels + wf]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _sum_rows(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    height = x.shape[-2]
+    xp = _pad_rows_edge(x, radius)
+    acc = None
+    for i in range(2 * radius + 1):
+        term = xp[..., i : i + height, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def gaussian_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
+                  channels: int) -> jnp.ndarray:
+    """(..., H, W*C) u8 -> u8 separable Gaussian, level-1 numerics."""
+    x = rows_u8.astype(jnp.float32)
+    h = quantize_u8_f32(_conv_cols(x, weights, radius, channels))
+    return quantize_u8(_conv_rows(h, weights, radius))
+
+
+def box_rows(rows_u8: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:
+    """(..., H, W*C) u8 -> u8 separable box blur, level-1 numerics."""
+    inv = box_inv_taps_f32(radius)
+    x = rows_u8.astype(jnp.float32)
+    h = quantize_u8_f32(_sum_cols(x, radius, channels) * inv)
+    return quantize_u8(_sum_rows(h, radius) * inv)
+
+
+def sobel_rows(rows_u8: jnp.ndarray, level: int, width: int,
+               channels: int) -> jnp.ndarray:
+    """(..., H, W*C) u8 -> u8 Sobel edge map, zeroed 1-px border.
+
+    level 1 keeps gray in f32; level 2 quantizes gray first
+    (image_filters.cu:1444).  Gray/taps/magnitude run at every lane; the
+    final select keeps each pixel's phase-0 magnitude on all its channels.
+    """
+    x = rows_u8.astype(jnp.float32)
+    wf = x.shape[-1]
+    height = x.shape[-2]
+
+    if channels == 1:
+        gray = x
+    else:
+        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 2)], mode="edge")
+        gray = (
+            _GRAY_R * xp[..., :wf]
+            + _GRAY_G * xp[..., 1 : wf + 1]
+            + _GRAY_B * xp[..., 2 : wf + 2]
+        )
+    if level == 2:
+        gray = quantize_u8_f32(gray)
+
+    gp = _pad_rows_edge(_pad_pixels_lr(gray, 1, channels), 1)
+
+    def tap(dy: int, dx: int) -> jnp.ndarray:
+        c0 = (1 + dx) * channels
+        return gp[..., 1 + dy : 1 + dy + height, c0 : c0 + wf]
+
+    one, two = jnp.float32(1.0), jnp.float32(2.0)
+    gx = (
+        (-one) * tap(-1, -1) + one * tap(-1, 1)
+        + (-two) * tap(0, -1) + two * tap(0, 1)
+        + (-one) * tap(1, -1) + one * tap(1, 1)
+    )
+    gy = (
+        (-one) * tap(-1, -1) + (-two) * tap(-1, 0) + (-one) * tap(-1, 1)
+        + one * tap(1, -1) + two * tap(1, 0) + one * tap(1, 1)
+    )
+    mag = jnp.floor(
+        jnp.minimum(jnp.sqrt(gx * gx + gy * gy), jnp.float32(255.0))
+        + jnp.float32(0.5)
+    )
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (height, wf), 1)
+    pix = lane // channels
+    row = jax.lax.broadcasted_iota(jnp.int32, (height, wf), 0)
+    inside = (pix >= 1) & (pix <= width - 2) & (row >= 1) & (row <= height - 2)
+
+    if channels == 1:
+        out = jnp.where(inside, mag, 0.0)
+    else:
+        phase = lane - pix * channels
+        mp = jnp.concatenate(
+            [jnp.zeros(mag.shape[:-1] + (channels,), jnp.float32), mag],
+            axis=-1,
+        )
+        out = jnp.zeros_like(mag)
+        for j in range(channels):
+            shifted = mp[..., channels - j : channels - j + wf]
+            out = out + jnp.where((phase == j) & inside, shifted, 0.0)
+    return out.astype(jnp.uint8)

@@ -67,7 +67,8 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
 
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
-                 box_mode: bool, folded: bool = False, passes: str = "both"):
+                 box_mode: bool, folded: bool = False, passes: str = "both",
+                 tap_stride: int = 1):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -135,7 +136,10 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
         if box_mode:
             acc_ref[:, :] = acc_ref[:, :] * w_ref[0, 0]
 
-    take_cols = lambda s, t, n: s[:, t : t + n]        # noqa: E731
+    # tap_stride > 1 is the interleaved-HWC layout: a horizontal tap at
+    # pixel offset t is a lane offset of t*C on the (rows, W*C) tile (all
+    # channels shift together; slices stay contiguous).
+    take_cols = lambda s, t, n: s[:, t * tap_stride : t * tap_stride + n]  # noqa: E731
     take_rows = lambda s, t, n: s[t : t + n, :]        # noqa: E731
 
     # Horizontal pass -> hbuf with uint8 re-quantization, then vertical
@@ -244,6 +248,142 @@ def _separable_blur_planar(
     )(w2d, x)
 
     return out[:, :height, :width]
+
+
+def _separable_blur_interleaved(
+    rows_u8: jnp.ndarray,     # (N, H, W*C) uint8 -- N images' interleaved rows
+    weights: jnp.ndarray,
+    radius: int,
+    box_mode: bool,
+    channels: int,
+    interpret: bool = False,
+    tile_rows: int | None = None,
+    folded: bool = False,
+    passes: str = "both",
+) -> jnp.ndarray:
+    """Fused separable blur on interleaved-HWC rows; returns (N, H, W*C).
+
+    This is the serving-path variant: the host ships a flat uint8 buffer
+    (HWC byte order) and `flat.reshape(H, W*C)` is a contiguity-preserving
+    free reshape, whereas materializing an (H, W, C) device array from the
+    flat buffer costs a catastrophic relayout (measured 16.3 ms on the
+    3239x2146 README image -- 26x the blur kernel itself).  A horizontal
+    tap at pixel offset t is a lane offset of t*C, so the same kernel body
+    serves both layouts (tap_stride).  Numerics are bit-identical: each
+    output element sees the exact same f32 operation sequence.
+    """
+    n, height, wf = rows_u8.shape
+    halo = radius * channels
+    wp = _round_up(wf + 2 * halo, 128)
+    tile_rows = min(
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius),
+        _round_up(height, 8),
+    )
+    hp = _round_up(height, tile_rows)
+    w_out = wp - 2 * halo
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2 * radius, 8)
+    total_rows = hp - tile_rows + copy_rows
+
+    # Clamp-to-edge must replicate PIXELS (channel groups), not lanes:
+    # tile the first/last pixel, then edge-pad the rows.
+    left = jnp.tile(rows_u8[:, :, :channels], (1, 1, radius))
+    right_reps = (wp - halo - wf + channels - 1) // channels
+    right = jnp.tile(rows_u8[:, :, wf - channels:], (1, 1, right_reps))
+    x = jnp.concatenate([left, rows_u8, right], axis=2)[:, :, :wp]
+    x = jnp.pad(x, ((0, 0), (radius, total_rows - height - radius), (0, 0)),
+                mode="edge")
+
+    out = pl.pallas_call(
+        functools.partial(
+            _blur_kernel,
+            radius=radius,
+            tile_rows=tile_rows,
+            copy_rows=copy_rows,
+            w_out=w_out,
+            box_mode=box_mode,
+            folded=folded,
+            passes=passes,
+            tap_stride=channels,
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, w_out),
+            lambda b, i: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w_out), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((copy_rows, wp), jnp.float32),
+            pltpu.VMEM((copy_rows, w_out), jnp.float32),
+            pltpu.VMEM((tile_rows, w_out), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(weights.reshape(1, -1), x)
+
+    return out[:, :height, :wf]
+
+
+def gaussian_pallas_flat(
+    flat_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
+    height: int, width: int, channels: int,
+    interpret: bool = False, folded: bool = False, passes: str = "both",
+) -> jnp.ndarray:
+    """Flat HWC uint8 buffer -> flat, fused Gaussian blur (serving path)."""
+    rows = flat_u8.reshape(1, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, weights, radius, box_mode=False, channels=channels,
+        interpret=interpret, folded=folded, passes=passes)
+    return out.reshape(-1)
+
+
+def box_pallas_flat(
+    flat_u8: jnp.ndarray, radius: int,
+    height: int, width: int, channels: int,
+    interpret: bool = False, folded: bool = False, passes: str = "both",
+) -> jnp.ndarray:
+    """Flat HWC uint8 buffer -> flat, fused box blur (serving path)."""
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    rows = flat_u8.reshape(1, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, jnp.asarray(inv), radius, box_mode=True, channels=channels,
+        interpret=interpret, folded=folded, passes=passes)
+    return out.reshape(-1)
+
+
+def gaussian_pallas_flat_batch(
+    flats_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
+    height: int, width: int, channels: int,
+    interpret: bool = False, folded: bool = False,
+) -> jnp.ndarray:
+    """(B, H*W*C) flat batch -> same, batch riding the kernel grid."""
+    b = flats_u8.shape[0]
+    rows = flats_u8.reshape(b, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, weights, radius, box_mode=False, channels=channels,
+        interpret=interpret, folded=folded)
+    return out.reshape(b, -1)
+
+
+def box_pallas_flat_batch(
+    flats_u8: jnp.ndarray, radius: int,
+    height: int, width: int, channels: int,
+    interpret: bool = False, folded: bool = False,
+) -> jnp.ndarray:
+    """(B, H*W*C) flat batch -> same, batch riding the kernel grid."""
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    b = flats_u8.shape[0]
+    rows = flats_u8.reshape(b, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, jnp.asarray(inv), radius, box_mode=True, channels=channels,
+        interpret=interpret, folded=folded)
+    return out.reshape(b, -1)
 
 
 def gaussian_pallas_batch(

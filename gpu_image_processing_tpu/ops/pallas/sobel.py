@@ -136,6 +136,166 @@ def _sobel_kernel_batch(in_ref, out_ref, tile_u8, gbuf, sem, *, channels: int,
         out_ref[0, c] = edge
 
 
+def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
+                              sem, *, channels: int, level: int,
+                              tile_rows: int, copy_rows: int, height: int,
+                              width: int, w_out: int):
+    """Interleaved-HWC Sobel: in_ref (N, Hp+pad, Wp) u8 rows in HBM, where
+    lanes [0, C) are the left halo pixel and [C, C+W*C) the image row.
+
+    Gray is computed at EVERY lane (g[l] = .299*x[l] + .587*x[l+1] +
+    .114*x[l+2]): at pixel-phase lanes l = C + k*C it equals gray(pixel k),
+    elsewhere it is phase-garbage that the channel-replication masks never
+    select.  Pixel-shift taps become C-lane shifts, so the whole filter
+    stays in contiguous full-width vector ops -- no deinterleave gathers.
+    ~3x the planar kernel's VPU work (every lane computes), but it consumes
+    the serving boundary's flat buffer layout for free, where materializing
+    a planar image costs a 16 ms relayout (ops/pallas/blur.py).
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    copy = pltpu.make_async_copy(
+        in_ref.at[b, pl.ds(i * tile_rows, copy_rows), :], tile_u8, sem
+    )
+    copy.start()
+    copy.wait()
+
+    wg = gbuf.shape[1]   # = Wp - 2: gray needs x[l+2], taps need G[<= Wp-3]
+    if channels == 1:
+        gbuf[:, :] = tile_u8[:, :wg].astype(jnp.int32).astype(jnp.float32)
+    else:
+        # Rec.601 at every lane, exact f32 order (image_filters.cu:1443).
+        gbuf[:, :] = jnp.float32(0.299) * tile_u8[:, :wg].astype(
+            jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.587) * tile_u8[:, 1:wg + 1].astype(
+            jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.114) * tile_u8[:, 2:wg + 2].astype(
+            jnp.int32).astype(jnp.float32)
+    if level == 2:
+        # Level 2 quantizes gray to uint8 during the tile load (:1444).
+        gbuf[:, :] = jnp.floor(gbuf[:, :] + jnp.float32(0.5))
+    g = gbuf[:, :]
+
+    def tap(dy: int, dx: int) -> jnp.ndarray:
+        c0 = (1 + dx) * channels
+        return g[dy : dy + tile_rows, c0 : c0 + w_out]
+
+    one, two = jnp.float32(1.0), jnp.float32(2.0)
+    gx = (
+        (-one) * tap(0, -1) + one * tap(0, 1)
+        + (-two) * tap(1, -1) + two * tap(1, 1)
+        + (-one) * tap(2, -1) + one * tap(2, 1)
+    )
+    gy = (
+        (-one) * tap(0, -1) + (-two) * tap(0, 0) + (-one) * tap(0, 1)
+        + one * tap(2, -1) + two * tap(2, 0) + one * tap(2, 1)
+    )
+    mag = jnp.minimum(jnp.sqrt(gx * gx + gy * gy), jnp.float32(255.0))
+    mbuf[:, channels:] = jnp.floor(mag + jnp.float32(0.5))
+    mbuf[:, :channels] = jnp.zeros((tile_rows, channels), jnp.float32)
+
+    # Zero the global 1-pixel border; lane l belongs to pixel l // C.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, w_out), 1)
+    pix = lane // channels
+    grow = i * tile_rows + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_rows, w_out), 0
+    )
+    inside = (
+        (pix >= 1) & (pix <= width - 2) & (grow >= 1) & (grow <= height - 2)
+    )
+
+    if channels == 1:
+        out = jnp.where(inside, mbuf[:, channels:], 0.0)
+    else:
+        # Replicate each pixel's magnitude to all its channel lanes:
+        # out[l] = M[l - l%C], built from C masked shifted slices.
+        phase = lane - pix * channels
+        out = jnp.zeros((tile_rows, w_out), jnp.float32)
+        for j in range(channels):
+            shifted = mbuf[:, channels - j : channels - j + w_out]
+            out = out + jnp.where((phase == j) & inside, shifted, 0.0)
+    out_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
+
+
+def _pick_tile_rows_interleaved(requested: int, wp: int) -> int:
+    """VMEM budget for the interleaved kernel: u8 tile + gray f32 + M f32 +
+    replication temps over Wp lanes ~= 30 bytes per (row x Wp lane)."""
+    budget = 10 * 1024 * 1024
+    tile = max(int(budget / (wp * 30.0)) - 2, 8)
+    tile = max((tile // 8) * 8, 8)
+    return min(requested, tile)
+
+
+def sobel_pallas_flat_batch(
+    flats_u8: jnp.ndarray,    # (B, H*W*C) uint8, HWC byte order
+    height: int, width: int, channels: int,
+    level: int = 2, interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat serving-path Sobel; returns (B, H*W*C)."""
+    b = flats_u8.shape[0]
+    wf = width * channels
+    rows = flats_u8.reshape(b, height, wf)
+
+    # 1 halo pixel each side + 2 junk lanes for the gray shifts (the gray
+    # pass reads x[l+2] at the last lane).
+    wp = _round_up(wf + 2 * channels + 2, 128)
+    tile_rows = min(
+        _pick_tile_rows_interleaved(TPU.sobel_tile_rows, wp),
+        _round_up(height, 8),
+    )
+    hp = _round_up(height, tile_rows)
+    w_out = wp - 2 * channels - 2
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2, 8)
+    total_rows = hp - tile_rows + copy_rows
+
+    left = rows[:, :, :channels]
+    right_reps = (wp - channels - wf + channels - 1) // channels
+    right = jnp.tile(rows[:, :, wf - channels:], (1, 1, right_reps))
+    x = jnp.concatenate([left, rows, right], axis=2)[:, :, :wp]
+    x = jnp.pad(x, ((0, 0), (1, total_rows - height - 1), (0, 0)), mode="edge")
+
+    out = pl.pallas_call(
+        functools.partial(
+            _sobel_kernel_interleaved,
+            channels=channels,
+            level=level,
+            tile_rows=tile_rows,
+            copy_rows=copy_rows,
+            height=height,
+            width=width,
+            w_out=w_out,
+        ),
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, tile_rows, w_out), lambda bb, i: (bb, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, w_out), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((copy_rows, wp), jnp.uint8),
+            pltpu.VMEM((copy_rows, wp - 2), jnp.float32),
+            pltpu.VMEM((tile_rows, channels + w_out), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+
+    return out[:, :height, :wf].reshape(b, -1)
+
+
+def sobel_pallas_flat(
+    flat_u8: jnp.ndarray, height: int, width: int, channels: int,
+    level: int = 2, interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat HWC uint8 buffer -> flat edge map (serving path)."""
+    return sobel_pallas_flat_batch(
+        flat_u8.reshape(1, -1), height, width, channels,
+        level=level, interpret=interpret,
+    ).reshape(-1)
+
+
 def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
                        interpret: bool = False,
                        rows_prepadded: bool = False,

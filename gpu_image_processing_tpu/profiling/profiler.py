@@ -56,51 +56,55 @@ def check_profiler_available() -> bool:
     return True
 
 
-def _pass_fn(filter_type: str, lvl: int, radius: int, which: str):
-    """A jittable HWC u8 -> u8 fn running ONE separable pass of a blur.
+def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
+             h: int, w: int, c: int):
+    """A jittable FLAT u8 -> u8 fn running ONE separable pass of a blur.
 
-    Matches the implementation tier the runtime actually serves: the Pallas
-    kernel with the other pass elided (levels 2/4), or the XLA shifted-slice
-    pass (level 1 / Pallas disabled).
+    Matches the implementation tier the runtime actually serves: the
+    interleaved Pallas kernel with the other pass elided (levels 2/4), or
+    the interleaved XLA shifted-slice pass (level 1 / Pallas disabled).
+    Flat-native like the serving trace fns, so no relayout pollutes the
+    measured split.
     """
-    import jax.numpy as jnp
-
-    from ..ops.rounding import quantize_u8
-    from ..ops.weights import box_inv_taps_f32
-
+    wf = w * c
     if lvl >= 2 and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import box_pallas, gaussian_pallas
+            from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
             from ..runtime.device import is_tpu
 
             interp = not is_tpu()
             folded = lvl == 4
             if filter_type == "gaussian":
-                return lambda img, w: gaussian_pallas(
-                    img, w, radius, interpret=interp, folded=folded, passes=which
+                return lambda flat, wts: gaussian_pallas_flat(
+                    flat, wts, radius, h, w, c,
+                    interpret=interp, folded=folded, passes=which,
                 )
-            return lambda img: box_pallas(
-                img, radius, interpret=interp, folded=folded, passes=which
+            return lambda flat: box_pallas_flat(
+                flat, radius, h, w, c,
+                interpret=interp, folded=folded, passes=which,
             )
         except Exception:  # pragma: no cover - env without Mosaic
             pass
 
-    from ..ops import fused
+    from ..ops import interleaved as il
+    from ..ops.rounding import quantize_u8
+    from ..ops.weights import box_inv_taps_f32
 
-    conv = fused._conv_last if which == "horizontal" else fused._conv_rows
     if filter_type == "gaussian":
-        def fn(img, w):
-            x = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
-            return jnp.transpose(quantize_u8(conv(x, w, radius)), (1, 2, 0))
+        def fn(flat, wts):
+            x = flat.reshape(h, wf).astype("float32")
+            y = (il._conv_cols(x, wts, radius, c) if which == "horizontal"
+                 else il._conv_rows(x, wts, radius))
+            return quantize_u8(y).reshape(-1)
 
         return fn
 
-    s = fused._sum_last if which == "horizontal" else fused._sum_rows
-
-    def fn(img):
+    def fn(flat):
         inv = box_inv_taps_f32(radius)
-        x = jnp.transpose(img, (2, 0, 1)).astype(jnp.float32)
-        return jnp.transpose(quantize_u8(s(x, radius) * inv), (1, 2, 0))
+        x = flat.reshape(h, wf).astype("float32")
+        y = (il._sum_cols(x, radius, c) if which == "horizontal"
+             else il._sum_rows(x, radius))
+        return quantize_u8(y * inv).reshape(-1)
 
     return fn
 
@@ -125,14 +129,13 @@ def _pass_breakdown(
     key = (filter_type, lvl, radius, kh, kw, channels, platform())
     if key in _PASS_CACHE:
         return _PASS_CACHE[key]
-    from ..runtime import dispatch as _d
     from ..runtime.device import is_tpu
     from ..runtime.timing import device_time_ms
 
-    iters = 16 if is_tpu() else 4
+    iters = 64 if is_tpu() else 4
     out = []
     for which in ("horizontal", "vertical"):
-        fn = _d._flatio(_pass_fn(filter_type, lvl, radius, which), kh, kw, channels)
+        fn = _pass_fn(filter_type, lvl, radius, which, kh, kw, channels)
         out.append(device_time_ms(fn, args, iters=iters, sync_reps=2))
     _PASS_CACHE[key] = (out[0], out[1])
     return out[0], out[1]

@@ -32,30 +32,8 @@ from ..core.params import (
     validate_gaussian_params,
     validate_image_shape,
 )
-from ..ops import ref
 from ..ops.weights import gaussian_kernel_f32
 from .device import default_device, warmup_transfers
-
-# ---------------------------------------------------------------------------
-# Level-2 implementations are registered lazily so that the oracle path has
-# no dependency on Pallas; runtime/dispatch stays importable everywhere.
-# ---------------------------------------------------------------------------
-
-_LEVEL2_IMPLS: dict[str, Callable] = {}
-
-
-def register_level2(filter_name: str, fn: Callable) -> None:
-    _LEVEL2_IMPLS[filter_name] = fn
-
-
-def _load_level2() -> None:
-    """Populate the level-2 registry (idempotent)."""
-    if _LEVEL2_IMPLS:
-        return
-    from ..ops import fused  # local import: registers the optimized paths
-
-    fused.register_all(register_level2)
-
 
 # ---------------------------------------------------------------------------
 # Trace functions per (filter, level)
@@ -68,105 +46,133 @@ def _load_level2() -> None:
 # ---------------------------------------------------------------------------
 
 
-def _flatio(fn: Callable, height: int, width: int, channels: int) -> Callable:
-    def wrapped(flat, *rest):
-        img = flat.reshape(height, width, channels)
-        return fn(img, *rest).reshape(-1)
+def _flat_optimized(filter_name: str, level: int, radius: int,
+                    h: int, w_: int, c: int) -> Callable:
+    """Levels 2/4 on the flat boundary: interleaved Pallas kernels, with
+    the interleaved XLA tier as fallback.  The planar kernels are NOT used
+    here -- materializing an (H, W, C) device array from the flat buffer
+    costs a pathological relayout (16.3 ms on the README image, 26x the
+    kernel; see ops/interleaved.py)."""
+    import os as _os
 
-    return wrapped
+    wf = w_ * c
+    folded = level == 4
+    if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
+        try:
+            from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
+            from ..ops.pallas.sobel import sobel_pallas_flat
+            from .device import is_tpu
 
+            interp = not is_tpu()
+            if filter_name == "gaussian":
+                return lambda flat, w: gaussian_pallas_flat(
+                    flat, w, radius, h, w_, c, interpret=interp, folded=folded)
+            if filter_name == "box":
+                return lambda flat: box_pallas_flat(
+                    flat, radius, h, w_, c, interpret=interp, folded=folded)
+            return lambda flat: sobel_pallas_flat(
+                flat, h, w_, c, level=1 if level == 4 else 2, interpret=interp)
+        except ImportError:  # pragma: no cover - env without Mosaic
+            pass
 
-def _opt_impl(name: str, level: int) -> Callable:
-    """Resolve the optimized implementation for level 2 or 4."""
-    _load_level2()
-    return _LEVEL2_IMPLS[f"{name}_adv" if level == 4 else name]
+    from ..ops import interleaved as il
+
+    if filter_name == "gaussian":
+        return lambda flat, w: il.gaussian_rows(
+            flat.reshape(h, wf), w, radius, c).reshape(-1)
+    if filter_name == "box":
+        return lambda flat: il.box_rows(
+            flat.reshape(h, wf), radius, c).reshape(-1)
+    lvl = 1 if level == 4 else 2
+    return lambda flat: il.sobel_rows(
+        flat.reshape(h, wf), lvl, w_, c).reshape(-1)
 
 
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
-        fn = lambda img, w: ref.gaussian_blur(img, w, radius)  # noqa: E731
-    else:
-        impl = _opt_impl("gaussian", level)
-        fn = lambda img, w: impl(img, w, radius)  # noqa: E731
-    return _flatio(fn, h, w_, c)
+        from ..ops import interleaved as il
+
+        wf = w_ * c
+        return lambda flat, w: il.gaussian_rows(
+            flat.reshape(h, wf), w, radius, c).reshape(-1)
+    return _flat_optimized("gaussian", level, radius, h, w_, c)
 
 
 def _trace_box(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
-        fn = lambda img: ref.box_blur(img, radius)  # noqa: E731
-    else:
-        impl = _opt_impl("box", level)
-        fn = lambda img: impl(img, radius)  # noqa: E731
-    return _flatio(fn, h, w_, c)
+        from ..ops import interleaved as il
+
+        wf = w_ * c
+        return lambda flat: il.box_rows(
+            flat.reshape(h, wf), radius, c).reshape(-1)
+    return _flat_optimized("box", level, radius, h, w_, c)
 
 
 def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
-        fn = lambda img: ref.sobel(img, 1)  # noqa: E731
-    else:
-        impl = _opt_impl("sobel", level)
-        fn = lambda img: impl(img)  # noqa: E731
-    return _flatio(fn, h, w_, c)
+        from ..ops import interleaved as il
+
+        wf = w_ * c
+        return lambda flat: il.sobel_rows(
+            flat.reshape(h, wf), 1, w_, c).reshape(-1)
+    return _flat_optimized("sobel", level, 0, h, w_, c)
 
 
 def _trace_batch(filter_name: str, level: int, radius: int,
                  h: int, w_: int, c: int) -> Callable:
     """Batched trace fn over (B, H*W*C) flat uint8.
 
-    Level 1 vmaps the pure-jnp oracle.  Levels 2/4 use the natively batched
+    Level 1 runs the interleaved jnp tier directly on (B, H, W*C) rows (no
+    vmap, no relayout).  Levels 2/4 use the natively batched interleaved
     Pallas kernels (the batch rides the kernel grid; Pallas ANY-space
-    operands cannot be vmapped on TPU) with the XLA-fused tier vmapped as
+    operands cannot be vmapped on TPU) with the interleaved XLA tier as
     fallback.
     """
     import os as _os
 
-    def hwc(fn):
+    wf = w_ * c
+
+    def rows_io(fn):
         def wrapped(flats, *rest):
-            imgs = flats.reshape(-1, h, w_, c)
-            return fn(imgs, *rest).reshape(flats.shape[0], -1)
+            return fn(flats.reshape(-1, h, wf), *rest).reshape(flats.shape[0], -1)
 
         return wrapped
 
-    if level == 1:
-        singles = {
-            "gaussian": lambda img, w: ref.gaussian_blur(img, w, radius),
-            "box": lambda img: ref.box_blur(img, radius),
-            "sobel": lambda img: ref.sobel(img, 1),
-        }
-        single = singles[filter_name]
-        if filter_name == "gaussian":
-            return hwc(lambda imgs, w: jax.vmap(lambda im: single(im, w))(imgs))
-        return hwc(lambda imgs: jax.vmap(single)(imgs))
+    from ..ops import interleaved as il
 
-    use_pallas = _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"
-    if use_pallas:
+    if level == 1:
+        if filter_name == "gaussian":
+            return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))
+        if filter_name == "box":
+            return rows_io(lambda rows: il.box_rows(rows, radius, c))
+        return rows_io(lambda rows: il.sobel_rows(rows, 1, w_, c))
+
+    if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import box_pallas_batch, gaussian_pallas_batch
-            from ..ops.pallas.sobel import sobel_pallas_batch
+            from ..ops.pallas.blur import (box_pallas_flat_batch,
+                                           gaussian_pallas_flat_batch)
+            from ..ops.pallas.sobel import sobel_pallas_flat_batch
             from .device import is_tpu
 
             interp = not is_tpu()
             folded = level == 4
             if filter_name == "gaussian":
-                return hwc(lambda imgs, w: gaussian_pallas_batch(
-                    imgs, w, radius, interpret=interp, folded=folded))
+                return lambda flats, w: gaussian_pallas_flat_batch(
+                    flats, w, radius, h, w_, c, interpret=interp, folded=folded)
             if filter_name == "box":
-                return hwc(lambda imgs: box_pallas_batch(
-                    imgs, radius, interpret=interp, folded=folded))
-            return hwc(lambda imgs: sobel_pallas_batch(
-                imgs, level=1 if level == 4 else 2, interpret=interp))
+                return lambda flats: box_pallas_flat_batch(
+                    flats, radius, h, w_, c, interpret=interp, folded=folded)
+            return lambda flats: sobel_pallas_flat_batch(
+                flats, h, w_, c, level=1 if level == 4 else 2, interpret=interp)
         except ImportError:  # pragma: no cover
             pass
 
-    from ..ops import fused
-
     if filter_name == "gaussian":
-        return hwc(lambda imgs, w: jax.vmap(
-            lambda im: fused.gaussian_fused(im, w, radius))(imgs))
+        return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))
     if filter_name == "box":
-        return hwc(lambda imgs: jax.vmap(
-            lambda im: fused.box_fused(im, radius))(imgs))
-    return hwc(lambda imgs: jax.vmap(fused.sobel_fused)(imgs))
+        return rows_io(lambda rows: il.box_rows(rows, radius, c))
+    return rows_io(lambda rows: il.sobel_rows(
+        rows, 1 if level == 4 else 2, w_, c))
 
 
 class FilterExecutable:

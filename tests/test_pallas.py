@@ -76,3 +76,58 @@ def test_tile_boundary_rows(rng):
         lambda x, wt: gaussian_pallas(x, wt, 4, interpret=True)
     )(img, w))
     np.testing.assert_array_equal(got, oracle.gaussian_blur(img, w, 4))
+
+
+# ------------------------------------------------------ interleaved (flat)
+# The serving-path kernels: consume the flat HWC byte buffer's natural
+# (H, W*C) layout; taps shift by C lanes (see ops/pallas/blur.py
+# _separable_blur_interleaved).
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_gaussian_flat_exact(rng, shape):
+    from gpu_image_processing_tpu.ops.pallas.blur import gaussian_pallas_flat
+
+    h, w, c = shape
+    img = make_image(rng, *shape)
+    wts = gaussian_kernel_f32(3, 2.0)
+    got = np.asarray(jax.jit(lambda f, wt: gaussian_pallas_flat(
+        f, wt, 3, h, w, c, interpret=True))(img.reshape(-1), wts))
+    np.testing.assert_array_equal(
+        got.reshape(h, w, c), oracle.gaussian_blur(img, wts, 3))
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_sobel_flat_matches_oracle(rng, shape):
+    from gpu_image_processing_tpu.ops.pallas.sobel import sobel_pallas_flat
+
+    h, w, c = shape
+    img = make_image(rng, *shape)
+    got = np.asarray(jax.jit(lambda f: sobel_pallas_flat(
+        f, h, w, c, level=2, interpret=True))(img.reshape(-1)))
+    assert_sobel_close(got.reshape(h, w, c), oracle.sobel(img, 2))
+
+
+def test_box_flat_batch_exact(rng):
+    from gpu_image_processing_tpu.ops.pallas.blur import box_pallas_flat_batch
+
+    imgs = np.stack([make_image(rng, 25, 31, 3) for _ in range(3)])
+    got = np.asarray(jax.jit(lambda f: box_pallas_flat_batch(
+        f, 4, 25, 31, 3, interpret=True))(imgs.reshape(3, -1)))
+    for i in range(3):
+        np.testing.assert_array_equal(
+            got[i].reshape(25, 31, 3), oracle.box_blur(imgs[i], 4))
+
+
+def test_gaussian_flat_folded_gate(rng):
+    # ADVANCED tier on the flat path: symmetric folding, maxdiff <= 1 vs
+    # the strict-order level 2 (the reference's own L1<->L2 gate).
+    from gpu_image_processing_tpu.ops.pallas.blur import gaussian_pallas_flat
+
+    h, w, c = 33, 47, 3
+    img = make_image(rng, h, w, c)
+    wts = gaussian_kernel_f32(5, 3.0)
+    exact = np.asarray(jax.jit(lambda f, wt: gaussian_pallas_flat(
+        f, wt, 5, h, w, c, interpret=True))(img.reshape(-1), wts))
+    folded = np.asarray(jax.jit(lambda f, wt: gaussian_pallas_flat(
+        f, wt, 5, h, w, c, interpret=True, folded=True))(img.reshape(-1), wts))
+    assert np.abs(exact.astype(int) - folded.astype(int)).max() <= 1
