@@ -69,6 +69,13 @@ class TpuConfig:
     # metrics triplet (minimum is reported).  >1 makes the measurement
     # robust to tunnel/RPC artifacts on remote-attached devices.
     timing_reps: int = 2
+    # Images at or below this pixel count serve levels 2/4 from the
+    # interleaved XLA tier instead of the Pallas kernels -- measured
+    # crossover on v5e (2026-08-16): XLA wins ~2x at <= 2.1 MP, Pallas wins
+    # ~1.6x at 7 MP; 2-4 MP is within chip-drift noise.  Both tiers are
+    # bit-exact, so routing is invisible except in speed.  Override with
+    # GIP_TPU_XLA_TIER_MAX_PIXELS (0 forces Pallas everywhere).
+    xla_tier_max_pixels: int = 2_500_000
 
 
 TPU = TpuConfig()

@@ -20,6 +20,15 @@ bf16 (integers <= 255 are exact in bf16) with f32 accumulation.
 A fused `broadcast_interleave` writes one gray plane to all C interleaved
 channels in a single matmul (the Sobel output pattern,
 image_filters.cu:1311-1313).
+
+STATUS: measured 17 ms for the 21 MB README image on v5e -- WORSE than the
+XLA transpose it was meant to replace (bf16 operand relayouts dominate).
+Kept as a correct, tested negative result.  The production answer to the
+layout problem is to avoid conversion entirely: the serving path runs
+interleaved-native kernels on the flat buffer's (H, W*C) layout
+(ops/interleaved.py, ops/pallas/*_flat), and the planar kernels are fed by
+device_put arrays whose relayout happened at transfer time
+(ARCHITECTURE.md "uint8 layout law").
 """
 
 from __future__ import annotations

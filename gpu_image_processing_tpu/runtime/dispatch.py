@@ -57,6 +57,27 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
 
     wf = w_ * c
     folded = level == 4
+
+    def xla_tier() -> Callable:
+        from ..ops import interleaved as il
+
+        if filter_name == "gaussian":
+            return lambda flat, w: il.gaussian_rows(
+                flat.reshape(h, wf), w, radius, c).reshape(-1)
+        if filter_name == "box":
+            return lambda flat: il.box_rows(
+                flat.reshape(h, wf), radius, c).reshape(-1)
+        lvl = 1 if level == 4 else 2
+        return lambda flat: il.sobel_rows(
+            flat.reshape(h, wf), lvl, w_, c).reshape(-1)
+
+    # Small images serve faster from the XLA tier (measured crossover, see
+    # config); both tiers are bit-exact so routing only changes speed.
+    max_px = int(_os.environ.get(
+        "GIP_TPU_XLA_TIER_MAX_PIXELS", config.TPU.xla_tier_max_pixels))
+    if h * w_ <= max_px:
+        return xla_tier()
+
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
             from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
@@ -75,17 +96,7 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
         except ImportError:  # pragma: no cover - env without Mosaic
             pass
 
-    from ..ops import interleaved as il
-
-    if filter_name == "gaussian":
-        return lambda flat, w: il.gaussian_rows(
-            flat.reshape(h, wf), w, radius, c).reshape(-1)
-    if filter_name == "box":
-        return lambda flat: il.box_rows(
-            flat.reshape(h, wf), radius, c).reshape(-1)
-    lvl = 1 if level == 4 else 2
-    return lambda flat: il.sobel_rows(
-        flat.reshape(h, wf), lvl, w_, c).reshape(-1)
+    return xla_tier()
 
 
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:

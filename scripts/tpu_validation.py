@@ -28,6 +28,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
+# Pin tier routing to Pallas: this script is the on-silicon proof of the
+# Pallas kernels; the small validation images would otherwise route to the
+# XLA tier (dispatch._flat_optimized).  One default-routing case runs below.
+os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"
+
 import oracle_numpy as oracle  # noqa: E402
 
 from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32  # noqa: E402
@@ -97,6 +102,14 @@ def main() -> int:
         "batch gauss L2",
         all((out[i] == oracle.gaussian_blur(imgs[i], w, 3)).all() for i in range(4)),
     )
+
+    # Default routing sanity: small image through the XLA tier on silicon.
+    os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "2500000"
+    img = rng.integers(0, 256, (96, 133, 3), np.uint8)
+    out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=2)
+    want = oracle.gaussian_blur(img, gaussian_kernel_f32(3, 2.0), 3)
+    check("gauss c3 L2 (xla tier, default routing)", (out == want).all())
+    os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"
 
     print(f"TOTAL FAILURES: {FAILS}", flush=True)
     return 1 if FAILS else 0

@@ -10,6 +10,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME and the
 # config flag below do take effect.
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Test images are small; without this pin the size-based tier routing would
+# serve every level-2 case from the XLA tier and the Pallas kernels would
+# lose their interpreter coverage.  Routing itself is tested explicitly in
+# test_bucketing.py::test_tier_routing_*.
+os.environ.setdefault("GIP_TPU_XLA_TIER_MAX_PIXELS", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -102,3 +102,30 @@ def test_loop_timing_default_off_on_cpu(rng, monkeypatch):
     from gpu_image_processing_tpu.runtime.dispatch import _loop_timing_enabled
 
     assert _loop_timing_enabled() is False  # tests force the CPU platform
+
+
+def test_tier_routing_small_images_use_xla_tier(rng, monkeypatch):
+    # Below the measured crossover the level-2 trace fn must come from the
+    # interleaved XLA tier; both tiers are bit-exact, so this only checks
+    # routing + output correctness.
+    monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "2500000")
+    img = make_image(rng, 30, 44, 3)
+    out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=2)
+    w = gaussian_kernel_f32(3, 2.0)
+    np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
+    out, _ = RUNTIME.box_blur(img, radius=4, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 4))
+
+
+def test_tier_routing_threshold_zero_forces_pallas(rng, monkeypatch):
+    monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "0")
+    from gpu_image_processing_tpu.runtime.dispatch import _flat_optimized
+
+    # With threshold 0 the resolver must NOT return the XLA-tier lambda;
+    # it reaches the Pallas branch (interpret mode on CPU).
+    fn = _flat_optimized("gaussian", 2, 3, 30, 44, 3)
+    assert "gaussian_pallas_flat" in (fn.__code__.co_names + tuple(
+        c.cell_contents.__name__ for c in (fn.__closure__ or ())
+        if callable(getattr(c, "cell_contents", None))
+        and hasattr(c.cell_contents, "__name__")
+    ))
