@@ -96,10 +96,51 @@ def gaussian_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
     return quantize_u8(_conv_rows(h, weights, radius))
 
 
-def box_rows(rows_u8: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:
-    """(..., H, W*C) u8 -> u8 separable box blur, level-1 numerics."""
+def _windowed_sum_doubling(xp: jnp.ndarray, taps: int, unit: int,
+                           axis: int) -> jnp.ndarray:
+    """Sum of `taps` elements spaced `unit` apart along `axis`, built by
+    doubling: ~2*log2(taps) adds instead of taps.  Exact for box windows
+    (uint8 sums < 2^24 are exact integers in f32 under any association)."""
+    def sl(a, start, length):
+        idx = [slice(None)] * a.ndim
+        idx[axis] = slice(start, start + length)
+        return a[tuple(idx)]
+
+    out_len = xp.shape[axis] - (taps - 1) * unit
+    res = None
+    off = 0
+    s = xp
+    n_bits = taps.bit_length()
+    for b in range(n_bits):
+        if (taps >> b) & 1:
+            term = sl(s, off, out_len)
+            res = term if res is None else res + term
+            off += (1 << b) * unit
+        if b < n_bits - 1:
+            shift = (1 << b) * unit
+            s = sl(s, 0, s.shape[axis] - shift) + sl(s, shift, s.shape[axis] - shift)
+    return res
+
+
+def box_rows(rows_u8: jnp.ndarray, radius: int, channels: int,
+             doubling: bool = False) -> jnp.ndarray:
+    """(..., H, W*C) u8 -> u8 separable box blur.
+
+    doubling=False is the level-1 numerics (sequential CUDA tap order);
+    doubling=True builds the window sums by doubling -- bit-identical
+    output (sums are exact), ~2*log2 the adds, used by the optimized tiers
+    at radius >= 4.
+    """
     inv = box_inv_taps_f32(radius)
     x = rows_u8.astype(jnp.float32)
+    taps = 2 * radius + 1
+    if doubling:
+        hs = _windowed_sum_doubling(
+            _pad_pixels_lr(x, radius, channels), taps, channels, x.ndim - 1)
+        h = quantize_u8_f32(hs * inv)
+        vs = _windowed_sum_doubling(
+            _pad_rows_edge(h, radius), taps, 1, x.ndim - 2)
+        return quantize_u8(vs * inv)
     h = quantize_u8_f32(_sum_cols(x, radius, channels) * inv)
     return quantize_u8(_sum_rows(h, radius) * inv)
 

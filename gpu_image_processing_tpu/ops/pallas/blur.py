@@ -45,15 +45,17 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def _pick_tile_rows(requested: int, wp: int, radius: int) -> int:
+def _pick_tile_rows(requested: int, wp: int, radius: int,
+                    doubling: bool = False) -> int:
     """Cap tile rows so the kernel's VMEM working set fits for any width.
 
     Live buffers per grid step: tile u8 (CRxWp), xbuf f32 (CRxWp), hbuf f32
     (CRxWo), vbuf f32 (THxWo) plus the double-buffered u8 output block --
-    roughly 13.5 bytes per (row x Wp lane).  A 3.3k-wide image supports
-    ~190 copy rows; an 8k-wide image only ~90.
+    roughly 13.5 bytes per (row x Wp lane); +4 for the doubling-sum
+    ping-pong buffer.  A 3.3k-wide image supports ~190 copy rows; an
+    8k-wide image only ~90.
     """
-    bytes_per_row = wp * 13.5
+    bytes_per_row = wp * (17.5 if doubling else 13.5)
     max_copy_rows = max(int(_VMEM_BUDGET / bytes_per_row), 8)
     tile = max_copy_rows - 2 * radius
     tile = max((tile // 8) * 8, 8)
@@ -65,7 +67,15 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + jnp.float32(0.5))
 
 
-def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
+def _use_doubling(box_mode: bool, radius: int) -> bool:
+    """Box windows with >= 9 taps use doubling sums: ~2*log2+popcount
+    full-width adds instead of 2r+1.  Exact -- window sums of uint8 values
+    (< 2^24) are exact integers in f32 under ANY association, so the result
+    is bit-identical to the sequential CUDA tap order."""
+    return box_mode and radius >= 4
+
+
+def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
                  box_mode: bool, folded: bool = False, passes: str = "both",
                  tap_stride: int = 1):
@@ -89,6 +99,10 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
     while keeping the exact CUDA f32 operation order
     (image_filters.cu:86-99).
     """
+    if _use_doubling(box_mode, radius):
+        sbuf, sem = rest
+    else:
+        sbuf, (sem,) = None, rest
     c = pl.program_id(0)
     i = pl.program_id(1)
     taps = 2 * radius + 1
@@ -136,6 +150,59 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
         if box_mode:
             acc_ref[:, :] = acc_ref[:, :] * w_ref[0, 0]
 
+    def box_cols_doubling(src_ref, tmp_ref, res_ref):
+        """Windowed column sum via doubling (see _use_doubling); src is
+        clobbered.  Chunks of the binary decomposition of `taps` are taken
+        LSB-first at increasing offsets; each doubling halves the remaining
+        adds.  ~2*log2(taps) full-width ops instead of taps."""
+        unit = tap_stride
+        full = src_ref.shape[1]
+        cur, nxt = src_ref, tmp_ref
+        off = 0
+        first = True
+        n_bits = taps.bit_length()
+        for b in range(n_bits):
+            if (taps >> b) & 1:
+                sl = cur[:, off : off + w_out]
+                if first:
+                    res_ref[:, :] = sl
+                    first = False
+                else:
+                    res_ref[:, :] = res_ref[:, :] + sl
+                off += (1 << b) * unit
+            if b < n_bits - 1:
+                shift = (1 << b) * unit
+                width = full - shift
+                nxt[:, :width] = cur[:, :width] + cur[:, shift : shift + width]
+                cur, nxt = nxt, cur
+        res_ref[:, :] = res_ref[:, :] * w_ref[0, 0]
+
+    def box_rows_doubling(src_ref, tmp_ref, res_ref):
+        """Row-axis version; reads/writes column-prefix slices so the wider
+        tmp buffer can be shared with the column pass."""
+        full = src_ref.shape[0]
+        cur, nxt = src_ref, tmp_ref
+        off = 0
+        first = True
+        n_bits = taps.bit_length()
+        for b in range(n_bits):
+            if (taps >> b) & 1:
+                sl = cur[off : off + tile_rows, :w_out]
+                if first:
+                    res_ref[:, :] = sl
+                    first = False
+                else:
+                    res_ref[:, :] = res_ref[:, :] + sl
+                off += 1 << b
+            if b < n_bits - 1:
+                shift = 1 << b
+                height = full - shift
+                nxt[:height, :w_out] = (
+                    cur[:height, :w_out] + cur[shift : shift + height, :w_out]
+                )
+                cur, nxt = nxt, cur
+        res_ref[:, :] = res_ref[:, :] * w_ref[0, 0]
+
     # tap_stride > 1 is the interleaved-HWC layout: a horizontal tap at
     # pixel offset t is a lane offset of t*C on the (rows, W*C) tile (all
     # channels shift together; slices stay contiguous).
@@ -148,7 +215,10 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
     # vertical kernels separately, ncu_profiler.py:499-557); serving always
     # runs "both".
     if passes in ("both", "horizontal"):
-        conv(xbuf, hbuf, take_cols, w_out)
+        if sbuf is not None:
+            box_cols_doubling(xbuf, sbuf, hbuf)
+        else:
+            conv(xbuf, hbuf, take_cols, w_out)
         hbuf[:, :] = _quant(hbuf[:, :])
     else:
         hbuf[:, :] = xbuf[:, :w_out]
@@ -158,7 +228,10 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, sem, *,
             .astype(jnp.int32).astype(jnp.uint8)
         )
         return
-    conv(hbuf, vbuf, take_rows, tile_rows)
+    if sbuf is not None:
+        box_rows_doubling(hbuf, sbuf, vbuf)
+    else:
+        conv(hbuf, vbuf, take_rows, tile_rows)
     out_ref[0] = (
         jnp.clip(_quant(vbuf[:, :]), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
     )
@@ -183,8 +256,9 @@ def _separable_blur_planar(
     if rows_prepadded:
         height -= 2 * radius
     wp = _round_up(width + 2 * radius, 128)
+    doubling = _use_doubling(box_mode, radius)
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius, doubling),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
@@ -215,6 +289,16 @@ def _separable_blur_planar(
 
     w2d = weights.reshape(1, -1)
 
+    scratch = [
+        pltpu.VMEM((copy_rows, wp), jnp.uint8),
+        pltpu.VMEM((copy_rows, wp), jnp.float32),
+        pltpu.VMEM((copy_rows, w_out), jnp.float32),
+        pltpu.VMEM((tile_rows, w_out), jnp.float32),
+    ]
+    if doubling:
+        scratch.append(pltpu.VMEM((copy_rows, wp), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA)
+
     out = pl.pallas_call(
         functools.partial(
             _blur_kernel,
@@ -237,13 +321,7 @@ def _separable_blur_planar(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((copy_rows, wp), jnp.uint8),
-            pltpu.VMEM((copy_rows, wp), jnp.float32),
-            pltpu.VMEM((copy_rows, w_out), jnp.float32),
-            pltpu.VMEM((tile_rows, w_out), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(w2d, x)
 
@@ -275,8 +353,9 @@ def _separable_blur_interleaved(
     n, height, wf = rows_u8.shape
     halo = radius * channels
     wp = _round_up(wf + 2 * halo, 128)
+    doubling = _use_doubling(box_mode, radius)
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius, doubling),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
@@ -317,13 +396,16 @@ def _separable_blur_interleaved(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((n, hp, w_out), jnp.uint8),
-        scratch_shapes=[
-            pltpu.VMEM((copy_rows, wp), jnp.uint8),
-            pltpu.VMEM((copy_rows, wp), jnp.float32),
-            pltpu.VMEM((copy_rows, w_out), jnp.float32),
-            pltpu.VMEM((tile_rows, w_out), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((copy_rows, wp), jnp.uint8),
+                pltpu.VMEM((copy_rows, wp), jnp.float32),
+                pltpu.VMEM((copy_rows, w_out), jnp.float32),
+                pltpu.VMEM((tile_rows, w_out), jnp.float32),
+            ]
+            + ([pltpu.VMEM((copy_rows, wp), jnp.float32)] if doubling else [])
+            + [pltpu.SemaphoreType.DMA]
+        ),
         interpret=interpret,
     )(weights.reshape(1, -1), x)
 

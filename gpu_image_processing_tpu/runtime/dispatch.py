@@ -66,7 +66,8 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
                 flat.reshape(h, wf), w, radius, c).reshape(-1)
         if filter_name == "box":
             return lambda flat: il.box_rows(
-                flat.reshape(h, wf), radius, c).reshape(-1)
+                flat.reshape(h, wf), radius, c,
+                doubling=radius >= 4).reshape(-1)
         lvl = 1 if level == 4 else 2
         return lambda flat: il.sobel_rows(
             flat.reshape(h, wf), lvl, w_, c).reshape(-1)

@@ -57,3 +57,25 @@ def test_constant_image_invariant(value, level):
     # Sobel of a constant image is all zeros (zero gradient + zero border).
     out, _ = RUNTIME.sobel_edge_detection(img, level=level)
     assert (out == 0).all()
+
+
+@pytest.mark.parametrize("radius", [4, 8, 11, 15])
+@pytest.mark.parametrize("c", [1, 3])
+def test_box_doubling_exact(radius, c):
+    # radius >= 4 engages the doubling-window sums in both optimized tiers
+    # (Pallas kernel + XLA fallback); output must stay bit-identical to the
+    # sequential-tap oracle.
+    rng = np.random.default_rng(radius * 10 + c)
+    img = rng.integers(0, 256, (45, 61, c), dtype=np.uint8)
+    for level in (1, 2, 4):
+        out, _ = RUNTIME.box_blur(img, radius=radius, level=level)
+        np.testing.assert_array_equal(out, oracle.box_blur(img, radius))
+
+
+def test_box_doubling_xla_tier_exact(monkeypatch):
+    # Force the XLA tier (small-image routing) at a doubling radius.
+    monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "2500000")
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 256, (38, 47, 3), dtype=np.uint8)
+    out, _ = RUNTIME.box_blur(img, radius=9, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 9))
