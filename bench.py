@@ -84,7 +84,13 @@ def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float
             )
         )
     fn = _apply_fn(filter_name, level)
-    return min(device_time_ms(fn, args, iters=LOOP_ITERS) for _ in range(rounds))
+    samples = sorted(
+        device_time_ms(fn, args, iters=LOOP_ITERS) for _ in range(rounds)
+    )
+    # A congestion spike during a round's SHORT loop can push that round's
+    # slope to ~zero (clamped); such degenerate rounds must not win the min.
+    med = samples[len(samples) // 2]
+    return min(s for s in samples if s >= med / 3.0)
 
 
 def main() -> None:
