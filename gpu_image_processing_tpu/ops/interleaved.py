@@ -25,13 +25,24 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .rounding import quantize_u8, quantize_u8_f32
 from .weights import box_inv_taps_f32
 
-_GRAY_R = jnp.float32(0.299)
-_GRAY_G = jnp.float32(0.587)
-_GRAY_B = jnp.float32(0.114)
+# numpy scalars, NOT jnp arrays: module-level jnp constants become AOT
+# const_args of every executable that closes over them and can be
+# invalidated between compile and call (observed "compiled for 4 inputs but
+# called with 1" under test ordering); numpy scalars embed as literals.
+_GRAY_R = np.float32(0.299)
+_GRAY_G = np.float32(0.587)
+_GRAY_B = np.float32(0.114)
+
+# Box windows with radius >= this use doubling sums in the optimized tiers
+# (measured: 1.47x at r=5 up to 2.33x at r=15).  Shared by the Pallas
+# kernels (ops/pallas/blur.py::_use_doubling) and the dispatch layer; lives
+# here so no consumer needs a Mosaic import.
+BOX_DOUBLING_MIN_RADIUS = 4
 
 
 def _pad_pixels_lr(x: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:

@@ -72,7 +72,9 @@ def _use_doubling(box_mode: bool, radius: int) -> bool:
     full-width adds instead of 2r+1.  Exact -- window sums of uint8 values
     (< 2^24) are exact integers in f32 under ANY association, so the result
     is bit-identical to the sequential CUDA tap order."""
-    return box_mode and radius >= 4
+    from ..interleaved import BOX_DOUBLING_MIN_RADIUS
+
+    return box_mode and radius >= BOX_DOUBLING_MIN_RADIUS
 
 
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
@@ -223,8 +225,11 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     else:
         hbuf[:, :] = xbuf[:, :w_out]
     if passes == "horizontal":
+        # The band's first `radius` rows are top halo; the tile's true
+        # output rows start at `radius` (the "both" path reads them via the
+        # vertical taps).
         out_ref[0] = (
-            jnp.clip(hbuf[:tile_rows, :], 0.0, 255.0)
+            jnp.clip(hbuf[radius : radius + tile_rows, :], 0.0, 255.0)
             .astype(jnp.int32).astype(jnp.uint8)
         )
         return

@@ -66,8 +66,11 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     Flat-native like the serving trace fns, so no relayout pollutes the
     measured split.
     """
+    from ..runtime.dispatch import _routed_to_xla
+
     wf = w * c
-    if lvl >= 2 and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
+    if (lvl >= 2 and not _routed_to_xla(lvl, h, w)
+            and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"):
         try:
             from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
             from ..runtime.device import is_tpu
@@ -99,11 +102,21 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
 
         return fn
 
+    doubling = lvl >= 2 and radius >= il.BOX_DOUBLING_MIN_RADIUS
+
     def fn(flat):
         inv = box_inv_taps_f32(radius)
         x = flat.reshape(h, wf).astype("float32")
-        y = (il._sum_cols(x, radius, c) if which == "horizontal"
-             else il._sum_rows(x, radius))
+        if doubling:
+            taps = 2 * radius + 1
+            y = (il._windowed_sum_doubling(
+                    il._pad_pixels_lr(x, radius, c), taps, c, x.ndim - 1)
+                 if which == "horizontal"
+                 else il._windowed_sum_doubling(
+                    il._pad_rows_edge(x, radius), taps, 1, x.ndim - 2))
+        else:
+            y = (il._sum_cols(x, radius, c) if which == "horizontal"
+                 else il._sum_rows(x, radius))
         return quantize_u8(y * inv).reshape(-1)
 
     return fn
@@ -189,10 +202,12 @@ def profile_filter(
     kh, kw = height, width
     if _dispatch._bucketing_enabled():
         kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
+    routed = _dispatch._routed_to_xla(lvl, kh, kw)
     key_map = {
-        "gaussian": ("gaussian", lvl, kh, kw, channels, kwargs.get("radius")),
-        "box": ("box", lvl, kh, kw, channels, kwargs.get("radius")),
-        "sobel": ("sobel", lvl, kh, kw, channels),
+        "gaussian": ("gaussian", lvl, kh, kw, channels, kwargs.get("radius"),
+                     routed),
+        "box": ("box", lvl, kh, kw, channels, kwargs.get("radius"), routed),
+        "sobel": ("sobel", lvl, kh, kw, channels, routed),
     }
     exe = runtime._cache.get(key_map[filter_type])
 

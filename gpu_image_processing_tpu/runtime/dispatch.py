@@ -46,6 +46,23 @@ from .device import default_device, warmup_transfers
 # ---------------------------------------------------------------------------
 
 
+def _routed_to_xla(level: int, h: int, w_: int) -> bool:
+    """Whether a level-2/4 single-image trace at this (bucketed) shape is
+    served from the interleaved XLA tier instead of the Pallas kernels.
+
+    Read at trace-build time AND folded into the executable cache key by
+    callers -- the env var can change between requests, and a cached
+    executable must not mask the new routing.
+    """
+    import os as _os
+
+    if level < 2:
+        return False
+    max_px = int(_os.environ.get(
+        "GIP_TPU_XLA_TIER_MAX_PIXELS", config.TPU.xla_tier_max_pixels))
+    return h * w_ <= max_px
+
+
 def _flat_optimized(filter_name: str, level: int, radius: int,
                     h: int, w_: int, c: int) -> Callable:
     """Levels 2/4 on the flat boundary: interleaved Pallas kernels, with
@@ -67,16 +84,14 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
         if filter_name == "box":
             return lambda flat: il.box_rows(
                 flat.reshape(h, wf), radius, c,
-                doubling=radius >= 4).reshape(-1)
+                doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS).reshape(-1)
         lvl = 1 if level == 4 else 2
         return lambda flat: il.sobel_rows(
             flat.reshape(h, wf), lvl, w_, c).reshape(-1)
 
     # Small images serve faster from the XLA tier (measured crossover, see
     # config); both tiers are bit-exact so routing only changes speed.
-    max_px = int(_os.environ.get(
-        "GIP_TPU_XLA_TIER_MAX_PIXELS", config.TPU.xla_tier_max_pixels))
-    if h * w_ <= max_px:
+    if _routed_to_xla(level, h, w_):
         return xla_tier()
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
@@ -182,7 +197,8 @@ def _trace_batch(filter_name: str, level: int, radius: int,
     if filter_name == "gaussian":
         return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))
     if filter_name == "box":
-        return rows_io(lambda rows: il.box_rows(rows, radius, c))
+        return rows_io(lambda rows: il.box_rows(
+            rows, radius, c, doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS))
     return rows_io(lambda rows: il.sobel_rows(
         rows, 1 if level == 4 else 2, w_, c))
 
@@ -242,6 +258,13 @@ class FilterExecutable:
                         except Exception:
                             self._kernel_ms = None
                     self._compiled = compiled
+        if loop_timing and self._kernel_ms is not None:
+            # Kernel time is already known from the loop-delta measurement;
+            # run exactly once (the multi-rep wall timing would be discarded
+            # and each extra rep costs a full execute + RPC round trip).
+            out = self._compiled(*args)
+            out.block_until_ready()
+            return np.asarray(out), self._kernel_ms
         best = float("inf")
         out = None
         for _ in range(max(1, reps)):
@@ -249,8 +272,6 @@ class FilterExecutable:
             out = self._compiled(*args)
             out.block_until_ready()
             best = min(best, (time.perf_counter() - t0) * 1000.0)
-        if loop_timing and self._kernel_ms is not None:
-            best = self._kernel_ms
         return np.asarray(out), best
 
 
@@ -369,7 +390,8 @@ class FilterRuntime:
         if _bucketing_enabled():
             image, _, _ = _pad_to_bucket(image)
         height, width = image.shape[:2]
-        key = ("gaussian", lvl, height, width, channels, radius)
+        key = ("gaussian", lvl, height, width, channels, radius,
+               _routed_to_xla(lvl, height, width))
         exe = self._get(
             key,
             lambda: FilterExecutable(
@@ -398,7 +420,8 @@ class FilterRuntime:
         if _bucketing_enabled():
             image, _, _ = _pad_to_bucket(image)
         height, width = image.shape[:2]
-        key = ("box", lvl, height, width, channels, radius)
+        key = ("box", lvl, height, width, channels, radius,
+               _routed_to_xla(lvl, height, width))
         exe = self._get(
             key,
             lambda: FilterExecutable(
@@ -422,7 +445,8 @@ class FilterRuntime:
             image, _, _ = _pad_to_bucket(image)
             bucketed = image.shape[:2] != (true_h, true_w)
         height, width = image.shape[:2]
-        key = ("sobel", lvl, height, width, channels)
+        key = ("sobel", lvl, height, width, channels,
+               _routed_to_xla(lvl, height, width))
         exe = self._get(
             key,
             lambda: FilterExecutable(
@@ -523,6 +547,11 @@ class FilterRuntime:
         out = out.reshape(batch, height, width, channels)[:, :true_h, :true_w]
         if bucketed and filter_name == "sobel":
             out = np.ascontiguousarray(out)
+            if not out.flags.writeable:
+                # Contiguous prefix slices of the read-only jax output pass
+                # through ascontiguousarray unchanged (same hazard as
+                # _zero_true_border).
+                out = out.copy()
             out[:, 0, :, :] = 0
             out[:, -1, :, :] = 0
             out[:, :, 0, :] = 0

@@ -66,7 +66,7 @@ def test_bucketing_opt_out(rng, monkeypatch):
     out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=1)
     w = gaussian_kernel_f32(3, 2.0)
     np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
-    assert ("gaussian", 1, 33, 41, 3, 3) in dispatch.RUNTIME._cache
+    assert ("gaussian", 1, 33, 41, 3, 3, False) in dispatch.RUNTIME._cache
 
 
 def test_sobel_bucket_aligned_width_prefix_slice(rng):
@@ -92,7 +92,7 @@ def test_loop_timing_env_override(rng, monkeypatch):
     out, metrics = RUNTIME.box_blur(img, radius=2, level=2)
     np.testing.assert_array_equal(out, oracle.box_blur(img, 2))
     assert metrics.time_ms > 0
-    key = ("box", 2, _bucket(40), _bucket(56), 3, 2)
+    key = ("box", 2, _bucket(40), _bucket(56), 3, 2, False)
     assert RUNTIME._cache[key]._kernel_ms is not None
     assert metrics.time_ms == RUNTIME._cache[key]._kernel_ms
 
@@ -115,6 +115,20 @@ def test_tier_routing_small_images_use_xla_tier(rng, monkeypatch):
     np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
     out, _ = RUNTIME.box_blur(img, radius=4, level=2)
     np.testing.assert_array_equal(out, oracle.box_blur(img, 4))
+    # The routing decision is part of the cache key (an earlier run of the
+    # same shape under a different threshold must not mask it).
+    assert ("gaussian", 2, _bucket(30), _bucket(44), 3, 3, True) in RUNTIME._cache
+
+
+def test_batch_sobel_bucket_aligned_width(rng):
+    # Batch analog of the read-only border-zeroing crash: width exactly a
+    # bucket, height padded -> contiguous prefix view of the jax output.
+    imgs = np.stack([make_image(rng, 48, 64, 3) for _ in range(2)])
+    out, _ = RUNTIME.run_batch("sobel", imgs, level=2)
+    for i in range(2):
+        diff = np.abs(out[i].astype(int) - oracle.sobel(imgs[i], 2).astype(int))
+        assert diff.max() <= 6
+        assert (out[i][0] == 0).all() and (out[i][:, -1] == 0).all()
 
 
 def test_tier_routing_threshold_zero_forces_pallas(rng, monkeypatch):
