@@ -39,6 +39,12 @@ BASELINES_FULL = {
     ("box", 2): 2.766,
     ("sobel", 1): 18.339,
     ("sobel", 2): 0.528,
+    # Level 4 (ADVANCED) is declared-but-unimplemented in the reference
+    # (README.md:316); compared against its fastest published number for
+    # each filter (the level-2 kernel time).
+    ("gaussian", 4): 0.953,
+    ("box", 4): 2.766,
+    ("sobel", 4): 0.528,
 }
 H, W, C = 2146, 3239, 3          # README workload: 3239x2146 RGB
 BOX_RADIUS = 5                    # README.md:242
@@ -60,10 +66,11 @@ def _apply_fn(filter_name: str, level: int):
         return impls[filter_name]
     l2: dict = {}
     fused.register_all(lambda k, v: l2.__setitem__(k, v))
+    suffix = "_adv" if level == 4 else ""
     impls = {
-        "gaussian": lambda x, w: l2["gaussian"](x, w, GAUSS_RADIUS),
-        "box": lambda x: l2["box"](x, BOX_RADIUS),
-        "sobel": lambda x: l2["sobel"](x),
+        "gaussian": lambda x, w: l2["gaussian" + suffix](x, w, GAUSS_RADIUS),
+        "box": lambda x: l2["box" + suffix](x, BOX_RADIUS),
+        "sobel": lambda x: l2["sobel" + suffix](x),
     }
     return impls[filter_name]
 

@@ -5,8 +5,8 @@ This is the TPU-native replacement for the reference's host orchestrators
 1603-1739) plus the pybind bridge (bindings.cpp).  Where the reference does
 per-call cudaMalloc/cudaMemcpy/kernel-launch, we keep a cache of XLA
 executables keyed on the static trace signature (filter, level, H, W, C,
-radius) and pass sigma-dependent weights as a traced operand so changing
-sigma never recompiles.
+radius, tier-routing decision) and pass sigma-dependent weights as a traced
+operand so changing sigma never recompiles.
 
 Timing methodology mirrors the CUDA-event discipline: only the compiled
 filter execution is timed -- host->device transfer, weight generation, PNG
