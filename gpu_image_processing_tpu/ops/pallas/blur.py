@@ -67,6 +67,32 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + jnp.float32(0.5))
 
 
+def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
+                          box_mode: bool, interleaved: bool) -> bool:
+    """Whether the fused blur kernel's working set fits VMEM at the MINIMUM
+    tile height.  At extreme width x radius combinations (e.g. 8K rows with
+    radius 15: 28k lanes, 30 halo rows) even an 8-row tile exceeds the
+    16 MB budget -- callers must route such shapes to the XLA tier, whose
+    own tiling is unconstrained.  Accounting matches the kernel's scratch
+    list; measured overhead (Mosaic stack + DMA machinery) is ~1.7 MB.
+    """
+    halo = radius * (channels if interleaved else 1)
+    wp = _round_up((width * (channels if interleaved else 1)) + 2 * halo, 128)
+    w_out = wp - 2 * halo
+    tile = 8
+    copy_rows = _round_up(tile + 2 * radius, 8)
+    total = (
+        copy_rows * wp * 1          # tile_u8
+        + copy_rows * wp * 4        # xbuf
+        + copy_rows * w_out * 4     # hbuf
+        + tile * w_out * 4          # vbuf
+        + 2 * tile * w_out * 1      # double-buffered output block
+    )
+    if _use_doubling(box_mode, radius):
+        total += copy_rows * wp * 4  # sbuf ping-pong
+    return total + 1_800_000 < 16 * 1024 * 1024
+
+
 def _use_doubling(box_mode: bool, radius: int) -> bool:
     """Box windows with >= 9 taps use doubling sums: ~2*log2+popcount
     full-width adds instead of 2r+1.  Exact -- window sums of uint8 values
