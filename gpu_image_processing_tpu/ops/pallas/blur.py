@@ -106,7 +106,7 @@ def _use_doubling(box_mode: bool, radius: int) -> bool:
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
                  box_mode: bool, folded: bool = False, passes: str = "both",
-                 tap_stride: int = 1):
+                 tap_stride: int = 1, col_step: int = 0):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -135,11 +135,18 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     i = pl.program_id(1)
     taps = 2 * radius + 1
 
-    copy = pltpu.make_async_copy(
-        in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :],
-        tile_u8,
-        sem,
-    )
+    if col_step:
+        # Column-tiled: this step covers output lanes [j*col_step,
+        # (j+1)*col_step) plus the 2*halo input overhang; bounds VMEM for
+        # arbitrarily wide images.
+        j = pl.program_id(2)
+        src = in_ref.at[
+            c, pl.ds(i * tile_rows, copy_rows),
+            pl.ds(j * col_step, tile_u8.shape[1]),
+        ]
+    else:
+        src = in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :]
+    copy = pltpu.make_async_copy(src, tile_u8, sem)
     copy.start()
     copy.wait()
 
@@ -286,49 +293,74 @@ def _separable_blur_planar(
     channels, height, width = planar_u8.shape
     if rows_prepadded:
         height -= 2 * radius
-    wp = _round_up(width + 2 * radius, 128)
     doubling = _use_doubling(box_mode, radius)
+
+    # Column tiling: see _separable_blur_interleaved (same scheme; planar
+    # halo is `radius` lanes and tap stride 1).
+    if blur_kernel_fits_vmem(width, radius, channels, box_mode,
+                             interleaved=False):
+        tile_lanes = _round_up(width + 2 * radius, 128)
+        cw_out = tile_lanes - 2 * radius
+        n_cols = 1
+    else:
+        cw_out = 1536
+        tile_lanes = _round_up(cw_out + 2 * radius, 128)
+        n_cols = -(-width // cw_out)
+    w_out_total = n_cols * cw_out
+    arr_width = (n_cols - 1) * cw_out + tile_lanes
+
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius, doubling),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, tile_lanes, radius,
+                        doubling),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
-    w_out = wp - 2 * radius
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
 
     # Clamp-to-edge padding, done once in XLA on uint8.  The DMA for tile i
     # reads rows [i*TH, i*TH + CR), so the padded array needs
     # hp - TH + CR rows total: [r top halo][height rows][r bottom halo]
-    # [alignment junk, never read].  cols: radius left/right (edge) up to wp.
+    # [alignment junk, never read].  cols: radius left (edge), then edge
+    # replication up to arr_width.
     total_rows = hp - tile_rows + copy_rows
     if rows_prepadded:
         # Input already carries the top/bottom halo rows (height + 2r).
         junk = total_rows - (height + 2 * radius)
         x = jnp.pad(
             planar_u8,
-            ((0, 0), (0, junk), (radius, wp - width - radius)),
+            ((0, 0), (0, junk), (radius, arr_width - width - radius)),
             mode="edge",
         )
     else:
         x = jnp.pad(
             planar_u8,
             ((0, 0), (radius, total_rows - height - radius),
-             (radius, wp - width - radius)),
+             (radius, arr_width - width - radius)),
             mode="edge",
         )
 
     w2d = weights.reshape(1, -1)
 
     scratch = [
-        pltpu.VMEM((copy_rows, wp), jnp.uint8),
-        pltpu.VMEM((copy_rows, wp), jnp.float32),
-        pltpu.VMEM((copy_rows, w_out), jnp.float32),
-        pltpu.VMEM((tile_rows, w_out), jnp.float32),
+        pltpu.VMEM((copy_rows, tile_lanes), jnp.uint8),
+        pltpu.VMEM((copy_rows, tile_lanes), jnp.float32),
+        pltpu.VMEM((copy_rows, cw_out), jnp.float32),
+        pltpu.VMEM((tile_rows, cw_out), jnp.float32),
     ]
     if doubling:
-        scratch.append(pltpu.VMEM((copy_rows, wp), jnp.float32))
+        scratch.append(pltpu.VMEM((copy_rows, tile_lanes), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
+
+    if n_cols == 1:
+        grid = (channels, n_tiles)
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out), lambda c, i: (c, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (channels, n_tiles, n_cols)
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out),
+                                lambda c, i, j: (c, i, j),
+                                memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
@@ -336,22 +368,19 @@ def _separable_blur_planar(
             radius=radius,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
-            w_out=w_out,
+            w_out=cw_out,
             box_mode=box_mode,
             folded=folded,
             passes=passes,
+            col_step=0 if n_cols == 1 else cw_out,
         ),
-        grid=(channels, n_tiles),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_rows, w_out),
-            lambda c, i: (c, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out_total), jnp.uint8),
         scratch_shapes=scratch,
         interpret=interpret,
     )(w2d, x)
@@ -383,14 +412,29 @@ def _separable_blur_interleaved(
     """
     n, height, wf = rows_u8.shape
     halo = radius * channels
-    wp = _round_up(wf + 2 * halo, 128)
     doubling = _use_doubling(box_mode, radius)
+
+    # Column tiling: full-width tiles whenever the working set fits VMEM
+    # (the fast common case); otherwise 128-multiple column chunks with a
+    # 2*halo input overhang per chunk, which bounds VMEM for any width.
+    if blur_kernel_fits_vmem(wf // channels, radius, channels, box_mode,
+                             interleaved=True):
+        tile_lanes = _round_up(wf + 2 * halo, 128)
+        cw_out = tile_lanes - 2 * halo
+        n_cols = 1
+    else:
+        cw_out = 1536
+        tile_lanes = _round_up(cw_out + 2 * halo, 128)
+        n_cols = -(-wf // cw_out)
+    w_out_total = n_cols * cw_out
+    arr_width = (n_cols - 1) * cw_out + tile_lanes
+
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, wp, radius, doubling),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, tile_lanes, radius,
+                        doubling),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
-    w_out = wp - 2 * halo
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
     total_rows = hp - tile_rows + copy_rows
@@ -398,11 +442,21 @@ def _separable_blur_interleaved(
     # Clamp-to-edge must replicate PIXELS (channel groups), not lanes:
     # tile the first/last pixel, then edge-pad the rows.
     left = jnp.tile(rows_u8[:, :, :channels], (1, 1, radius))
-    right_reps = (wp - halo - wf + channels - 1) // channels
+    right_reps = (arr_width - halo - wf + channels - 1) // channels
     right = jnp.tile(rows_u8[:, :, wf - channels:], (1, 1, right_reps))
-    x = jnp.concatenate([left, rows_u8, right], axis=2)[:, :, :wp]
+    x = jnp.concatenate([left, rows_u8, right], axis=2)[:, :, :arr_width]
     x = jnp.pad(x, ((0, 0), (radius, total_rows - height - radius), (0, 0)),
                 mode="edge")
+
+    if n_cols == 1:
+        grid = (n, n_tiles)
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (n, n_tiles, n_cols)
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out),
+                                lambda b, i, j: (b, i, j),
+                                memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(
@@ -410,31 +464,29 @@ def _separable_blur_interleaved(
             radius=radius,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
-            w_out=w_out,
+            w_out=cw_out,
             box_mode=box_mode,
             folded=folded,
             passes=passes,
             tap_stride=channels,
+            col_step=0 if n_cols == 1 else cw_out,
         ),
-        grid=(n, n_tiles),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, tile_rows, w_out),
-            lambda b, i: (b, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, hp, w_out), jnp.uint8),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, hp, w_out_total), jnp.uint8),
         scratch_shapes=(
             [
-                pltpu.VMEM((copy_rows, wp), jnp.uint8),
-                pltpu.VMEM((copy_rows, wp), jnp.float32),
-                pltpu.VMEM((copy_rows, w_out), jnp.float32),
-                pltpu.VMEM((tile_rows, w_out), jnp.float32),
+                pltpu.VMEM((copy_rows, tile_lanes), jnp.uint8),
+                pltpu.VMEM((copy_rows, tile_lanes), jnp.float32),
+                pltpu.VMEM((copy_rows, cw_out), jnp.float32),
+                pltpu.VMEM((tile_rows, cw_out), jnp.float32),
             ]
-            + ([pltpu.VMEM((copy_rows, wp), jnp.float32)] if doubling else [])
+            + ([pltpu.VMEM((copy_rows, tile_lanes), jnp.float32)]
+               if doubling else [])
             + [pltpu.SemaphoreType.DMA]
         ),
         interpret=interpret,

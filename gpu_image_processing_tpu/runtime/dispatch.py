@@ -96,18 +96,11 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import (blur_kernel_fits_vmem,
-                                           box_pallas_flat,
-                                           gaussian_pallas_flat)
+            from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
             from ..ops.pallas.sobel import sobel_pallas_flat
             from .device import is_tpu
 
             interp = not is_tpu()
-            if filter_name in ("gaussian", "box") and not blur_kernel_fits_vmem(
-                    w_, radius, c, filter_name == "box", interleaved=True):
-                # Extreme width x radius: even the minimum tile blows VMEM;
-                # the XLA tier tiles freely.
-                return xla_tier()
             if filter_name == "gaussian":
                 return lambda flat, w: gaussian_pallas_flat(
                     flat, w, radius, h, w_, c, interpret=interp, folded=folded)
@@ -183,8 +176,7 @@ def _trace_batch(filter_name: str, level: int, radius: int,
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import (blur_kernel_fits_vmem,
-                                           box_pallas_flat_batch,
+            from ..ops.pallas.blur import (box_pallas_flat_batch,
                                            gaussian_pallas_flat_batch)
             from ..ops.pallas.sobel import sobel_pallas_flat_batch
             from .device import is_tpu
@@ -193,18 +185,15 @@ def _trace_batch(filter_name: str, level: int, radius: int,
         else:
             interp = not is_tpu()
             folded = level == 4
-            blur_fits = filter_name == "sobel" or blur_kernel_fits_vmem(
-                w_, radius, c, filter_name == "box", interleaved=True)
-            if filter_name == "gaussian" and blur_fits:
+            if filter_name == "gaussian":
                 return lambda flats, w: gaussian_pallas_flat_batch(
                     flats, w, radius, h, w_, c, interpret=interp, folded=folded)
-            if filter_name == "box" and blur_fits:
+            if filter_name == "box":
                 return lambda flats: box_pallas_flat_batch(
                     flats, radius, h, w_, c, interpret=interp, folded=folded)
-            if filter_name == "sobel":
-                return lambda flats: sobel_pallas_flat_batch(
-                    flats, h, w_, c, level=1 if level == 4 else 2,
-                    interpret=interp)
+            return lambda flats: sobel_pallas_flat_batch(
+                flats, h, w_, c, level=1 if level == 4 else 2,
+                interpret=interp)
 
     if filter_name == "gaussian":
         return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))

@@ -145,25 +145,21 @@ def test_tier_routing_threshold_zero_forces_pallas(rng, monkeypatch):
     ))
 
 
-def test_extreme_shape_routes_to_xla_tier():
-    # 8K-wide box at radius 15: even an 8-row Pallas tile exceeds the 16 MB
-    # VMEM budget (30 halo rows x 28k lanes); dispatch must route to the
-    # XLA tier instead of dying in the Mosaic compiler.
+def test_extreme_shape_uses_column_tiling():
+    # 8K-wide box at radius 15: a full-width Pallas tile exceeds the 16 MB
+    # VMEM budget (30 halo rows x 28k lanes after bucketing), so the kernel
+    # switches to column-tiled grid steps instead of dying in the Mosaic
+    # compiler.
     from gpu_image_processing_tpu.ops.pallas.blur import blur_kernel_fits_vmem
-    from gpu_image_processing_tpu.runtime.dispatch import _flat_optimized
 
-    # Serving buckets 7680 -> 9472 before routing; the fit check sees the
-    # bucketed width (28k lanes with a 30-row halo).
+    # Serving buckets 7680 -> 9472; the fit check sees the bucketed width.
     assert not blur_kernel_fits_vmem(_bucket(7680), 15, 3, True, interleaved=True)
     assert blur_kernel_fits_vmem(3239, 15, 3, True, interleaved=True)
-    fn = _flat_optimized("box", 2, 15, _bucket(4320), _bucket(7680), 3)
-    assert "box_pallas_flat" not in fn.__code__.co_names
 
 
 def test_extreme_shape_output_exact(rng):
-    # Functional check at a test-sized analog: force the fit threshold by
-    # using the real 8K width but only a few rows (fit depends on width and
-    # radius, not height).
+    # Functional check: the real 8K width (column-tiled kernel) with a few
+    # rows; fit depends on width and radius, not height.
     img = make_image(rng, 24, 7680, 3)
     out, _ = RUNTIME.box_blur(img, radius=15, level=2)
     np.testing.assert_array_equal(out, oracle.box_blur(img, 15))
