@@ -103,6 +103,13 @@ def main() -> int:
         all((out[i] == oracle.gaussian_blur(imgs[i], w, 3)).all() for i in range(4)),
     )
 
+    # Column-tiled kernel: 8K-wide box r15 (full-width tiles would blow
+    # VMEM; the kernel splits the width into column chunks).
+    img = rng.integers(0, 256, (48, 7680, 3), np.uint8)
+    out, _ = RUNTIME.box_blur(img, radius=15, level=2)
+    check("box 8K-wide r15 (column-tiled)",
+          (out == oracle.box_blur(img, 15)).all())
+
     # Default routing sanity: small image through the XLA tier on silicon.
     os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "2500000"
     img = rng.integers(0, 256, (96, 133, 3), np.uint8)
