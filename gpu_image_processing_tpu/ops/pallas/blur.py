@@ -44,6 +44,10 @@ def _round_up(x: int, m: int) -> int:
 # leave room for Mosaic's own double-buffered output blocks.
 _VMEM_BUDGET = 10 * 1024 * 1024
 
+# Column-chunk width (output lanes, 128-multiple) used when a full-width
+# tile would not fit VMEM (blur_kernel_fits_vmem).
+_COL_CHUNK = 1536
+
 
 def _pick_tile_rows(requested: int, wp: int, radius: int,
                     doubling: bool = False) -> int:
@@ -303,7 +307,7 @@ def _separable_blur_planar(
         cw_out = tile_lanes - 2 * radius
         n_cols = 1
     else:
-        cw_out = 1536
+        cw_out = _COL_CHUNK
         tile_lanes = _round_up(cw_out + 2 * radius, 128)
         n_cols = -(-width // cw_out)
     w_out_total = n_cols * cw_out
@@ -423,7 +427,7 @@ def _separable_blur_interleaved(
         cw_out = tile_lanes - 2 * halo
         n_cols = 1
     else:
-        cw_out = 1536
+        cw_out = _COL_CHUNK
         tile_lanes = _round_up(cw_out + 2 * halo, 128)
         n_cols = -(-wf // cw_out)
     w_out_total = n_cols * cw_out
