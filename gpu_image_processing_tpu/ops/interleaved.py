@@ -1,11 +1,13 @@
-"""Interleaved-HWC (flat-buffer) filter implementations, pure jnp.
+"""Interleaved-HWC (rows-boundary) filter implementations, pure jnp.
 
-The serving boundary ships images as FLAT uint8 buffers (HWC byte order);
-`flat.reshape(H, W*C)` is a free, contiguity-preserving reshape, whereas
-materializing an (H, W, C) device array from the flat buffer forces a
-pathological XLA relayout (measured 16.3 ms for the 3239x2146 README image
--- 26x the level-2 kernel).  These implementations therefore operate on the
-(H, W*C) "interleaved rows" layout directly:
+The serving boundary ships images as (H, W*C) uint8 ROWS (HWC byte order
+viewed 2-D; the host-side reshape is free).  Materializing an (H, W, C)
+device array from those rows forces a pathological XLA relayout (measured
+16.3 ms for the 3239x2146 README image -- 26x the level-2 kernel), and even
+a 1-D (H*W*C,) flat boundary costs a real in-jit relayout each way because
+the flat and rows tile layouts differ whenever W*C % 128 != 0 (measured
+0.95 ms; scripts/exp_rows_boundary.py).  These implementations therefore
+operate on the "interleaved rows" layout directly:
 
 * a horizontal tap at pixel offset t is a lane offset of t*C (all channels
   shift together; slices stay contiguous),

@@ -13,6 +13,15 @@ the edge value to every channel plane of the output block
 The pipeline is deliberately shaped exactly like the fused blur: one
 uint8 planar transpose in, one out, a single kernel in between.
 
+Lane geometry follows the blur kernels' landed-DMA scheme
+(ops/pallas/blur.py): the input is padded with a single register-aligned
+jnp.pad (_LAND junk lanes left -- a 1-lane shift pad measured ~0.15 ms of
+pure cross-lane relayout), data lands at lane _LAND, and taps read from
+_LAND-1.  Sobel needs NO in-kernel edge fill: its halo is exactly the
+1-pixel global border, which is zeroed in the output anyway
+(image_filters.cu:1532-1543), so the pad's lane-replication junk only ever
+feeds masked-off pixels.
+
 Numerics: gx/gy tap order as in :1555-1579, magnitude min(sqrt, 255) and
 floor(+0.5) as in :1582-1584, 1-pixel global border zeroed (:1532-1543).
 """
@@ -27,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ...core.config import TPU
+from .blur import _LAND
 
 
 def _round_up(x: int, m: int) -> int:
@@ -45,9 +55,10 @@ def _pick_tile_rows(requested: int, wp: int) -> int:
 
 def _edge_tile(tile_u8, gbuf, i, *, channels: int, level: int, tile_rows: int,
                height: int, width: int, w_out: int, zero_rows: bool = True):
-    """Compute the (TH, Wo) uint8 edge tile from a (C, CR, Wp) uint8 tile.
+    """Compute the (TH, Wo) uint8 edge tile from a (C, CR, W_T) uint8 tile
+    whose data lanes start at _LAND.
 
-    gbuf: (CR, Wp) f32 scratch holding the gray plane -- accumulated through
+    gbuf: (CR, W_T) f32 scratch holding the gray plane -- accumulated through
     the ref so Mosaic doesn't keep all three channel casts live at once.
     """
     # u8 -> f32 via i32 (Mosaic lacks a direct unsigned->float cast).
@@ -66,7 +77,7 @@ def _edge_tile(tile_u8, gbuf, i, *, channels: int, level: int, tile_rows: int,
     g = gbuf[:, :]
 
     def tap(dy: int, dx: int) -> jnp.ndarray:
-        return g[dy : dy + tile_rows, 1 + dx : 1 + dx + w_out]
+        return g[dy : dy + tile_rows, _LAND + dx : _LAND + dx + w_out]
 
     one, two = jnp.float32(1.0), jnp.float32(2.0)
     gx = (
@@ -98,7 +109,7 @@ def _edge_tile(tile_u8, gbuf, i, *, channels: int, level: int, tile_rows: int,
 def _sobel_kernel(in_ref, out_ref, tile_u8, gbuf, sem, *, channels: int,
                   level: int, tile_rows: int, copy_rows: int, height: int,
                   width: int, w_out: int):
-    """in_ref: (C, Hp+pad, Wp) u8 planar in HBM; out_ref: (C, TH, Wo) block.
+    """in_ref: (C, Hp+pad, W_T) u8 planar in HBM; out_ref: (C, TH, Wo) block.
 
     copy_rows = TH+2 rounded up to the 8-row sublane tiling (Mosaic DMA
     alignment); surplus rows are edge padding the gradients never read.
@@ -121,7 +132,7 @@ def _sobel_kernel_batch(in_ref, out_ref, tile_u8, gbuf, sem, *, channels: int,
                         level: int, tile_rows: int, copy_rows: int,
                         height: int, width: int, w_out: int,
                         zero_rows: bool = True):
-    """Batched: in_ref (B, C, Hp+pad, Wp); out block (1, C, TH, Wo)."""
+    """Batched: in_ref (B, C, Hp+pad, W_T); out block (1, C, TH, Wo)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -140,17 +151,18 @@ def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
                               sem, *, channels: int, level: int,
                               tile_rows: int, copy_rows: int, height: int,
                               width: int, w_out: int):
-    """Interleaved-HWC Sobel: in_ref (N, Hp+pad, Wp) u8 rows in HBM, where
-    lanes [0, C) are the left halo pixel and [C, C+W*C) the image row.
+    """Interleaved-HWC Sobel: in_ref (N, Hp+pad, W_T) u8 rows in HBM, data
+    lanes [_LAND, _LAND + W*C).
 
-    Gray is computed at EVERY lane (g[l] = .299*x[l] + .587*x[l+1] +
-    .114*x[l+2]): at pixel-phase lanes l = C + k*C it equals gray(pixel k),
-    elsewhere it is phase-garbage that the channel-replication masks never
-    select.  Pixel-shift taps become C-lane shifts, so the whole filter
-    stays in contiguous full-width vector ops -- no deinterleave gathers.
-    ~3x the planar kernel's VPU work (every lane computes), but it consumes
-    the serving boundary's flat buffer layout for free, where materializing
-    a planar image costs a 16 ms relayout (ops/pallas/blur.py).
+    Gray is computed at EVERY lane (g[k] = .299*x[k] + .587*x[k+1] +
+    .114*x[k+2] over tile lanes starting at _LAND - C): at pixel-phase
+    positions it equals gray(pixel), elsewhere it is phase-garbage that the
+    channel-replication masks never select.  Pixel-shift taps become C-lane
+    shifts, so the whole filter stays in contiguous full-width vector ops --
+    no deinterleave gathers.  ~3x the planar kernel's VPU work (every lane
+    computes), but it consumes the serving boundary's interleaved row
+    layout for free, where materializing a planar image costs a 16 ms
+    relayout (ops/pallas/blur.py).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -160,17 +172,19 @@ def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
     copy.start()
     copy.wait()
 
-    wg = gbuf.shape[1]   # = Wp - 2: gray needs x[l+2], taps need G[<= Wp-3]
+    base = _LAND - channels   # gray index k <-> data lane k - C
+    wg = gbuf.shape[1]        # = w_out + 2C: taps reach G[2C + w_out - 1]
     if channels == 1:
-        gbuf[:, :] = tile_u8[:, :wg].astype(jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = tile_u8[:, base : base + wg].astype(
+            jnp.int32).astype(jnp.float32)
     else:
         # Rec.601 at every lane, exact f32 order (image_filters.cu:1443).
-        gbuf[:, :] = jnp.float32(0.299) * tile_u8[:, :wg].astype(
+        gbuf[:, :] = jnp.float32(0.299) * tile_u8[:, base : base + wg].astype(
             jnp.int32).astype(jnp.float32)
-        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.587) * tile_u8[:, 1:wg + 1].astype(
-            jnp.int32).astype(jnp.float32)
-        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.114) * tile_u8[:, 2:wg + 2].astype(
-            jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.587) * tile_u8[
+            :, base + 1 : base + wg + 1].astype(jnp.int32).astype(jnp.float32)
+        gbuf[:, :] = gbuf[:, :] + jnp.float32(0.114) * tile_u8[
+            :, base + 2 : base + wg + 2].astype(jnp.int32).astype(jnp.float32)
     if level == 2:
         # Level 2 quantizes gray to uint8 during the tile load (:1444).
         gbuf[:, :] = jnp.floor(gbuf[:, :] + jnp.float32(0.5))
@@ -226,34 +240,32 @@ def _pick_tile_rows_interleaved(requested: int, wp: int) -> int:
     return min(requested, tile)
 
 
-def sobel_pallas_flat_batch(
-    flats_u8: jnp.ndarray,    # (B, H*W*C) uint8, HWC byte order
-    height: int, width: int, channels: int,
+def sobel_pallas_rows_batch(
+    rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
+    width: int, channels: int,
     level: int = 2, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flat serving-path Sobel; returns (B, H*W*C)."""
-    b = flats_u8.shape[0]
-    wf = width * channels
-    rows = flats_u8.reshape(b, height, wf)
+    """Serving-path Sobel on interleaved rows; returns (B, H, W*C)."""
+    b, height, wf = rows_u8.shape
 
-    # 1 halo pixel each side + 2 junk lanes for the gray shifts (the gray
-    # pass reads x[l+2] at the last lane).
-    wp = _round_up(wf + 2 * channels + 2, 128)
+    cs = _round_up(wf, 128)        # output lanes; junk >= wf sliced off
+    w_t = _LAND + cs + 128         # gray reads up to _LAND + cs + C + 1
     tile_rows = min(
-        _pick_tile_rows_interleaved(TPU.sobel_tile_rows, wp),
+        _pick_tile_rows_interleaved(TPU.sobel_tile_rows, w_t),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
-    w_out = wp - 2 * channels - 2
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
     total_rows = hp - tile_rows + copy_rows
 
-    left = rows[:, :, :channels]
-    right_reps = (wp - channels - wf + channels - 1) // channels
-    right = jnp.tile(rows[:, :, wf - channels:], (1, 1, right_reps))
-    x = jnp.concatenate([left, rows, right], axis=2)[:, :, :wp]
-    x = jnp.pad(x, ((0, 0), (1, total_rows - height - 1), (0, 0)), mode="edge")
+    # Single register-aligned pad; the lane-replication junk only feeds
+    # border pixels that the kernel zeroes (module docstring).
+    x = jnp.pad(
+        rows_u8,
+        ((0, 0), (1, total_rows - height - 1), (_LAND, w_t - _LAND - wf)),
+        mode="edge",
+    )
 
     out = pl.pallas_call(
         functools.partial(
@@ -264,36 +276,57 @@ def sobel_pallas_flat_batch(
             copy_rows=copy_rows,
             height=height,
             width=width,
-            w_out=w_out,
+            w_out=cs,
         ),
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, tile_rows, w_out), lambda bb, i: (bb, i, 0),
+            (1, tile_rows, cs), lambda bb, i: (bb, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hp, w_out), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cs), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((copy_rows, wp), jnp.uint8),
-            pltpu.VMEM((copy_rows, wp - 2), jnp.float32),
-            pltpu.VMEM((tile_rows, channels + w_out), jnp.float32),
+            pltpu.VMEM((copy_rows, w_t), jnp.uint8),
+            pltpu.VMEM((copy_rows, cs + 2 * channels), jnp.float32),
+            pltpu.VMEM((tile_rows, channels + cs), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(x)
 
-    return out[:, :height, :wf].reshape(b, -1)
+    return out[:, :height, :wf]
+
+
+def sobel_pallas_rows(
+    rows_u8: jnp.ndarray, width: int, channels: int,
+    level: int = 2, interpret: bool = False,
+) -> jnp.ndarray:
+    """(H, W*C) interleaved uint8 rows -> same, edge map (serving path)."""
+    return sobel_pallas_rows_batch(
+        rows_u8[None], width, channels, level=level, interpret=interpret)[0]
+
+
+def sobel_pallas_flat_batch(
+    flats_u8: jnp.ndarray,    # (B, H*W*C) uint8, HWC byte order
+    height: int, width: int, channels: int,
+    level: int = 2, interpret: bool = False,
+) -> jnp.ndarray:
+    """Flat (B, H*W*C) compat wrapper; prefer sobel_pallas_rows_batch (the
+    1D<->2D reshapes are device relayouts, not free)."""
+    b = flats_u8.shape[0]
+    return sobel_pallas_rows_batch(
+        flats_u8.reshape(b, height, width * channels), width, channels,
+        level=level, interpret=interpret).reshape(b, -1)
 
 
 def sobel_pallas_flat(
     flat_u8: jnp.ndarray, height: int, width: int, channels: int,
     level: int = 2, interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flat HWC uint8 buffer -> flat edge map (serving path)."""
-    return sobel_pallas_flat_batch(
-        flat_u8.reshape(1, -1), height, width, channels,
-        level=level, interpret=interpret,
-    ).reshape(-1)
+    """Flat (H*W*C,) compat wrapper; prefer sobel_pallas_rows."""
+    return sobel_pallas_rows(
+        flat_u8.reshape(height, width * channels), width, channels,
+        level=level, interpret=interpret).reshape(-1)
 
 
 def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
@@ -313,26 +346,31 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
         height -= 2
     planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2))
 
-    wp = _round_up(width + 2, 128)
-    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, wp), _round_up(height, 8))
+    cs = _round_up(width, 128)
+    w_t = _LAND + cs + 128
+    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, w_t),
+                    _round_up(height, 8))
     hp = _round_up(height, tile_rows)
-    w_out = wp - 2
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
 
     # DMA for tile i reads rows [i*TH, i*TH+CR); pad to hp - TH + CR rows:
-    # [1 top halo][height rows][1 bottom halo][alignment junk].
+    # [1 top halo][height rows][1 bottom halo][alignment junk].  Planar
+    # edge-lane replication IS edge-pixel replication, so the lane pad is
+    # also the correct clamp content.
     total_rows = hp - tile_rows + copy_rows
     if rows_prepadded:
         x = jnp.pad(
             planar,
-            ((0, 0), (0, 0), (0, total_rows - height - 2), (1, wp - width - 1)),
+            ((0, 0), (0, 0), (0, total_rows - height - 2),
+             (_LAND, w_t - _LAND - width)),
             mode="edge",
         )
     else:
         x = jnp.pad(
             planar,
-            ((0, 0), (0, 0), (1, total_rows - height - 1), (1, wp - width - 1)),
+            ((0, 0), (0, 0), (1, total_rows - height - 1),
+             (_LAND, w_t - _LAND - width)),
             mode="edge",
         )
 
@@ -345,19 +383,19 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
             copy_rows=copy_rows,
             height=height,
             width=width,
-            w_out=w_out,
+            w_out=cs,
             zero_rows=zero_rows,
         ),
         grid=(b, n_tiles),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (1, channels, tile_rows, w_out), lambda bb, i: (bb, 0, i, 0),
+            (1, channels, tile_rows, cs), lambda bb, i: (bb, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, channels, hp, w_out), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, channels, hp, cs), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
-            pltpu.VMEM((copy_rows, wp), jnp.float32),
+            pltpu.VMEM((channels, copy_rows, w_t), jnp.uint8),
+            pltpu.VMEM((copy_rows, w_t), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -377,15 +415,17 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
     height, width, channels = img_hwc.shape
     planar = jnp.transpose(img_hwc, (2, 0, 1))
 
-    wp = _round_up(width + 2, 128)
-    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, wp), _round_up(height, 8))
+    cs = _round_up(width, 128)
+    w_t = _LAND + cs + 128
+    tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, w_t),
+                    _round_up(height, 8))
     hp = _round_up(height, tile_rows)
-    w_out = wp - 2
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
 
     bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
-    x = jnp.pad(planar, ((0, 0), (1, bottom), (1, wp - width - 1)), mode="edge")
+    x = jnp.pad(planar, ((0, 0), (1, bottom), (_LAND, w_t - _LAND - width)),
+                mode="edge")
 
     out = pl.pallas_call(
         functools.partial(
@@ -396,18 +436,18 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
             copy_rows=copy_rows,
             height=height,
             width=width,
-            w_out=w_out,
+            w_out=cs,
         ),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
-            (channels, tile_rows, w_out), lambda i: (0, i, 0),
+            (channels, tile_rows, cs), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, cs), jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((channels, copy_rows, wp), jnp.uint8),
-            pltpu.VMEM((copy_rows, wp), jnp.float32),
+            pltpu.VMEM((channels, copy_rows, w_t), jnp.uint8),
+            pltpu.VMEM((copy_rows, w_t), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

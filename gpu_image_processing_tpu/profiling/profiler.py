@@ -58,32 +58,31 @@ def check_profiler_available() -> bool:
 
 def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
              h: int, w: int, c: int):
-    """A jittable FLAT u8 -> u8 fn running ONE separable pass of a blur.
+    """A jittable (H, W*C) u8 -> u8 fn running ONE separable pass of a blur.
 
     Matches the implementation tier the runtime actually serves: the
     interleaved Pallas kernel with the other pass elided (levels 2/4), or
     the interleaved XLA shifted-slice pass (level 1 / Pallas disabled).
-    Flat-native like the serving trace fns, so no relayout pollutes the
+    Rows-native like the serving trace fns, so no relayout pollutes the
     measured split.
     """
     from ..runtime.dispatch import _routed_to_xla
 
-    wf = w * c
     if (lvl >= 2 and not _routed_to_xla(lvl, h, w)
             and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"):
         try:
-            from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
+            from ..ops.pallas.blur import box_pallas_rows, gaussian_pallas_rows
             from ..runtime.device import is_tpu
 
             interp = not is_tpu()
             folded = lvl == 4
             if filter_type == "gaussian":
-                return lambda flat, wts: gaussian_pallas_flat(
-                    flat, wts, radius, h, w, c,
+                return lambda rows, wts: gaussian_pallas_rows(
+                    rows, wts, radius, c,
                     interpret=interp, folded=folded, passes=which,
                 )
-            return lambda flat: box_pallas_flat(
-                flat, radius, h, w, c,
+            return lambda rows: box_pallas_rows(
+                rows, radius, c,
                 interpret=interp, folded=folded, passes=which,
             )
         except Exception:  # pragma: no cover - env without Mosaic
@@ -94,19 +93,19 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     from ..ops.weights import box_inv_taps_f32
 
     if filter_type == "gaussian":
-        def fn(flat, wts):
-            x = flat.reshape(h, wf).astype("float32")
+        def fn(rows, wts):
+            x = rows.astype("float32")
             y = (il._conv_cols(x, wts, radius, c) if which == "horizontal"
                  else il._conv_rows(x, wts, radius))
-            return quantize_u8(y).reshape(-1)
+            return quantize_u8(y)
 
         return fn
 
     doubling = lvl >= 2 and radius >= il.BOX_DOUBLING_MIN_RADIUS
 
-    def fn(flat):
+    def fn(rows):
         inv = box_inv_taps_f32(radius)
-        x = flat.reshape(h, wf).astype("float32")
+        x = rows.astype("float32")
         if doubling:
             taps = 2 * radius + 1
             y = (il._windowed_sum_doubling(
@@ -117,7 +116,7 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
         else:
             y = (il._sum_cols(x, radius, c) if which == "horizontal"
                  else il._sum_rows(x, radius))
-        return quantize_u8(y * inv).reshape(-1)
+        return quantize_u8(y * inv)
 
     return fn
 
@@ -227,7 +226,7 @@ def profile_filter(
             img_exec = np.pad(
                 img_exec, ((0, kh - height), (0, kw - width), (0, 0)), mode="edge"
             )
-        args = [jax.device_put(img_exec.reshape(-1), default_device())]
+        args = [jax.device_put(img_exec.reshape(kh, -1), default_device())]
         if filter_type == "gaussian":
             from ..ops.weights import gaussian_kernel_f32
 

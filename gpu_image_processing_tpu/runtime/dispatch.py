@@ -38,11 +38,16 @@ from .device import default_device, warmup_transfers
 # ---------------------------------------------------------------------------
 # Trace functions per (filter, level)
 #
-# All host<->device crossings use FLAT uint8 buffers -- the analog of the
-# reference's flat cudaMemcpy of the image bytes (bindings.cpp:42,77).  An
-# (H, W, 3) uint8 array has a device tile layout whose de-tiling makes D2H
-# transfers ~5x slower (and flaky over tunneled links); a 1-D byte buffer
-# streams at full rate.  Reshapes live inside the jitted program.
+# All host<->device crossings use (H, W*C) interleaved uint8 ROWS -- the
+# same HWC byte order as the reference's flat cudaMemcpy (bindings.cpp:42,77)
+# viewed 2-D, which costs nothing on the host.  The 2-D view matters on
+# device: an (H, W, 3) array's 3-lane minor dim makes D2H de-tiling ~5x
+# slower, and a 1-D flat buffer forces a real relayout INSIDE the jitted
+# program each way because (H*W*C,) and (H, W*C) tile layouts differ
+# whenever W*C % 128 != 0 (measured 0.95 ms on the README image -- 2.2x the
+# blur kernel itself; scripts/exp_rows_boundary.py).  (H, W*C) rows are
+# within one lane-tile of dense, so transfers stream AND the kernels
+# consume the layout natively.
 # ---------------------------------------------------------------------------
 
 
@@ -63,31 +68,28 @@ def _routed_to_xla(level: int, h: int, w_: int) -> bool:
     return h * w_ <= max_px
 
 
-def _flat_optimized(filter_name: str, level: int, radius: int,
+def _rows_optimized(filter_name: str, level: int, radius: int,
                     h: int, w_: int, c: int) -> Callable:
-    """Levels 2/4 on the flat boundary: interleaved Pallas kernels, with
-    the interleaved XLA tier as fallback.  The planar kernels are NOT used
-    here -- materializing an (H, W, C) device array from the flat buffer
-    costs a pathological relayout (16.3 ms on the README image, 26x the
-    kernel; see ops/interleaved.py)."""
+    """Levels 2/4 on the (H, W*C) rows boundary: interleaved Pallas
+    kernels, with the interleaved XLA tier as fallback.  The planar kernels
+    are NOT used here -- materializing an (H, W, C) device array from the
+    interleaved rows costs a pathological relayout (16.3 ms on the README
+    image, 26x the kernel; see ops/interleaved.py)."""
     import os as _os
 
-    wf = w_ * c
     folded = level == 4
 
     def xla_tier() -> Callable:
         from ..ops import interleaved as il
 
         if filter_name == "gaussian":
-            return lambda flat, w: il.gaussian_rows(
-                flat.reshape(h, wf), w, radius, c).reshape(-1)
+            return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
         if filter_name == "box":
-            return lambda flat: il.box_rows(
-                flat.reshape(h, wf), radius, c,
-                doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS).reshape(-1)
+            return lambda rows: il.box_rows(
+                rows, radius, c,
+                doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS)
         lvl = 1 if level == 4 else 2
-        return lambda flat: il.sobel_rows(
-            flat.reshape(h, wf), lvl, w_, c).reshape(-1)
+        return lambda rows: il.sobel_rows(rows, lvl, w_, c)
 
     # Small images serve faster from the XLA tier (measured crossover, see
     # config); both tiers are bit-exact so routing only changes speed.
@@ -96,19 +98,19 @@ def _flat_optimized(filter_name: str, level: int, radius: int,
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import box_pallas_flat, gaussian_pallas_flat
-            from ..ops.pallas.sobel import sobel_pallas_flat
+            from ..ops.pallas.blur import box_pallas_rows, gaussian_pallas_rows
+            from ..ops.pallas.sobel import sobel_pallas_rows
             from .device import is_tpu
 
             interp = not is_tpu()
             if filter_name == "gaussian":
-                return lambda flat, w: gaussian_pallas_flat(
-                    flat, w, radius, h, w_, c, interpret=interp, folded=folded)
+                return lambda rows, w: gaussian_pallas_rows(
+                    rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
-                return lambda flat: box_pallas_flat(
-                    flat, radius, h, w_, c, interpret=interp, folded=folded)
-            return lambda flat: sobel_pallas_flat(
-                flat, h, w_, c, level=1 if level == 4 else 2, interpret=interp)
+                return lambda rows: box_pallas_rows(
+                    rows, radius, c, interpret=interp, folded=folded)
+            return lambda rows: sobel_pallas_rows(
+                rows, w_, c, level=1 if level == 4 else 2, interpret=interp)
         except ImportError:  # pragma: no cover - env without Mosaic
             pass
 
@@ -119,66 +121,51 @@ def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callabl
     if level == 1:
         from ..ops import interleaved as il
 
-        wf = w_ * c
-        return lambda flat, w: il.gaussian_rows(
-            flat.reshape(h, wf), w, radius, c).reshape(-1)
-    return _flat_optimized("gaussian", level, radius, h, w_, c)
+        return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
+    return _rows_optimized("gaussian", level, radius, h, w_, c)
 
 
 def _trace_box(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
 
-        wf = w_ * c
-        return lambda flat: il.box_rows(
-            flat.reshape(h, wf), radius, c).reshape(-1)
-    return _flat_optimized("box", level, radius, h, w_, c)
+        return lambda rows: il.box_rows(rows, radius, c)
+    return _rows_optimized("box", level, radius, h, w_, c)
 
 
 def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
 
-        wf = w_ * c
-        return lambda flat: il.sobel_rows(
-            flat.reshape(h, wf), 1, w_, c).reshape(-1)
-    return _flat_optimized("sobel", level, 0, h, w_, c)
+        return lambda rows: il.sobel_rows(rows, 1, w_, c)
+    return _rows_optimized("sobel", level, 0, h, w_, c)
 
 
 def _trace_batch(filter_name: str, level: int, radius: int,
                  h: int, w_: int, c: int) -> Callable:
-    """Batched trace fn over (B, H*W*C) flat uint8.
+    """Batched trace fn over (B, H, W*C) interleaved uint8 rows.
 
-    Level 1 runs the interleaved jnp tier directly on (B, H, W*C) rows (no
-    vmap, no relayout).  Levels 2/4 use the natively batched interleaved
-    Pallas kernels (the batch rides the kernel grid; Pallas ANY-space
-    operands cannot be vmapped on TPU) with the interleaved XLA tier as
-    fallback.
+    Level 1 runs the interleaved jnp tier directly (no vmap, no relayout).
+    Levels 2/4 use the natively batched interleaved Pallas kernels (the
+    batch rides the kernel grid; Pallas ANY-space operands cannot be
+    vmapped on TPU) with the interleaved XLA tier as fallback.
     """
     import os as _os
-
-    wf = w_ * c
-
-    def rows_io(fn):
-        def wrapped(flats, *rest):
-            return fn(flats.reshape(-1, h, wf), *rest).reshape(flats.shape[0], -1)
-
-        return wrapped
 
     from ..ops import interleaved as il
 
     if level == 1:
         if filter_name == "gaussian":
-            return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))
+            return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
         if filter_name == "box":
-            return rows_io(lambda rows: il.box_rows(rows, radius, c))
-        return rows_io(lambda rows: il.sobel_rows(rows, 1, w_, c))
+            return lambda rows: il.box_rows(rows, radius, c)
+        return lambda rows: il.sobel_rows(rows, 1, w_, c)
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import (box_pallas_flat_batch,
-                                           gaussian_pallas_flat_batch)
-            from ..ops.pallas.sobel import sobel_pallas_flat_batch
+            from ..ops.pallas.blur import (box_pallas_rows_batch,
+                                           gaussian_pallas_rows_batch)
+            from ..ops.pallas.sobel import sobel_pallas_rows_batch
             from .device import is_tpu
         except ImportError:  # pragma: no cover - env without Mosaic
             pass
@@ -186,22 +173,22 @@ def _trace_batch(filter_name: str, level: int, radius: int,
             interp = not is_tpu()
             folded = level == 4
             if filter_name == "gaussian":
-                return lambda flats, w: gaussian_pallas_flat_batch(
-                    flats, w, radius, h, w_, c, interpret=interp, folded=folded)
+                return lambda rows, w: gaussian_pallas_rows_batch(
+                    rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
-                return lambda flats: box_pallas_flat_batch(
-                    flats, radius, h, w_, c, interpret=interp, folded=folded)
-            return lambda flats: sobel_pallas_flat_batch(
-                flats, h, w_, c, level=1 if level == 4 else 2,
+                return lambda rows: box_pallas_rows_batch(
+                    rows, radius, c, interpret=interp, folded=folded)
+            return lambda rows: sobel_pallas_rows_batch(
+                rows, w_, c, level=1 if level == 4 else 2,
                 interpret=interp)
 
     if filter_name == "gaussian":
-        return rows_io(lambda rows, w: il.gaussian_rows(rows, w, radius, c))
+        return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
     if filter_name == "box":
-        return rows_io(lambda rows: il.box_rows(
-            rows, radius, c, doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS))
-    return rows_io(lambda rows: il.sobel_rows(
-        rows, 1 if level == 4 else 2, w_, c))
+        return lambda rows: il.box_rows(
+            rows, radius, c, doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS)
+    return lambda rows: il.sobel_rows(
+        rows, 1 if level == 4 else 2, w_, c)
 
 
 class FilterExecutable:
@@ -401,7 +388,7 @@ class FilterRuntime:
         )
         weights = gaussian_kernel_f32(radius, float(sigma))
         dev = default_device()
-        img_dev = jax.device_put(image.reshape(-1), dev)
+        img_dev = jax.device_put(image.reshape(height, -1), dev)
         w_dev = jax.device_put(weights, dev)
         jax.block_until_ready((img_dev, w_dev))
         out, ms = exe(img_dev, w_dev)
@@ -429,7 +416,7 @@ class FilterRuntime:
                 _trace_box(lvl, radius, height, width, channels), n_args=1
             ),
         )
-        img_dev = jax.device_put(image.reshape(-1), default_device())
+        img_dev = jax.device_put(image.reshape(height, -1), default_device())
         jax.block_until_ready(img_dev)
         out, ms = exe(img_dev)
         out = out.reshape(height, width, channels)[:true_h, :true_w]
@@ -454,7 +441,7 @@ class FilterRuntime:
                 _trace_sobel(lvl, height, width, channels), n_args=1
             ),
         )
-        img_dev = jax.device_put(image.reshape(-1), default_device())
+        img_dev = jax.device_put(image.reshape(height, -1), default_device())
         jax.block_until_ready(img_dev)
         out, ms = exe(img_dev)
         out = out.reshape(height, width, channels)[:true_h, :true_w]
@@ -540,7 +527,7 @@ class FilterRuntime:
 
         exe = self._get(key, build)
         dev = default_device()
-        args = [jax.device_put(images.reshape(batch, -1), dev)]
+        args = [jax.device_put(images.reshape(batch, height, -1), dev)]
         if weights is not None:
             args.append(jax.device_put(weights, dev))
         jax.block_until_ready(args)

@@ -5,7 +5,7 @@ round-tripping through HBM-global memory (gaussianBlur launches
 horizontal+vertical, image_filters.cu:811-875; boxBlur likewise with
 shared-memory tiles, :1053-1069).  On TPU both passes fuse into ONE kernel:
 
-* each grid step DMAs a (tile_rows + 2r) x W_T uint8 row band from HBM into
+* each grid step DMAs a (tile_rows + 2r) x Wp uint8 row band from HBM into
   VMEM (the halo-load analog of the cooperative shared-memory loads,
   image_filters.cu:489-513, but explicit and asynchronous);
 * the horizontal pass, the uint8 re-quantization of the intermediate
@@ -16,19 +16,6 @@ shared-memory tiles, :1053-1069).  On TPU both passes fuse into ONE kernel:
 
 HBM traffic is therefore ~2x the u8 image instead of ~4x f32, and there is
 no second kernel launch.
-
-Lane geometry -- the "landed DMA" scheme.  Clamp-to-edge lane halos are NOT
-built in XLA: replicating edge pixels with tile/concatenate shifts every
-lane of the image by the halo offset, and that relayout alone measured
-1.23 ms on the README interleaved workload -- 2.8x the 0.44 ms kernel it
-fed (scripts/exp_interleaved.py, 2026-08-16; the long-suspected C-strided
-tap shifts measured irrelevant: a stride-1 control was equally slow).
-Instead the input is padded with a single register-aligned jnp.pad (128
-junk lanes left, alignment junk right, clamped rows), each tile lands at
-lane offset 128 in VMEM, taps read from base = 128 - halo, and the halo
-lanes themselves are filled IN-KERNEL by log-doubling copies of the edge
-pixel.  For planar input (tap_stride == 1) the jnp.pad edge mode already
-lands the correct pixel value in the halo lanes, so no fill is emitted.
 
 Numerics per pass:
   gaussian: sum_t pixel*w[t]  -> floor(x+0.5)      (image_filters.cu:98,102)
@@ -45,8 +32,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.config import TPU
-from ..weights import box_inv_taps_f32
+from gpu_image_processing_tpu.core.config import TPU
+from gpu_image_processing_tpu.ops.weights import box_inv_taps_f32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -58,27 +45,21 @@ def _round_up(x: int, m: int) -> int:
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 # Column-chunk width (output lanes, 128-multiple) used when a full-width
-# tile would not fit VMEM (blur_kernel_fits_vmem).  Must be a multiple of
-# 128 so column DMA starts stay register-aligned.
+# tile would not fit VMEM (blur_kernel_fits_vmem).
 _COL_CHUNK = 1536
 
-# Landing lane offset: tiles land at this (register-aligned) offset so the
-# lanes below it can hold the in-kernel clamp-to-edge halo.  Must exceed
-# the largest halo = max_radius * max_channels = 31 * 4 = 124.
-_LAND = 128
 
-
-def _pick_tile_rows(requested: int, wt: int, radius: int,
+def _pick_tile_rows(requested: int, wp: int, radius: int,
                     doubling: bool = False) -> int:
     """Cap tile rows so the kernel's VMEM working set fits for any width.
 
-    Live buffers per grid step: tile u8 (CRxW_T), xbuf f32 (CRxW_T), hbuf
-    f32 (CRxcs), vbuf f32 (THxcs) plus the double-buffered u8 output block
-    -- roughly 13.5 bytes per (row x W_T lane); +4 for the doubling-sum
+    Live buffers per grid step: tile u8 (CRxWp), xbuf f32 (CRxWp), hbuf f32
+    (CRxWo), vbuf f32 (THxWo) plus the double-buffered u8 output block --
+    roughly 13.5 bytes per (row x Wp lane); +4 for the doubling-sum
     ping-pong buffer.  A 3.3k-wide image supports ~190 copy rows; an
     8k-wide image only ~90.
     """
-    bytes_per_row = wt * (17.5 if doubling else 13.5)
+    bytes_per_row = wp * (17.5 if doubling else 13.5)
     max_copy_rows = max(int(_VMEM_BUDGET / bytes_per_row), 8)
     tile = max_copy_rows - 2 * radius
     tile = max((tile // 8) * 8, 8)
@@ -99,20 +80,20 @@ def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
     own tiling is unconstrained.  Accounting matches the kernel's scratch
     list; measured overhead (Mosaic stack + DMA machinery) is ~1.7 MB.
     """
-    dw = width * (channels if interleaved else 1)
-    cs = _round_up(dw, 128)
-    wt = cs + 2 * _LAND
+    halo = radius * (channels if interleaved else 1)
+    wp = _round_up((width * (channels if interleaved else 1)) + 2 * halo, 128)
+    w_out = wp - 2 * halo
     tile = 8
     copy_rows = _round_up(tile + 2 * radius, 8)
     total = (
-        copy_rows * wt * 1          # tile_u8
-        + copy_rows * wt * 4        # xbuf
-        + copy_rows * cs * 4        # hbuf
-        + tile * cs * 4             # vbuf
-        + 2 * tile * cs * 1         # double-buffered output block
+        copy_rows * wp * 1          # tile_u8
+        + copy_rows * wp * 4        # xbuf
+        + copy_rows * w_out * 4     # hbuf
+        + tile * w_out * 4          # vbuf
+        + 2 * tile * w_out * 1      # double-buffered output block
     )
     if _use_doubling(box_mode, radius):
-        total += copy_rows * wt * 4  # sbuf ping-pong
+        total += copy_rows * wp * 4  # sbuf ping-pong
     return total + 1_800_000 < 16 * 1024 * 1024
 
 
@@ -121,63 +102,27 @@ def _use_doubling(box_mode: bool, radius: int) -> bool:
     full-width adds instead of 2r+1.  Exact -- window sums of uint8 values
     (< 2^24) are exact integers in f32 under ANY association, so the result
     is bit-identical to the sequential CUDA tap order."""
-    from ..interleaved import BOX_DOUBLING_MIN_RADIUS
+    from gpu_image_processing_tpu.ops.interleaved import BOX_DOUBLING_MIN_RADIUS
 
     return box_mode and radius >= BOX_DOUBLING_MIN_RADIUS
-
-
-def _edge_fill(buf, pos: int, group: int, halo: int, left: bool) -> None:
-    """Replicate the `group`-lane pixel adjacent to lane `pos` into the
-    `halo` lanes beyond it (clamp-to-edge), by log-doubling copies.
-
-    left=True fills [pos-halo, pos) from the pixel at [pos, pos+group);
-    left=False fills [pos, pos+halo) from the pixel at [pos-group, pos).
-    Copy shifts are always the already-filled width (a multiple of group
-    except possibly the final partial step), so the channel phase of the
-    replicated pattern is preserved.  All offsets are static.
-    """
-    if halo <= 0:
-        return
-    if left:
-        buf[:, pos - group : pos] = buf[:, pos : pos + group]
-        filled = group
-        while filled < halo:
-            w = min(filled, halo - filled)
-            buf[:, pos - filled - w : pos - filled] = buf[:, pos - w : pos]
-            filled += w
-    else:
-        buf[:, pos : pos + group] = buf[:, pos - group : pos]
-        filled = group
-        while filled < halo:
-            w = min(filled, halo - filled)
-            buf[:, pos + filled : pos + filled + w] = buf[:, pos : pos + w]
-            filled += w
 
 
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
                  box_mode: bool, folded: bool = False, passes: str = "both",
-                 tap_stride: int = 1, col_step: int = 0,
-                 fill_left: bool = False,
-                 right_fills: tuple = ()):
+                 tap_stride: int = 1, col_step: int = 0):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
-    in_ref: (C, Hp+pad, W_A) u8 in HBM/ANY -- row-padded image, data lanes
-            starting at _LAND (no lane-halo content; built in-kernel)
-    out_ref:(1, TH, cs) u8 VMEM block      -- output rows
-    tile_u8:(CR, W_T) u8 VMEM scratch      -- DMA landing buffer, where
+    in_ref: (C, Hp+pad, Wp) u8 in HBM/ANY -- full padded planar image
+    out_ref:(1, TH, Wo) u8 VMEM block     -- output rows
+    tile_u8:(CR, Wp) u8 VMEM scratch      -- DMA landing buffer, where
             CR = copy_rows = TH+2r rounded up to the 8-row sublane tiling
             (Mosaic requires 8-aligned DMA slices; surplus rows are junk
             edge padding that the vertical pass never reads).
-    xbuf:   (CR, W_T) f32 scratch          -- the tile as f32; halo lanes
-            [base, _LAND) and past the data end are edge-filled in-kernel
-    hbuf:   (CR, cs) f32 scratch           -- horizontal-pass accumulator
-    vbuf:   (TH, cs) f32 scratch           -- vertical-pass accumulator
-
-    fill_left: emit the left clamp-to-edge fill (first column chunk only).
-    right_fills: ((chunk_or_None, pos), ...) static right-edge fill sites;
-    chunk_or_None=None emits unconditionally (single-column grids).
+    xbuf:   (CR, Wp) f32 scratch          -- the tile as f32
+    hbuf:   (CR, Wo) f32 scratch          -- horizontal-pass accumulator
+    vbuf:   (TH, Wo) f32 scratch          -- vertical-pass accumulator
 
     Tap accumulation goes THROUGH the scratch refs: with value-chained
     accumulation Mosaic keeps every unrolled tap slice live on the VMEM
@@ -193,18 +138,15 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     c = pl.program_id(0)
     i = pl.program_id(1)
     taps = 2 * radius + 1
-    halo = radius * tap_stride
-    base = _LAND - halo
-    w_t = tile_u8.shape[1]
 
     if col_step:
         # Column-tiled: this step covers output lanes [j*col_step,
-        # (j+1)*col_step) plus the landing/reach overhang; bounds VMEM for
+        # (j+1)*col_step) plus the 2*halo input overhang; bounds VMEM for
         # arbitrarily wide images.
         j = pl.program_id(2)
         src = in_ref.at[
             c, pl.ds(i * tile_rows, copy_rows),
-            pl.ds(j * col_step, w_t),
+            pl.ds(j * col_step, tile_u8.shape[1]),
         ]
     else:
         src = in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :]
@@ -214,23 +156,6 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
 
     # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
     xbuf[:, :] = tile_u8[:].astype(jnp.int32).astype(jnp.float32)
-
-    # Clamp-to-edge halo lanes, built in VMEM (see module docstring).
-    if fill_left:
-        if col_step:
-            @pl.when(j == 0)
-            def _():
-                _edge_fill(xbuf, _LAND, tap_stride, halo, left=True)
-        else:
-            _edge_fill(xbuf, _LAND, tap_stride, halo, left=True)
-    for chunk, pos in right_fills:
-        fh = min(halo, w_t - pos)
-        if chunk is None or not col_step:
-            _edge_fill(xbuf, pos, tap_stride, fh, left=False)
-        else:
-            @pl.when(j == chunk)
-            def _(pos=pos, fh=fh):
-                _edge_fill(xbuf, pos, tap_stride, fh, left=False)
 
     def conv(src_ref, acc_ref, take, length):
         """One separable pass: taps in CUDA order, or symmetric-folded.
@@ -268,19 +193,16 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         """Windowed column sum via doubling (see _use_doubling); src is
         clobbered.  Chunks of the binary decomposition of `taps` are taken
         LSB-first at increasing offsets; each doubling halves the remaining
-        adds.  ~2*log2(taps) full-width ops instead of taps.  The source
-        tile's data starts at `base`; after the first doubling write the
-        ping-pong buffers are 0-based."""
+        adds.  ~2*log2(taps) full-width ops instead of taps."""
         unit = tap_stride
         full = src_ref.shape[1]
         cur, nxt = src_ref, tmp_ref
-        cur_base = base
         off = 0
         first = True
         n_bits = taps.bit_length()
         for b in range(n_bits):
             if (taps >> b) & 1:
-                sl = cur[:, cur_base + off : cur_base + off + w_out]
+                sl = cur[:, off : off + w_out]
                 if first:
                     res_ref[:, :] = sl
                     first = False
@@ -289,13 +211,9 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                 off += (1 << b) * unit
             if b < n_bits - 1:
                 shift = (1 << b) * unit
-                width = full - shift - cur_base
-                nxt[:, :width] = (
-                    cur[:, cur_base : cur_base + width]
-                    + cur[:, cur_base + shift : cur_base + shift + width]
-                )
+                width = full - shift
+                nxt[:, :width] = cur[:, :width] + cur[:, shift : shift + width]
                 cur, nxt = nxt, cur
-                cur_base = 0
         res_ref[:, :] = res_ref[:, :] * w_ref[0, 0]
 
     def box_rows_doubling(src_ref, tmp_ref, res_ref):
@@ -327,7 +245,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     # tap_stride > 1 is the interleaved-HWC layout: a horizontal tap at
     # pixel offset t is a lane offset of t*C on the (rows, W*C) tile (all
     # channels shift together; slices stay contiguous).
-    take_cols = lambda s, t, n: s[:, base + t * tap_stride : base + t * tap_stride + n]  # noqa: E731
+    take_cols = lambda s, t, n: s[:, t * tap_stride : t * tap_stride + n]  # noqa: E731
     take_rows = lambda s, t, n: s[t : t + n, :]        # noqa: E731
 
     # Horizontal pass -> hbuf with uint8 re-quantization, then vertical
@@ -342,7 +260,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
             conv(xbuf, hbuf, take_cols, w_out)
         hbuf[:, :] = _quant(hbuf[:, :])
     else:
-        hbuf[:, :] = xbuf[:, _LAND : _LAND + w_out]
+        hbuf[:, :] = xbuf[:, :w_out]
     if passes == "horizontal":
         # The band's first `radius` rows are top halo; the tile's true
         # output rows start at `radius` (the "both" path reads them via the
@@ -361,36 +279,6 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     )
 
 
-def _landed_geometry(data_width: int, fits_vmem: bool):
-    """(cs, n_cols, w_t, arr_width) for the landed-DMA lane layout.
-
-    cs      output-lane chunk per grid column (128-multiple)
-    w_t     VMEM tile width = cs + 2*_LAND (taps reach base..base+2*halo+cs
-            which fits because halo <= _LAND)
-    arr_width  padded input width = n_cols*cs + 2*_LAND
-    """
-    if fits_vmem:
-        cs = _round_up(data_width, 128)
-        n_cols = 1
-    else:
-        cs = _COL_CHUNK
-        n_cols = -(-data_width // cs)
-    return cs, n_cols, cs + 2 * _LAND, n_cols * cs + 2 * _LAND
-
-
-def _right_fill_sites(data_width: int, cs: int, n_cols: int,
-                      halo: int) -> tuple:
-    """Static (chunk, pos) sites where a column chunk's taps read past the
-    data end and need the clamp-to-edge right fill.  At most the last two
-    chunks qualify (halo < cs)."""
-    sites = []
-    for j in range(max(0, n_cols - 2), n_cols):
-        pos = _LAND + data_width - j * cs
-        if pos < _LAND + cs + halo:
-            sites.append((j if n_cols > 1 else None, pos))
-    return tuple(sites)
-
-
 def _separable_blur_planar(
     planar_u8: jnp.ndarray,   # (C, H, W) uint8
     weights: jnp.ndarray,     # (2r+1,) f32 (box: any; w[0] used as inv scale)
@@ -405,23 +293,28 @@ def _separable_blur_planar(
     """rows_prepadded=True: the input already carries `radius` valid rows
     above and below (e.g. halo rows exchanged from neighbor shards over
     ICI); only alignment junk is appended, no clamp-to-edge row padding.
-    Shape is then (C, H + 2*radius, W) for an (C, H, W) output.
-
-    Lane halos are NOT materialized in XLA: jnp.pad's edge mode replicates
-    the edge LANE, which for planar layout IS the edge pixel, so the halo
-    content lands correct without any in-kernel fill."""
+    Shape is then (C, H + 2*radius, W) for an (C, H, W) output."""
     channels, height, width = planar_u8.shape
     if rows_prepadded:
         height -= 2 * radius
     doubling = _use_doubling(box_mode, radius)
 
-    cs, n_cols, w_t, arr_width = _landed_geometry(
-        width,
-        blur_kernel_fits_vmem(width, radius, channels, box_mode,
-                              interleaved=False))
+    # Column tiling: see _separable_blur_interleaved (same scheme; planar
+    # halo is `radius` lanes and tap stride 1).
+    if blur_kernel_fits_vmem(width, radius, channels, box_mode,
+                             interleaved=False):
+        tile_lanes = _round_up(width + 2 * radius, 128)
+        cw_out = tile_lanes - 2 * radius
+        n_cols = 1
+    else:
+        cw_out = _COL_CHUNK
+        tile_lanes = _round_up(cw_out + 2 * radius, 128)
+        n_cols = -(-width // cw_out)
+    w_out_total = n_cols * cw_out
+    arr_width = (n_cols - 1) * cw_out + tile_lanes
 
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, tile_lanes, radius,
                         doubling),
         _round_up(height, 8),
     )
@@ -429,47 +322,47 @@ def _separable_blur_planar(
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
 
-    # Row clamp-to-edge padding, done once in XLA on uint8.  The DMA for
-    # tile i reads rows [i*TH, i*TH + CR), so the padded array needs
+    # Clamp-to-edge padding, done once in XLA on uint8.  The DMA for tile i
+    # reads rows [i*TH, i*TH + CR), so the padded array needs
     # hp - TH + CR rows total: [r top halo][height rows][r bottom halo]
-    # [alignment junk, never read].  Lanes: _LAND edge-replicated lanes
-    # left (register-aligned -> no cross-lane shuffle), edge replication
-    # up to arr_width right.
+    # [alignment junk, never read].  cols: radius left (edge), then edge
+    # replication up to arr_width.
     total_rows = hp - tile_rows + copy_rows
     if rows_prepadded:
+        # Input already carries the top/bottom halo rows (height + 2r).
         junk = total_rows - (height + 2 * radius)
         x = jnp.pad(
             planar_u8,
-            ((0, 0), (0, junk), (_LAND, arr_width - _LAND - width)),
+            ((0, 0), (0, junk), (radius, arr_width - width - radius)),
             mode="edge",
         )
     else:
         x = jnp.pad(
             planar_u8,
             ((0, 0), (radius, total_rows - height - radius),
-             (_LAND, arr_width - _LAND - width)),
+             (radius, arr_width - width - radius)),
             mode="edge",
         )
 
     w2d = weights.reshape(1, -1)
 
     scratch = [
-        pltpu.VMEM((copy_rows, w_t), jnp.uint8),
-        pltpu.VMEM((copy_rows, w_t), jnp.float32),
-        pltpu.VMEM((copy_rows, cs), jnp.float32),
-        pltpu.VMEM((tile_rows, cs), jnp.float32),
+        pltpu.VMEM((copy_rows, tile_lanes), jnp.uint8),
+        pltpu.VMEM((copy_rows, tile_lanes), jnp.float32),
+        pltpu.VMEM((copy_rows, cw_out), jnp.float32),
+        pltpu.VMEM((tile_rows, cw_out), jnp.float32),
     ]
     if doubling:
-        scratch.append(pltpu.VMEM((copy_rows, w_t), jnp.float32))
+        scratch.append(pltpu.VMEM((copy_rows, tile_lanes), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
 
     if n_cols == 1:
         grid = (channels, n_tiles)
-        out_spec = pl.BlockSpec((1, tile_rows, cs), lambda c, i: (c, i, 0),
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out), lambda c, i: (c, i, 0),
                                 memory_space=pltpu.VMEM)
     else:
         grid = (channels, n_tiles, n_cols)
-        out_spec = pl.BlockSpec((1, tile_rows, cs),
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out),
                                 lambda c, i, j: (c, i, j),
                                 memory_space=pltpu.VMEM)
 
@@ -479,11 +372,11 @@ def _separable_blur_planar(
             radius=radius,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
-            w_out=cs,
+            w_out=cw_out,
             box_mode=box_mode,
             folded=folded,
             passes=passes,
-            col_step=0 if n_cols == 1 else cs,
+            col_step=0 if n_cols == 1 else cw_out,
         ),
         grid=grid,
         in_specs=[
@@ -491,7 +384,7 @@ def _separable_blur_planar(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((channels, hp, n_cols * cs), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, w_out_total), jnp.uint8),
         scratch_shapes=scratch,
         interpret=interpret,
     )(w2d, x)
@@ -518,24 +411,30 @@ def _separable_blur_interleaved(
     flat buffer costs a catastrophic relayout (measured 16.3 ms on the
     3239x2146 README image -- 26x the blur kernel itself).  A horizontal
     tap at pixel offset t is a lane offset of t*C, so the same kernel body
-    serves both layouts (tap_stride).  Clamp-to-edge halos are built
-    in-kernel (jnp.pad's edge mode would replicate the edge LANE, i.e. one
-    channel, not the edge pixel; and the tile/concatenate pixel replication
-    this replaced measured 1.23 ms -- 2.8x the kernel itself).  Numerics
-    are bit-identical: each output element sees the exact same f32
-    operation sequence.
+    serves both layouts (tap_stride).  Numerics are bit-identical: each
+    output element sees the exact same f32 operation sequence.
     """
     n, height, wf = rows_u8.shape
     halo = radius * channels
     doubling = _use_doubling(box_mode, radius)
 
-    cs, n_cols, w_t, arr_width = _landed_geometry(
-        wf,
-        blur_kernel_fits_vmem(wf // channels, radius, channels, box_mode,
-                              interleaved=True))
+    # Column tiling: full-width tiles whenever the working set fits VMEM
+    # (the fast common case); otherwise 128-multiple column chunks with a
+    # 2*halo input overhang per chunk, which bounds VMEM for any width.
+    if blur_kernel_fits_vmem(wf // channels, radius, channels, box_mode,
+                             interleaved=True):
+        tile_lanes = _round_up(wf + 2 * halo, 128)
+        cw_out = tile_lanes - 2 * halo
+        n_cols = 1
+    else:
+        cw_out = _COL_CHUNK
+        tile_lanes = _round_up(cw_out + 2 * halo, 128)
+        n_cols = -(-wf // cw_out)
+    w_out_total = n_cols * cw_out
+    arr_width = (n_cols - 1) * cw_out + tile_lanes
 
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, tile_lanes, radius,
                         doubling),
         _round_up(height, 8),
     )
@@ -544,20 +443,22 @@ def _separable_blur_interleaved(
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
     total_rows = hp - tile_rows + copy_rows
 
-    x = jnp.pad(
-        rows_u8,
-        ((0, 0), (radius, total_rows - height - radius),
-         (_LAND, arr_width - _LAND - wf)),
-        mode="edge",
-    )
+    # Clamp-to-edge must replicate PIXELS (channel groups), not lanes:
+    # tile the first/last pixel, then edge-pad the rows.
+    left = jnp.tile(rows_u8[:, :, :channels], (1, 1, radius))
+    right_reps = (arr_width - halo - wf + channels - 1) // channels
+    right = jnp.tile(rows_u8[:, :, wf - channels:], (1, 1, right_reps))
+    x = jnp.concatenate([left, rows_u8, right], axis=2)[:, :, :arr_width]
+    x = jnp.pad(x, ((0, 0), (radius, total_rows - height - radius), (0, 0)),
+                mode="edge")
 
     if n_cols == 1:
         grid = (n, n_tiles)
-        out_spec = pl.BlockSpec((1, tile_rows, cs), lambda b, i: (b, i, 0),
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out), lambda b, i: (b, i, 0),
                                 memory_space=pltpu.VMEM)
     else:
         grid = (n, n_tiles, n_cols)
-        out_spec = pl.BlockSpec((1, tile_rows, cs),
+        out_spec = pl.BlockSpec((1, tile_rows, cw_out),
                                 lambda b, i, j: (b, i, j),
                                 memory_space=pltpu.VMEM)
 
@@ -567,14 +468,12 @@ def _separable_blur_interleaved(
             radius=radius,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
-            w_out=cs,
+            w_out=cw_out,
             box_mode=box_mode,
             folded=folded,
             passes=passes,
             tap_stride=channels,
-            col_step=0 if n_cols == 1 else cs,
-            fill_left=True,
-            right_fills=_right_fill_sites(wf, cs, n_cols, halo),
+            col_step=0 if n_cols == 1 else cw_out,
         ),
         grid=grid,
         in_specs=[
@@ -582,15 +481,15 @@ def _separable_blur_interleaved(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, hp, n_cols * cs), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, w_out_total), jnp.uint8),
         scratch_shapes=(
             [
-                pltpu.VMEM((copy_rows, w_t), jnp.uint8),
-                pltpu.VMEM((copy_rows, w_t), jnp.float32),
-                pltpu.VMEM((copy_rows, cs), jnp.float32),
-                pltpu.VMEM((tile_rows, cs), jnp.float32),
+                pltpu.VMEM((copy_rows, tile_lanes), jnp.uint8),
+                pltpu.VMEM((copy_rows, tile_lanes), jnp.float32),
+                pltpu.VMEM((copy_rows, cw_out), jnp.float32),
+                pltpu.VMEM((tile_rows, cw_out), jnp.float32),
             ]
-            + ([pltpu.VMEM((copy_rows, w_t), jnp.float32)]
+            + ([pltpu.VMEM((copy_rows, tile_lanes), jnp.float32)]
                if doubling else [])
             + [pltpu.SemaphoreType.DMA]
         ),
@@ -600,66 +499,17 @@ def _separable_blur_interleaved(
     return out[:, :height, :wf]
 
 
-def gaussian_pallas_rows(
-    rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False, passes: str = "both",
-) -> jnp.ndarray:
-    """(H, W*C) interleaved uint8 rows -> same, fused Gaussian blur.
-
-    This is the serving boundary: host<->device crossings use (H, W*C)
-    arrays, whose minor dim is within one 128-lane tile of full so both
-    transfers and the kernel's operand layout are native.  A 1-D flat
-    boundary forces a real in-jit relayout each way (measured 0.95 ms on
-    the README image -- 2.2x the kernel; scripts/exp_rows_boundary.py)."""
-    out = _separable_blur_interleaved(
-        rows_u8[None], weights, radius, box_mode=False, channels=channels,
-        interpret=interpret, folded=folded, passes=passes)
-    return out[0]
-
-
-def box_pallas_rows(
-    rows_u8: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False, passes: str = "both",
-) -> jnp.ndarray:
-    """(H, W*C) interleaved uint8 rows -> same, fused box blur."""
-    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
-    out = _separable_blur_interleaved(
-        rows_u8[None], jnp.asarray(inv), radius, box_mode=True,
-        channels=channels, interpret=interpret, folded=folded, passes=passes)
-    return out[0]
-
-
-def gaussian_pallas_rows_batch(
-    rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False,
-) -> jnp.ndarray:
-    """(B, H, W*C) batch -> same, batch riding the kernel grid."""
-    return _separable_blur_interleaved(
-        rows_u8, weights, radius, box_mode=False, channels=channels,
-        interpret=interpret, folded=folded)
-
-
-def box_pallas_rows_batch(
-    rows_u8: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False,
-) -> jnp.ndarray:
-    """(B, H, W*C) batch -> same, batch riding the kernel grid."""
-    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
-    return _separable_blur_interleaved(
-        rows_u8, jnp.asarray(inv), radius, box_mode=True, channels=channels,
-        interpret=interpret, folded=folded)
-
-
 def gaussian_pallas_flat(
     flat_u8: jnp.ndarray, weights: jnp.ndarray, radius: int,
     height: int, width: int, channels: int,
     interpret: bool = False, folded: bool = False, passes: str = "both",
 ) -> jnp.ndarray:
-    """Flat (H*W*C,) boundary compat wrapper; prefer gaussian_pallas_rows
-    (the 1D<->2D reshapes are device relayouts, not free)."""
-    return gaussian_pallas_rows(
-        flat_u8.reshape(height, width * channels), weights, radius, channels,
-        interpret=interpret, folded=folded, passes=passes).reshape(-1)
+    """Flat HWC uint8 buffer -> flat, fused Gaussian blur (serving path)."""
+    rows = flat_u8.reshape(1, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, weights, radius, box_mode=False, channels=channels,
+        interpret=interpret, folded=folded, passes=passes)
+    return out.reshape(-1)
 
 
 def box_pallas_flat(
@@ -667,10 +517,13 @@ def box_pallas_flat(
     height: int, width: int, channels: int,
     interpret: bool = False, folded: bool = False, passes: str = "both",
 ) -> jnp.ndarray:
-    """Flat (H*W*C,) boundary compat wrapper; prefer box_pallas_rows."""
-    return box_pallas_rows(
-        flat_u8.reshape(height, width * channels), radius, channels,
-        interpret=interpret, folded=folded, passes=passes).reshape(-1)
+    """Flat HWC uint8 buffer -> flat, fused box blur (serving path)."""
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    rows = flat_u8.reshape(1, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, jnp.asarray(inv), radius, box_mode=True, channels=channels,
+        interpret=interpret, folded=folded, passes=passes)
+    return out.reshape(-1)
 
 
 def gaussian_pallas_flat_batch(
@@ -678,11 +531,13 @@ def gaussian_pallas_flat_batch(
     height: int, width: int, channels: int,
     interpret: bool = False, folded: bool = False,
 ) -> jnp.ndarray:
-    """(B, H*W*C) flat compat wrapper; prefer gaussian_pallas_rows_batch."""
+    """(B, H*W*C) flat batch -> same, batch riding the kernel grid."""
     b = flats_u8.shape[0]
-    return gaussian_pallas_rows_batch(
-        flats_u8.reshape(b, height, width * channels), weights, radius,
-        channels, interpret=interpret, folded=folded).reshape(b, -1)
+    rows = flats_u8.reshape(b, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, weights, radius, box_mode=False, channels=channels,
+        interpret=interpret, folded=folded)
+    return out.reshape(b, -1)
 
 
 def box_pallas_flat_batch(
@@ -690,11 +545,14 @@ def box_pallas_flat_batch(
     height: int, width: int, channels: int,
     interpret: bool = False, folded: bool = False,
 ) -> jnp.ndarray:
-    """(B, H*W*C) flat compat wrapper; prefer box_pallas_rows_batch."""
+    """(B, H*W*C) flat batch -> same, batch riding the kernel grid."""
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     b = flats_u8.shape[0]
-    return box_pallas_rows_batch(
-        flats_u8.reshape(b, height, width * channels), radius, channels,
-        interpret=interpret, folded=folded).reshape(b, -1)
+    rows = flats_u8.reshape(b, height, width * channels)
+    out = _separable_blur_interleaved(
+        rows, jnp.asarray(inv), radius, box_mode=True, channels=channels,
+        interpret=interpret, folded=folded)
+    return out.reshape(b, -1)
 
 
 def gaussian_pallas_batch(

@@ -30,7 +30,7 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 # Pin tier routing to Pallas: this script is the on-silicon proof of the
 # Pallas kernels; the small validation images would otherwise route to the
-# XLA tier (dispatch._flat_optimized).  One default-routing case runs below.
+# XLA tier (dispatch._rows_optimized).  One default-routing case runs below.
 os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"
 
 import oracle_numpy as oracle  # noqa: E402

@@ -133,12 +133,12 @@ def test_batch_sobel_bucket_aligned_width(rng):
 
 def test_tier_routing_threshold_zero_forces_pallas(rng, monkeypatch):
     monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "0")
-    from gpu_image_processing_tpu.runtime.dispatch import _flat_optimized
+    from gpu_image_processing_tpu.runtime.dispatch import _rows_optimized
 
     # With threshold 0 the resolver must NOT return the XLA-tier lambda;
     # it reaches the Pallas branch (interpret mode on CPU).
-    fn = _flat_optimized("gaussian", 2, 3, 30, 44, 3)
-    assert "gaussian_pallas_flat" in (fn.__code__.co_names + tuple(
+    fn = _rows_optimized("gaussian", 2, 3, 30, 44, 3)
+    assert "gaussian_pallas_rows" in (fn.__code__.co_names + tuple(
         c.cell_contents.__name__ for c in (fn.__closure__ or ())
         if callable(getattr(c, "cell_contents", None))
         and hasattr(c.cell_contents, "__name__")
