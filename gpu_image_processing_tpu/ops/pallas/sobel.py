@@ -284,7 +284,7 @@ def sobel_pallas_rows_batch(
             (1, tile_rows, cs), lambda bb, i: (bb, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hp, cs), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, height, wf), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((copy_rows, w_t), jnp.uint8),
             pltpu.VMEM((copy_rows, cs + 2 * channels), jnp.float32),
@@ -294,7 +294,8 @@ def sobel_pallas_rows_batch(
         interpret=interpret,
     )(x)
 
-    return out[:, :height, :wf]
+    # Exact out_shape: partial tile stores are masked; no epilogue slice.
+    return out
 
 
 def sobel_pallas_rows(
@@ -392,7 +393,7 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
             (1, channels, tile_rows, cs), lambda bb, i: (bb, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, channels, hp, cs), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((b, channels, height, width), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((channels, copy_rows, w_t), jnp.uint8),
             pltpu.VMEM((copy_rows, w_t), jnp.float32),
@@ -401,7 +402,7 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
         interpret=interpret,
     )(x)
 
-    return jnp.transpose(out[:, :, :height, :width], (0, 2, 3, 1))
+    return jnp.transpose(out, (0, 2, 3, 1))
 
 
 def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
@@ -444,7 +445,7 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
             (channels, tile_rows, cs), lambda i: (0, i, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((channels, hp, cs), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((channels, height, width), jnp.uint8),
         scratch_shapes=[
             pltpu.VMEM((channels, copy_rows, w_t), jnp.uint8),
             pltpu.VMEM((copy_rows, w_t), jnp.float32),
@@ -453,4 +454,4 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
         interpret=interpret,
     )(x)
 
-    return jnp.transpose(out[:, :height, :width], (1, 2, 0))
+    return jnp.transpose(out, (1, 2, 0))

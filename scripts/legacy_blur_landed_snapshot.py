@@ -45,8 +45,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ...core.config import TPU
-from ..weights import box_inv_taps_f32
+from gpu_image_processing_tpu.core.config import TPU
+from gpu_image_processing_tpu.ops.weights import box_inv_taps_f32
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,7 +121,7 @@ def _use_doubling(box_mode: bool, radius: int) -> bool:
     full-width adds instead of 2r+1.  Exact -- window sums of uint8 values
     (< 2^24) are exact integers in f32 under ANY association, so the result
     is bit-identical to the sequential CUDA tap order."""
-    from ..interleaved import BOX_DOUBLING_MIN_RADIUS
+    from gpu_image_processing_tpu.ops.interleaved import BOX_DOUBLING_MIN_RADIUS
 
     return box_mode and radius >= BOX_DOUBLING_MIN_RADIUS
 
@@ -463,9 +463,6 @@ def _separable_blur_planar(
         scratch.append(pltpu.VMEM((copy_rows, w_t), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
 
-    # Output blocks need not divide the array: the out_shape is the EXACT
-    # (C, H, W) and Pallas masks the partial last row-tile / column-chunk
-    # stores, so no epilogue slice (a full output copy) is ever emitted.
     if n_cols == 1:
         grid = (channels, n_tiles)
         out_spec = pl.BlockSpec((1, tile_rows, cs), lambda c, i: (c, i, 0),
@@ -476,7 +473,7 @@ def _separable_blur_planar(
                                 lambda c, i, j: (c, i, j),
                                 memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _blur_kernel,
             radius=radius,
@@ -494,10 +491,12 @@ def _separable_blur_planar(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((channels, height, width), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((channels, hp, n_cols * cs), jnp.uint8),
         scratch_shapes=scratch,
         interpret=interpret,
     )(w2d, x)
+
+    return out[:, :height, :width]
 
 
 def _separable_blur_interleaved(
@@ -552,8 +551,6 @@ def _separable_blur_interleaved(
         mode="edge",
     )
 
-    # Exact (N, H, W*C) out_shape -- partial tile/chunk stores are masked
-    # (see the planar variant); no epilogue slice.
     if n_cols == 1:
         grid = (n, n_tiles)
         out_spec = pl.BlockSpec((1, tile_rows, cs), lambda b, i: (b, i, 0),
@@ -564,7 +561,7 @@ def _separable_blur_interleaved(
                                 lambda b, i, j: (b, i, j),
                                 memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(
             _blur_kernel,
             radius=radius,
@@ -585,7 +582,7 @@ def _separable_blur_interleaved(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((n, height, wf), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((n, hp, n_cols * cs), jnp.uint8),
         scratch_shapes=(
             [
                 pltpu.VMEM((copy_rows, w_t), jnp.uint8),
@@ -599,6 +596,8 @@ def _separable_blur_interleaved(
         ),
         interpret=interpret,
     )(weights.reshape(1, -1), x)
+
+    return out[:, :height, :wf]
 
 
 def gaussian_pallas_rows(
