@@ -62,9 +62,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 # 128 so column DMA starts stay register-aligned.
 _COL_CHUNK = 1536
 
-# Landing lane offset: tiles land at this (register-aligned) offset so the
-# lanes below it can hold the in-kernel clamp-to-edge halo.  Must exceed
-# the largest halo = max_radius * max_channels = 31 * 4 = 124.
+# Minimum landing lane offset: tiles land at a register-aligned offset so
+# the lanes below it can hold the in-kernel clamp-to-edge halo.  The
+# per-call offset is max(_LAND, round_up(halo, 128)) -- box blur has no
+# radius cap (the reference's boxBlur accepts any radius), so halo =
+# radius * channels can exceed 128.
 _LAND = 128
 
 
@@ -100,8 +102,9 @@ def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
     list; measured overhead (Mosaic stack + DMA machinery) is ~1.7 MB.
     """
     dw = width * (channels if interleaved else 1)
+    halo = radius * (channels if interleaved else 1)
     cs = _round_up(dw, 128)
-    wt = cs + 2 * _LAND
+    wt = cs + 2 * max(_LAND, _round_up(halo, 128))
     tile = 8
     copy_rows = _round_up(tile + 2 * radius, 8)
     total = (
@@ -157,8 +160,8 @@ def _edge_fill(buf, pos: int, group: int, halo: int, left: bool) -> None:
 def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
                  box_mode: bool, folded: bool = False, passes: str = "both",
-                 tap_stride: int = 1, col_step: int = 0,
-                 fill_left: bool = False,
+                 tap_stride: int = 1, col_step: int = 0, land: int = _LAND,
+                 left_fills: tuple = (),
                  right_fills: tuple = ()):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
@@ -171,13 +174,14 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
             (Mosaic requires 8-aligned DMA slices; surplus rows are junk
             edge padding that the vertical pass never reads).
     xbuf:   (CR, W_T) f32 scratch          -- the tile as f32; halo lanes
-            [base, _LAND) and past the data end are edge-filled in-kernel
+            [base, land) and past the data end are edge-filled in-kernel
     hbuf:   (CR, cs) f32 scratch           -- horizontal-pass accumulator
     vbuf:   (TH, cs) f32 scratch           -- vertical-pass accumulator
 
-    fill_left: emit the left clamp-to-edge fill (first column chunk only).
-    right_fills: ((chunk_or_None, pos), ...) static right-edge fill sites;
-    chunk_or_None=None emits unconditionally (single-column grids).
+    left_fills/right_fills: ((chunk_or_None, pos, fill_halo), ...) static
+    clamp-to-edge fill sites; chunk_or_None=None emits unconditionally
+    (single-column grids).  Multiple chunks carry fills when the halo
+    exceeds a column chunk.
 
     Tap accumulation goes THROUGH the scratch refs: with value-chained
     accumulation Mosaic keeps every unrolled tap slice live on the VMEM
@@ -194,8 +198,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     i = pl.program_id(1)
     taps = 2 * radius + 1
     halo = radius * tap_stride
-    base = _LAND - halo
-    w_t = tile_u8.shape[1]
+    base = land - halo
 
     if col_step:
         # Column-tiled: this step covers output lanes [j*col_step,
@@ -204,7 +207,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         j = pl.program_id(2)
         src = in_ref.at[
             c, pl.ds(i * tile_rows, copy_rows),
-            pl.ds(j * col_step, w_t),
+            pl.ds(j * col_step, tile_u8.shape[1]),
         ]
     else:
         src = in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :]
@@ -216,21 +219,14 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     xbuf[:, :] = tile_u8[:].astype(jnp.int32).astype(jnp.float32)
 
     # Clamp-to-edge halo lanes, built in VMEM (see module docstring).
-    if fill_left:
-        if col_step:
-            @pl.when(j == 0)
-            def _():
-                _edge_fill(xbuf, _LAND, tap_stride, halo, left=True)
-        else:
-            _edge_fill(xbuf, _LAND, tap_stride, halo, left=True)
-    for chunk, pos in right_fills:
-        fh = min(halo, w_t - pos)
-        if chunk is None or not col_step:
-            _edge_fill(xbuf, pos, tap_stride, fh, left=False)
-        else:
-            @pl.when(j == chunk)
-            def _(pos=pos, fh=fh):
-                _edge_fill(xbuf, pos, tap_stride, fh, left=False)
+    for left, sites in ((True, left_fills), (False, right_fills)):
+        for chunk, pos, fh in sites:
+            if chunk is None or not col_step:
+                _edge_fill(xbuf, pos, tap_stride, fh, left=left)
+            else:
+                @pl.when(j == chunk)
+                def _(pos=pos, fh=fh, left=left):
+                    _edge_fill(xbuf, pos, tap_stride, fh, left=left)
 
     def conv(src_ref, acc_ref, take, length):
         """One separable pass: taps in CUDA order, or symmetric-folded.
@@ -342,7 +338,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
             conv(xbuf, hbuf, take_cols, w_out)
         hbuf[:, :] = _quant(hbuf[:, :])
     else:
-        hbuf[:, :] = xbuf[:, _LAND : _LAND + w_out]
+        hbuf[:, :] = xbuf[:, land : land + w_out]
     if passes == "horizontal":
         # The band's first `radius` rows are top halo; the tile's true
         # output rows start at `radius` (the "both" path reads them via the
@@ -361,34 +357,47 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     )
 
 
-def _landed_geometry(data_width: int, fits_vmem: bool):
-    """(cs, n_cols, w_t, arr_width) for the landed-DMA lane layout.
+def _landed_geometry(data_width: int, halo: int, fits_vmem: bool):
+    """(land, cs, n_cols, w_t, arr_width) for the landed-DMA lane layout.
 
+    land    landing lane offset = max(_LAND, round_up(halo, 128)) --
+            register-aligned and >= halo, so taps never read below lane 0
     cs      output-lane chunk per grid column (128-multiple)
-    w_t     VMEM tile width = cs + 2*_LAND (taps reach base..base+2*halo+cs
-            which fits because halo <= _LAND)
-    arr_width  padded input width = n_cols*cs + 2*_LAND
+    w_t     VMEM tile width = cs + 2*land (taps reach base..base+2*halo+cs
+            which fits because halo <= land)
+    arr_width  padded input width = n_cols*cs + 2*land
     """
+    land = max(_LAND, _round_up(halo, 128))
     if fits_vmem:
         cs = _round_up(data_width, 128)
         n_cols = 1
     else:
         cs = _COL_CHUNK
         n_cols = -(-data_width // cs)
-    return cs, n_cols, cs + 2 * _LAND, n_cols * cs + 2 * _LAND
+    return land, cs, n_cols, cs + 2 * land, n_cols * cs + 2 * land
 
 
-def _right_fill_sites(data_width: int, cs: int, n_cols: int,
-                      halo: int) -> tuple:
-    """Static (chunk, pos) sites where a column chunk's taps read past the
-    data end and need the clamp-to-edge right fill.  At most the last two
-    chunks qualify (halo < cs)."""
-    sites = []
-    for j in range(max(0, n_cols - 2), n_cols):
-        pos = _LAND + data_width - j * cs
-        if pos < _LAND + cs + halo:
-            sites.append((j if n_cols > 1 else None, pos))
-    return tuple(sites)
+def _fill_sites(data_width: int, cs: int, n_cols: int, halo: int,
+                land: int, w_t: int) -> tuple[tuple, tuple]:
+    """Static (chunk, pos, fill_halo) clamp-to-edge fill sites.
+
+    Left: chunk j needs a fill when its taps read below the data start
+    (j*cs < halo); the missing lanes are [land - (halo - j*cs), land - j*cs)
+    in local coords... i.e. a fill of halo - j*cs lanes below pos =
+    land - j*cs (where pixel 0 sits for that chunk).  Right: chunk j needs
+    one when its taps read past the data end ((j+1)*cs + halo > dw); fill
+    above pos = land + dw - j*cs, capped at the tile width.  With halo
+    bigger than a column chunk, several chunks carry fills.
+    """
+    left, right = [], []
+    for j in range(n_cols):
+        tag = j if n_cols > 1 else None
+        if j * cs < halo:
+            left.append((tag, land - j * cs, halo - j * cs))
+        pos = land + data_width - j * cs
+        if (j + 1) * cs + halo > data_width:
+            right.append((tag, pos, min(halo, w_t - pos)))
+    return tuple(left), tuple(right)
 
 
 def _separable_blur_planar(
@@ -415,8 +424,8 @@ def _separable_blur_planar(
         height -= 2 * radius
     doubling = _use_doubling(box_mode, radius)
 
-    cs, n_cols, w_t, arr_width = _landed_geometry(
-        width,
+    land, cs, n_cols, w_t, arr_width = _landed_geometry(
+        width, radius,
         blur_kernel_fits_vmem(width, radius, channels, box_mode,
                               interleaved=False))
 
@@ -432,22 +441,24 @@ def _separable_blur_planar(
     # Row clamp-to-edge padding, done once in XLA on uint8.  The DMA for
     # tile i reads rows [i*TH, i*TH + CR), so the padded array needs
     # hp - TH + CR rows total: [r top halo][height rows][r bottom halo]
-    # [alignment junk, never read].  Lanes: _LAND edge-replicated lanes
+    # [alignment junk, never read].  Lanes: `land` edge-replicated lanes
     # left (register-aligned -> no cross-lane shuffle), edge replication
-    # up to arr_width right.
+    # up to arr_width right; for planar layout the edge LANE is the edge
+    # PIXEL, so the pad content is the correct clamp and no in-kernel
+    # fills are needed.
     total_rows = hp - tile_rows + copy_rows
     if rows_prepadded:
         junk = total_rows - (height + 2 * radius)
         x = jnp.pad(
             planar_u8,
-            ((0, 0), (0, junk), (_LAND, arr_width - _LAND - width)),
+            ((0, 0), (0, junk), (land, arr_width - land - width)),
             mode="edge",
         )
     else:
         x = jnp.pad(
             planar_u8,
             ((0, 0), (radius, total_rows - height - radius),
-             (_LAND, arr_width - _LAND - width)),
+             (land, arr_width - land - width)),
             mode="edge",
         )
 
@@ -487,6 +498,7 @@ def _separable_blur_planar(
             folded=folded,
             passes=passes,
             col_step=0 if n_cols == 1 else cs,
+            land=land,
         ),
         grid=grid,
         in_specs=[
@@ -530,10 +542,11 @@ def _separable_blur_interleaved(
     halo = radius * channels
     doubling = _use_doubling(box_mode, radius)
 
-    cs, n_cols, w_t, arr_width = _landed_geometry(
-        wf,
+    land, cs, n_cols, w_t, arr_width = _landed_geometry(
+        wf, halo,
         blur_kernel_fits_vmem(wf // channels, radius, channels, box_mode,
                               interleaved=True))
+    left_fills, right_fills = _fill_sites(wf, cs, n_cols, halo, land, w_t)
 
     tile_rows = min(
         _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
@@ -548,7 +561,7 @@ def _separable_blur_interleaved(
     x = jnp.pad(
         rows_u8,
         ((0, 0), (radius, total_rows - height - radius),
-         (_LAND, arr_width - _LAND - wf)),
+         (land, arr_width - land - wf)),
         mode="edge",
     )
 
@@ -576,8 +589,9 @@ def _separable_blur_interleaved(
             passes=passes,
             tap_stride=channels,
             col_step=0 if n_cols == 1 else cs,
-            fill_left=True,
-            right_fills=_right_fill_sites(wf, cs, n_cols, halo),
+            land=land,
+            left_fills=left_fills,
+            right_fills=right_fills,
         ),
         grid=grid,
         in_specs=[

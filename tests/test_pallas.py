@@ -131,3 +131,49 @@ def test_gaussian_flat_folded_gate(rng):
     folded = np.asarray(jax.jit(lambda f, wt: gaussian_pallas_flat(
         f, wt, 5, h, w, c, interpret=True, folded=True))(img.reshape(-1), wts))
     assert np.abs(exact.astype(int) - folded.astype(int)).max() <= 1
+
+
+# -- big-radius halos (no box radius cap, matching the reference's boxBlur:
+#    image_filters.cu:945 accepts any radius) ------------------------------
+
+@pytest.mark.parametrize("shape,radius", [
+    ((24, 40, 4), 40),   # halo 160 > 128: landing offset must grow
+    ((16, 50, 3), 43),   # halo 129, just past one register
+    ((10, 20, 1), 60),   # planar-stride halo > tile minimum
+])
+def test_box_radius_exceeding_land_exact(rng, shape, radius):
+    """halo = radius*C > 128 forces a larger register-aligned landing
+    offset (blur.py::_landed_geometry); results stay bit-exact."""
+    from gpu_image_processing_tpu.ops.pallas.blur import box_pallas_rows
+
+    img = make_image(rng, *shape)
+    h, w, c = shape
+    rows = img.reshape(h, w * c)
+    got = np.asarray(jax.jit(
+        lambda x: box_pallas_rows(x, radius, c, interpret=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, radius).reshape(h, w * c))
+    got_hwc = np.asarray(_box(img, radius))
+    np.testing.assert_array_equal(got_hwc, oracle.box_blur(img, radius))
+
+
+def test_box_halo_spanning_column_chunks_exact(rng):
+    """Column-tiled kernel with halo (1560 lanes) wider than one column
+    chunk (1536): multiple chunks carry clamp-to-edge fills
+    (blur.py::_fill_sites)."""
+    import jax.numpy as jnp
+
+    from gpu_image_processing_tpu.ops.pallas import blur as B
+    from gpu_image_processing_tpu.ops.weights import box_inv_taps_f32
+
+    h, w, c, radius = 16, 4000, 3, 520
+    land, cs, n_cols, w_t, _ = B._landed_geometry(w * c, radius * c, False)
+    assert n_cols > 1 and radius * c > cs  # the scenario under test
+    img = make_image(rng, h, w, c)
+    rows = img.reshape(h, w * c)
+    inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
+    got = np.asarray(jax.jit(lambda x: B._separable_blur_interleaved(
+        x[None], jnp.asarray(inv), radius, box_mode=True, channels=c,
+        interpret=True)[0])(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, radius).reshape(h, w * c))
