@@ -13,8 +13,22 @@ from typing import Callable
 from ...runtime.device import is_tpu
 
 
+def _box_routed(img, radius: int, interpret: bool, folded: bool):
+    """Box blur with a VMEM feasibility gate: box has no radius cap
+    (reference parity), and past a radius in the low hundreds even the
+    column-chunked Pallas working set exceeds VMEM -- those calls serve
+    from the XLA-fused tier (bit-identical numerics)."""
+    from ..fused import box_fused
+    from .blur import blur_pallas_feasible, box_pallas
+
+    if not blur_pallas_feasible(img.shape[1], radius, img.shape[2],
+                                box_mode=True, interleaved=False):
+        return box_fused(img, radius)
+    return box_pallas(img, radius, interpret=interpret, folded=folded)
+
+
 def level2_impls() -> dict[str, Callable]:
-    from .blur import box_pallas, gaussian_pallas
+    from .blur import gaussian_pallas
     from .sobel import sobel_pallas
 
     interpret = not is_tpu()
@@ -22,14 +36,15 @@ def level2_impls() -> dict[str, Callable]:
         "gaussian": lambda img, w, radius: gaussian_pallas(
             img, w, radius, interpret=interpret
         ),
-        "box": lambda img, radius: box_pallas(img, radius, interpret=interpret),
+        "box": lambda img, radius: _box_routed(
+            img, radius, interpret=interpret, folded=False),
         "sobel": lambda img: sobel_pallas(img, interpret=interpret),
     }
 
 
 def level4_impls() -> dict[str, Callable]:
     """ADVANCED tier: relaxed accumulation order (maxdiff <= 1 vs level 2)."""
-    from .blur import box_pallas, gaussian_pallas
+    from .blur import gaussian_pallas
     from .sobel import sobel_pallas
 
     interpret = not is_tpu()
@@ -37,9 +52,8 @@ def level4_impls() -> dict[str, Callable]:
         "gaussian": lambda img, w, radius: gaussian_pallas(
             img, w, radius, interpret=interpret, folded=True
         ),
-        "box": lambda img, radius: box_pallas(
-            img, radius, interpret=interpret, folded=True
-        ),
+        "box": lambda img, radius: _box_routed(
+            img, radius, interpret=interpret, folded=True),
         # Advanced sobel skips the tile-load gray quantization (f32 gray):
         # the level-1 numerics through the fused kernel, which measured
         # ~30% faster than the quantized level-2 path on v5e.

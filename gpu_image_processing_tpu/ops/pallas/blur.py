@@ -92,31 +92,55 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.floor(x + jnp.float32(0.5))
 
 
-def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
-                          box_mode: bool, interleaved: bool) -> bool:
-    """Whether the fused blur kernel's working set fits VMEM at the MINIMUM
-    tile height.  At extreme width x radius combinations (e.g. 8K rows with
-    radius 15: 28k lanes, 30 halo rows) even an 8-row tile exceeds the
-    16 MB budget -- callers must route such shapes to the XLA tier, whose
-    own tiling is unconstrained.  Accounting matches the kernel's scratch
-    list; measured overhead (Mosaic stack + DMA machinery) is ~1.7 MB.
-    """
-    dw = width * (channels if interleaved else 1)
-    halo = radius * (channels if interleaved else 1)
-    cs = _round_up(dw, 128)
-    wt = cs + 2 * max(_LAND, _round_up(halo, 128))
+def _min_vmem_bytes(cs: int, w_t: int, radius: int, box_mode: bool) -> int:
+    """The kernel's VMEM working set at the MINIMUM (8-row) tile height.
+    Accounting matches the kernel's scratch list; measured overhead (Mosaic
+    stack + DMA machinery) is ~1.7 MB."""
     tile = 8
     copy_rows = _round_up(tile + 2 * radius, 8)
     total = (
-        copy_rows * wt * 1          # tile_u8
-        + copy_rows * wt * 4        # xbuf
-        + copy_rows * cs * 4        # hbuf
-        + tile * cs * 4             # vbuf
-        + 2 * tile * cs * 1         # double-buffered output block
+        copy_rows * w_t * 1          # tile_u8
+        + copy_rows * w_t * 4        # xbuf
+        + copy_rows * cs * 4         # hbuf
+        + tile * cs * 4              # vbuf
+        + 2 * tile * cs * 1          # double-buffered output block
     )
     if _use_doubling(box_mode, radius):
-        total += copy_rows * wt * 4  # sbuf ping-pong
-    return total + 1_800_000 < 16 * 1024 * 1024
+        total += copy_rows * w_t * 4  # sbuf ping-pong
+    return total + 1_800_000
+
+
+_VMEM_HARD_LIMIT = 16 * 1024 * 1024
+
+
+def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
+                          box_mode: bool, interleaved: bool) -> bool:
+    """Whether the FULL-WIDTH (single-column) kernel geometry fits VMEM at
+    the minimum tile height.  At extreme width x radius combinations (e.g.
+    8K rows with radius 15: 28k lanes, 30 halo rows) even an 8-row tile
+    exceeds the 16 MB budget and the wrappers switch to column chunking.
+    """
+    dw = width * (channels if interleaved else 1)
+    halo = radius * (channels if interleaved else 1)
+    _, cs, _, w_t, _ = _landed_geometry(dw, halo, chunked=False)
+    return _min_vmem_bytes(cs, w_t, radius, box_mode) < _VMEM_HARD_LIMIT
+
+
+def blur_pallas_feasible(width: int, radius: int, channels: int,
+                         box_mode: bool, interleaved: bool) -> bool:
+    """Whether ANY Pallas blur geometry fits VMEM for this shape.
+
+    Column chunking bounds the tile WIDTH but not the radius-driven halo
+    ROWS: a box radius in the hundreds makes even the minimum chunked tile
+    ((8 + 2r) rows x 1792 lanes) exceed VMEM.  Dispatch must route such
+    calls to the XLA tier, whose tiling is unconstrained.
+    """
+    if blur_kernel_fits_vmem(width, radius, channels, box_mode, interleaved):
+        return True
+    dw = width * (channels if interleaved else 1)
+    halo = radius * (channels if interleaved else 1)
+    _, cs, _, w_t, _ = _landed_geometry(dw, halo, chunked=True)
+    return _min_vmem_bytes(cs, w_t, radius, box_mode) < _VMEM_HARD_LIMIT
 
 
 def _use_doubling(box_mode: bool, radius: int) -> bool:
@@ -357,8 +381,10 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     )
 
 
-def _landed_geometry(data_width: int, halo: int, fits_vmem: bool):
+def _landed_geometry(data_width: int, halo: int, chunked: bool):
     """(land, cs, n_cols, w_t, arr_width) for the landed-DMA lane layout.
+    The single source of the geometry -- both the kernels' wrappers and the
+    VMEM feasibility checks derive from it.
 
     land    landing lane offset = max(_LAND, round_up(halo, 128)) --
             register-aligned and >= halo, so taps never read below lane 0
@@ -368,12 +394,12 @@ def _landed_geometry(data_width: int, halo: int, fits_vmem: bool):
     arr_width  padded input width = n_cols*cs + 2*land
     """
     land = max(_LAND, _round_up(halo, 128))
-    if fits_vmem:
-        cs = _round_up(data_width, 128)
-        n_cols = 1
-    else:
+    if chunked:
         cs = _COL_CHUNK
         n_cols = -(-data_width // cs)
+    else:
+        cs = _round_up(data_width, 128)
+        n_cols = 1
     return land, cs, n_cols, cs + 2 * land, n_cols * cs + 2 * land
 
 
@@ -426,8 +452,14 @@ def _separable_blur_planar(
 
     land, cs, n_cols, w_t, arr_width = _landed_geometry(
         width, radius,
-        blur_kernel_fits_vmem(width, radius, channels, box_mode,
-                              interleaved=False))
+        chunked=not blur_kernel_fits_vmem(width, radius, channels, box_mode,
+                                          interleaved=False))
+    if not interpret and _min_vmem_bytes(cs, w_t, radius,
+                                         box_mode) >= _VMEM_HARD_LIMIT:
+        raise ValueError(
+            f"Pallas blur working set exceeds VMEM for width={width} "
+            f"radius={radius}; route to the XLA tier "
+            f"(see blur_pallas_feasible)")
 
     tile_rows = min(
         _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
@@ -544,8 +576,14 @@ def _separable_blur_interleaved(
 
     land, cs, n_cols, w_t, arr_width = _landed_geometry(
         wf, halo,
-        blur_kernel_fits_vmem(wf // channels, radius, channels, box_mode,
-                              interleaved=True))
+        chunked=not blur_kernel_fits_vmem(wf // channels, radius, channels,
+                                          box_mode, interleaved=True))
+    if not interpret and _min_vmem_bytes(cs, w_t, radius,
+                                         box_mode) >= _VMEM_HARD_LIMIT:
+        raise ValueError(
+            f"Pallas blur working set exceeds VMEM for W*C={wf} "
+            f"radius={radius}; route to the XLA tier "
+            f"(see blur_pallas_feasible)")
     left_fills, right_fills = _fill_sites(wf, cs, n_cols, halo, land, w_t)
 
     tile_rows = min(

@@ -38,6 +38,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.config import TPU
 from .blur import _LAND
 
+# Right lane overhang past the column block: the gray pass reads x[l+2]
+# and the taps reach one pixel past the block -- at most C+2 <= 6 lanes.
+# One full 128-lane register keeps w_t register-aligned.  (The left side
+# reuses blur's _LAND landing offset; sobel's 1-pixel halo never needs a
+# larger landing.)
+_OVERHANG = 128
+
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
@@ -249,7 +256,7 @@ def sobel_pallas_rows_batch(
     b, height, wf = rows_u8.shape
 
     cs = _round_up(wf, 128)        # output lanes; junk >= wf sliced off
-    w_t = _LAND + cs + 128         # gray reads up to _LAND + cs + C + 1
+    w_t = _LAND + cs + _OVERHANG         # gray reads up to _LAND + cs + C + 1
     tile_rows = min(
         _pick_tile_rows_interleaved(TPU.sobel_tile_rows, w_t),
         _round_up(height, 8),
@@ -348,7 +355,7 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
     planar = jnp.transpose(imgs_bhwc, (0, 3, 1, 2))
 
     cs = _round_up(width, 128)
-    w_t = _LAND + cs + 128
+    w_t = _LAND + cs + _OVERHANG
     tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, w_t),
                     _round_up(height, 8))
     hp = _round_up(height, tile_rows)
@@ -417,7 +424,7 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
     planar = jnp.transpose(img_hwc, (2, 0, 1))
 
     cs = _round_up(width, 128)
-    w_t = _LAND + cs + 128
+    w_t = _LAND + cs + _OVERHANG
     tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, w_t),
                     _round_up(height, 8))
     hp = _round_up(height, tile_rows)

@@ -98,9 +98,18 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import box_pallas_rows, gaussian_pallas_rows
+            from ..ops.pallas.blur import (blur_pallas_feasible,
+                                           box_pallas_rows,
+                                           gaussian_pallas_rows)
             from ..ops.pallas.sobel import sobel_pallas_rows
             from .device import is_tpu
+
+            # Box has no radius cap (reference parity); past a radius in
+            # the low hundreds even the column-chunked Pallas working set
+            # ((8+2r) halo rows) exceeds VMEM -- serve from the XLA tier.
+            if filter_name in ("gaussian", "box") and not blur_pallas_feasible(
+                    w_, radius, c, filter_name == "box", interleaved=True):
+                return xla_tier()
 
             interp = not is_tpu()
             if filter_name == "gaussian":
@@ -163,24 +172,30 @@ def _trace_batch(filter_name: str, level: int, radius: int,
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
         try:
-            from ..ops.pallas.blur import (box_pallas_rows_batch,
+            from ..ops.pallas.blur import (blur_pallas_feasible,
+                                           box_pallas_rows_batch,
                                            gaussian_pallas_rows_batch)
             from ..ops.pallas.sobel import sobel_pallas_rows_batch
             from .device import is_tpu
         except ImportError:  # pragma: no cover - env without Mosaic
             pass
         else:
-            interp = not is_tpu()
-            folded = level == 4
-            if filter_name == "gaussian":
-                return lambda rows, w: gaussian_pallas_rows_batch(
-                    rows, w, radius, c, interpret=interp, folded=folded)
-            if filter_name == "box":
-                return lambda rows: box_pallas_rows_batch(
-                    rows, radius, c, interpret=interp, folded=folded)
-            return lambda rows: sobel_pallas_rows_batch(
-                rows, w_, c, level=1 if level == 4 else 2,
-                interpret=interp)
+            # Blur with a VMEM-infeasible working set (box has no radius
+            # cap) falls through to the XLA tier below.
+            feasible = filter_name == "sobel" or blur_pallas_feasible(
+                w_, radius, c, filter_name == "box", interleaved=True)
+            if feasible:
+                interp = not is_tpu()
+                folded = level == 4
+                if filter_name == "gaussian":
+                    return lambda rows, w: gaussian_pallas_rows_batch(
+                        rows, w, radius, c, interpret=interp, folded=folded)
+                if filter_name == "box":
+                    return lambda rows: box_pallas_rows_batch(
+                        rows, radius, c, interpret=interp, folded=folded)
+                return lambda rows: sobel_pallas_rows_batch(
+                    rows, w_, c, level=1 if level == 4 else 2,
+                    interpret=interp)
 
     if filter_name == "gaussian":
         return lambda rows, w: il.gaussian_rows(rows, w, radius, c)

@@ -163,3 +163,26 @@ def test_extreme_shape_output_exact(rng):
     img = make_image(rng, 24, 7680, 3)
     out, _ = RUNTIME.box_blur(img, radius=15, level=2)
     np.testing.assert_array_equal(out, oracle.box_blur(img, 15))
+
+
+def test_vmem_infeasible_radius_routes_to_xla_tier(rng):
+    # Box has no radius cap (reference parity: boxBlur accepts any radius,
+    # image_filters.cu:945).  Past a radius in the low hundreds even the
+    # column-chunked Pallas working set ((8+2r) halo rows) exceeds VMEM;
+    # dispatch must serve such calls from the XLA tier instead of dying in
+    # the Mosaic compiler.
+    from gpu_image_processing_tpu.ops.pallas.blur import blur_pallas_feasible
+    from gpu_image_processing_tpu.runtime.dispatch import RUNTIME, _rows_optimized
+
+    assert not blur_pallas_feasible(3239, 300, 3, True, interleaved=True)
+    fn = _rows_optimized("box", 2, 300, 2146, 3239, 3)
+    names = fn.__code__.co_names + tuple(
+        c.cell_contents.__name__ for c in (fn.__closure__ or ())
+        if callable(getattr(c, "cell_contents", None))
+        and hasattr(c.cell_contents, "__name__"))
+    assert "box_pallas_rows" not in names and "box_rows" in names
+
+    # End-to-end: the runtime serves it and matches the oracle.
+    img = make_image(rng, 40, 60, 3)
+    out, _ = RUNTIME.box_blur(img, radius=300, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 300))

@@ -167,7 +167,8 @@ def test_box_halo_spanning_column_chunks_exact(rng):
     from gpu_image_processing_tpu.ops.weights import box_inv_taps_f32
 
     h, w, c, radius = 16, 4000, 3, 520
-    land, cs, n_cols, w_t, _ = B._landed_geometry(w * c, radius * c, False)
+    land, cs, n_cols, w_t, _ = B._landed_geometry(w * c, radius * c,
+                                                  chunked=True)
     assert n_cols > 1 and radius * c > cs  # the scenario under test
     img = make_image(rng, h, w, c)
     rows = img.reshape(h, w * c)
