@@ -82,15 +82,30 @@ def device_time_ms_auto(
     bound is useless here -- per-execute RPC inflates it by RPC/N, which for
     sub-ms kernels keeps the loop far too short).  If 64 iterations of the
     estimated kernel are still below target_ms of device work, one longer
-    loop is run and the slope re-taken against it.  2-3 loop compiles."""
+    loop is run and the slope re-taken against it.  2-3 loop compiles.
+
+    A congestion spike during the SHORT loop can push the delta to ~zero or
+    negative (the clamp floor, 0.0001 ms) -- nonsense that would surface in
+    served metrics as million-fps readings.  Degenerate slopes are re-taken
+    with fresh samples at both lengths (executables are cached, so a retry
+    costs only the loop executions)."""
     args = list(args)
     jax.block_until_ready(args)
     n_a, n_b = 16, 64
-    t_a = _median(_loop_samples(apply, args, n_a, sync_reps))
-    t_b = _median(_loop_samples(apply, args, n_b, sync_reps))
-    slope = max((t_b - t_a) / (n_b - n_a), 1e-9)   # s/iter, jitter-noisy
-    if slope * n_b * 1000.0 < target_ms:
-        n_c = int(min(max(target_ms / 1000.0 / slope, 2 * n_b), max_hi))
-        t_c = _median(_loop_samples(apply, args, n_c, sync_reps))
-        slope = (t_c - t_b) / (n_c - n_b)
+
+    def take_slope() -> float:
+        t_a = _median(_loop_samples(apply, args, n_a, sync_reps))
+        t_b = _median(_loop_samples(apply, args, n_b, sync_reps))
+        slope = max((t_b - t_a) / (n_b - n_a), 1e-9)  # s/iter, jitter-noisy
+        if slope * n_b * 1000.0 < target_ms:
+            n_c = int(min(max(target_ms / 1000.0 / slope, 2 * n_b), max_hi))
+            t_c = _median(_loop_samples(apply, args, n_c, sync_reps))
+            slope = (t_c - t_b) / (n_c - n_b)
+        return slope
+
+    slope = take_slope()
+    for _ in range(2):
+        if slope * 1000.0 > 2e-4:
+            break
+        slope = take_slope()
     return max(slope * 1000.0, 1e-4)
