@@ -42,15 +42,29 @@ def level2_impls() -> dict[str, Callable]:
     }
 
 
+def _gaussian_adv(img, w, radius: int, interpret: bool):
+    """ADVANCED gaussian: MXU banded-matmul kernel at radius >=
+    GAUSS_MXU_MIN_RADIUS (nearly radius-flat cost; 2.6-3.4x the VPU at
+    r=15), symmetric-folded VPU taps below it."""
+    from .blur import gaussian_pallas
+    from .blur_mxu import (GAUSS_MXU_MIN_RADIUS, gaussian_mxu,
+                           gaussian_mxu_feasible)
+
+    if (radius >= GAUSS_MXU_MIN_RADIUS
+            and gaussian_mxu_feasible(img.shape[1], radius, img.shape[2],
+                                      interleaved=False)):
+        return gaussian_mxu(img, w, radius, interpret=interpret)
+    return gaussian_pallas(img, w, radius, interpret=interpret, folded=True)
+
+
 def level4_impls() -> dict[str, Callable]:
     """ADVANCED tier: relaxed accumulation order (maxdiff <= 1 vs level 2)."""
-    from .blur import gaussian_pallas
     from .sobel import sobel_pallas
 
     interpret = not is_tpu()
     return {
-        "gaussian": lambda img, w, radius: gaussian_pallas(
-            img, w, radius, interpret=interpret, folded=True
+        "gaussian": lambda img, w, radius: _gaussian_adv(
+            img, w, radius, interpret
         ),
         "box": lambda img, radius: _box_routed(
             img, radius, interpret=interpret, folded=True),

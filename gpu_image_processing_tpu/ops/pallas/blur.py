@@ -53,10 +53,6 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Per-kernel VMEM working-set budget (bytes).  The hard limit is 16 MB;
-# leave room for Mosaic's own double-buffered output blocks.
-_VMEM_BUDGET = 10 * 1024 * 1024
-
 # Column-chunk width (output lanes, 128-multiple) used when a full-width
 # tile would not fit VMEM (blur_kernel_fits_vmem).  Must be a multiple of
 # 128 so column DMA starts stay register-aligned.
@@ -70,21 +66,52 @@ _COL_CHUNK = 1536
 _LAND = 128
 
 
-def _pick_tile_rows(requested: int, wt: int, radius: int,
-                    doubling: bool = False) -> int:
-    """Cap tile rows so the kernel's VMEM working set fits for any width.
+def _working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
+                       box_mode: bool) -> int:
+    """The kernel's total VMEM working set at this tile height: declared
+    scratch + double-buffered output block + an estimate of Mosaic's own
+    VMEM stack + fixed overhead (~1.8 MB of DMA machinery, measured).
 
-    Live buffers per grid step: tile u8 (CRxW_T), xbuf f32 (CRxW_T), hbuf
-    f32 (CRxcs), vbuf f32 (THxcs) plus the double-buffered u8 output block
-    -- roughly 13.5 bytes per (row x W_T lane); +4 for the doubling-sum
-    ping-pong buffer.  A 3.3k-wide image supports ~190 copy rows; an
-    8k-wide image only ~90.
+    The stack term is load-bearing: Mosaic keeps live (CR, W_T)-sized f32
+    temporaries for the sequenced tap accumulation that scale with the tap
+    count -- the 31-tap radius-15 rows kernel OOM'd at 16.14 MB scoped VMEM
+    with only 8.96 MB of declared scratch (~2.4 extra full-tile temps).
+    Modeled as (1 + taps/16) tiles for the conv path, 1.5 for the doubling
+    path (its ping-pong reuses declared scratch).
     """
-    bytes_per_row = wt * (17.5 if doubling else 13.5)
-    max_copy_rows = max(int(_VMEM_BUDGET / bytes_per_row), 8)
-    tile = max_copy_rows - 2 * radius
-    tile = max((tile // 8) * 8, 8)
-    return min(requested, tile)
+    taps = 2 * radius + 1
+    cr = _round_up(tile_rows + 2 * radius, 8)
+    total = (
+        cr * w_t * 1            # tile_u8
+        + cr * w_t * 4          # xbuf
+        + cr * cs * 4           # hbuf
+        + tile_rows * cs * 4    # vbuf
+        + 2 * tile_rows * cs    # double-buffered output block
+    )
+    if _use_doubling(box_mode, radius):
+        total += cr * w_t * 4   # sbuf ping-pong
+        stack_tiles = 1.5
+    else:
+        stack_tiles = 1.0 + taps / 16.0
+    total += int(stack_tiles * cr * w_t * 4)
+    return total + 1_800_000
+
+
+# Tile-height picker target: leave headroom under the 16 MB scoped-VMEM
+# hard limit for estimate error.
+_VMEM_TARGET = 14 * 1024 * 1024
+
+
+def _pick_tile_rows(requested: int, cs: int, w_t: int, radius: int,
+                    box_mode: bool) -> int:
+    """Largest 8-multiple tile height <= requested whose working set fits
+    the VMEM target (floor 8; the feasibility gates handle the floor
+    still not fitting)."""
+    tile = max((requested // 8) * 8, 8)
+    while tile > 8 and _working_set_bytes(tile, cs, w_t, radius,
+                                          box_mode) > _VMEM_TARGET:
+        tile -= 8
+    return tile
 
 
 def _quant(x: jnp.ndarray) -> jnp.ndarray:
@@ -93,21 +120,9 @@ def _quant(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _min_vmem_bytes(cs: int, w_t: int, radius: int, box_mode: bool) -> int:
-    """The kernel's VMEM working set at the MINIMUM (8-row) tile height.
-    Accounting matches the kernel's scratch list; measured overhead (Mosaic
-    stack + DMA machinery) is ~1.7 MB."""
-    tile = 8
-    copy_rows = _round_up(tile + 2 * radius, 8)
-    total = (
-        copy_rows * w_t * 1          # tile_u8
-        + copy_rows * w_t * 4        # xbuf
-        + copy_rows * cs * 4         # hbuf
-        + tile * cs * 4              # vbuf
-        + 2 * tile * cs * 1          # double-buffered output block
-    )
-    if _use_doubling(box_mode, radius):
-        total += copy_rows * w_t * 4  # sbuf ping-pong
-    return total + 1_800_000
+    """Working set at the MINIMUM (8-row) tile height -- the feasibility
+    floor the routing gates compare against the hard limit."""
+    return _working_set_bytes(8, cs, w_t, radius, box_mode)
 
 
 _VMEM_HARD_LIMIT = 16 * 1024 * 1024
@@ -462,8 +477,8 @@ def _separable_blur_planar(
             f"(see blur_pallas_feasible)")
 
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
-                        doubling),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
+                        box_mode),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
@@ -587,8 +602,8 @@ def _separable_blur_interleaved(
     left_fills, right_fills = _fill_sites(wf, cs, n_cols, halo, land, w_t)
 
     tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, w_t, radius,
-                        doubling),
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
+                        box_mode),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)

@@ -1,0 +1,294 @@
+"""ADVANCED-tier Gaussian blur on the MXU: separable passes as banded
+bf16x2 matmuls.
+
+The VPU level-2 kernel is compute-bound in its horizontal pass (~21 ops per
+element of lane-rotate/multiply/add).  The same pass is a banded matrix
+product: out[:, g*G : (g+1)*G] = X[:, g*G .. g*G + G + 2*halo] @ B where
+B[k, l] = w[(k - l)/S] on the band (S = tap_stride; zero elsewhere).  That
+is ~(1 + 2*halo/G) * G MACs per output element -- a ~10-70x FLOP inflation
+that the MXU absorbs at ~2 orders of magnitude higher throughput than the
+VPU, turning the pass from compute-bound to layout-bound.  The vertical
+pass is one banded matmul from the left: A @ H with A[t_out, k] =
+w[k - t_out] on the band.
+
+Numerics (why this passes the ADVANCED gate, maxdiff <= 1 vs level 2, and
+in practice is far closer):
+* uint8 pixel values and the quantized inter-pass intermediate are
+  integers in [0, 255] -- EXACTLY representable in bf16 (8-bit mantissa);
+* weights are split bf16x2: w = hi + lo with hi = bf16(w),
+  lo = bf16(w - hi), so the represented weight error is ~2^-16 relative;
+* every bf16 x bf16 product is EXACT in the MXU's f32 accumulation (8+8
+  mantissa bits < 24), leaving only f32 summation-order ulps -- the same
+  relaxation the folded-tap VPU tier already makes (ops/pallas/blur.py).
+This is a Gaussian/weighted tier; the box ADVANCED tier keeps the exact
+doubling-window sums (already ~optimal and bit-exact).
+
+Geometry (landing offset, clamp-to-edge fills, row padding, exact masked
+out shapes) is shared with ops/pallas/blur.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ...core.config import TPU
+from .blur import (
+    _edge_fill,
+    _fill_sites,
+    _landed_geometry,
+    _min_vmem_bytes,
+    _pick_tile_rows,
+    _quant,
+    _round_up,
+    _VMEM_HARD_LIMIT,
+    blur_kernel_fits_vmem,
+)
+
+# Output lanes per horizontal matmul block: bigger blocks mean fewer,
+# larger matmuls (better MXU utilization) at (1 + 2*halo/G) FLOP inflation.
+_G = 512
+
+# ADVANCED-tier routing: the MXU cost is nearly radius-flat (0.71 ms at
+# r=3 -> 0.89 ms at r=15 on the README planar workload) while the VPU
+# folded tier scales with taps (0.59 -> 2.34 ms); measured crossover is
+# around 9 taps (scripts/exp_mxu_gauss.py, v5e 2026-08-17: r=15 MXU is
+# 2.6x planar / 3.4x rows faster, r=3 it is ~1.15x slower).
+GAUSS_MXU_MIN_RADIUS = 5
+
+
+def gaussian_mxu_feasible(width: int, radius: int, channels: int,
+                          interleaved: bool) -> bool:
+    """Whether the MXU gaussian working set fits VMEM (same accounting as
+    the VPU tier; the bf16 tiles make it slightly conservative)."""
+    dw = width * (channels if interleaved else 1)
+    halo = radius * (channels if interleaved else 1)
+    chunked = not blur_kernel_fits_vmem(width, radius, channels, False,
+                                        interleaved)
+    land, cs, _, w_t, _ = _landed_geometry(dw, halo, chunked)
+    cs = _round_up(cs, _G)
+    return _min_vmem_bytes(cs, cs + 2 * land, radius,
+                           False) < _VMEM_HARD_LIMIT
+
+
+def _band_matrices(weights: jnp.ndarray, radius: int, stride: int,
+                   k_rows: int, n_cols: int):
+    """(B_hi, B_lo) bf16 banded matrices, (k_rows, n_cols), built in-graph
+    (weights is a traced operand -- sigma must not trigger recompiles).
+    B[k, l] = w[(k - l)/stride] where (k - l) is a multiple of stride in
+    [0, 2*radius*stride]."""
+    kk = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n_cols), 0)
+    ll = jax.lax.broadcasted_iota(jnp.int32, (k_rows, n_cols), 1)
+    d = kk - ll
+    valid = (d >= 0) & (d <= 2 * radius * stride) & (d % stride == 0)
+    tap = jnp.clip(d // stride, 0, 2 * radius)
+    b = jnp.where(valid, weights[tap], jnp.float32(0.0))
+    # reduce_precision, NOT a bf16 cast round-trip: under XLA's
+    # allow-excess-precision the f32->bf16->f32 trip may be elided, folding
+    # b_lo to zero (observed on v5e: the correction vanished and the gate
+    # failed at maxdiff 2).  reduce_precision is semantic and survives.
+    b_hi_f32 = jax.lax.reduce_precision(b, exponent_bits=8, mantissa_bits=7)
+    b_hi = b_hi_f32.astype(jnp.bfloat16)
+    b_lo = (b - b_hi_f32).astype(jnp.bfloat16)
+    return b_hi, b_lo
+
+
+def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
+                      tile_u8, x16, hbuf, h16, vbuf, sem, *,
+                      radius: int, tile_rows: int, copy_rows: int,
+                      w_out: int, tap_stride: int, col_step: int,
+                      land: int, left_fills: tuple, right_fills: tuple,
+                      n_g: int, interp: bool):
+    """One grid step.  bh/bl: (K, G) bf16 horizontal band (K = G + 2*halo);
+    ah/al: (TH, CR) bf16 vertical band; layout/scratch as in
+    blur.py::_blur_kernel with bf16 tiles."""
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    halo = radius * tap_stride
+    base = land - halo
+
+    if col_step:
+        j = pl.program_id(2)
+        src = in_ref.at[
+            c, pl.ds(i * tile_rows, copy_rows),
+            pl.ds(j * col_step, tile_u8.shape[1]),
+        ]
+    else:
+        src = in_ref.at[c, pl.ds(i * tile_rows, copy_rows), :]
+    copy = pltpu.make_async_copy(src, tile_u8, sem)
+    copy.start()
+    copy.wait()
+
+    # u8 -> bf16 (exact: integers <= 255) via i32/f32.
+    x16[:, :] = tile_u8[:].astype(jnp.int32).astype(
+        jnp.float32).astype(jnp.bfloat16)
+
+    for left, sites in ((True, left_fills), (False, right_fills)):
+        for chunk, pos, fh in sites:
+            if chunk is None or not col_step:
+                _edge_fill(x16, pos, tap_stride, fh, left=left)
+            else:
+                @pl.when(j == chunk)
+                def _(pos=pos, fh=fh, left=left):
+                    _edge_fill(x16, pos, tap_stride, fh, left=left)
+
+    # Interpret mode (CPU) lacks a bf16 x bf16 -> f32 dot; upcast there.
+    # The math is identical either way: the products are exact.
+    up = (lambda a: a.astype(jnp.float32)) if interp else (lambda a: a)
+
+    # Horizontal pass: per-G-block banded matmuls on the MXU.
+    k_rows = bh_ref.shape[0]
+    for g in range(n_g):
+        sl = x16[:, base + g * _G : base + g * _G + k_rows]
+        acc = jnp.dot(up(sl), up(bh_ref[:, :]),
+                      preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
+                            preferred_element_type=jnp.float32)
+        hbuf[:, g * _G : (g + 1) * _G] = acc
+    # Inter-pass uint8 quantization (reference's u8 temp buffer); the
+    # quantized integers stay exact in bf16 for the vertical matmul.
+    h16[:, :] = _quant(hbuf[:, :]).astype(jnp.bfloat16)
+
+    # Vertical pass: one banded matmul from the left.
+    v = jnp.dot(up(ah_ref[:, :]), up(h16[:, :]),
+                preferred_element_type=jnp.float32)
+    v = v + jnp.dot(up(al_ref[:, :]), up(h16[:, :]),
+                    preferred_element_type=jnp.float32)
+    vbuf[:, :] = v
+    out_ref[0] = (
+        jnp.clip(_quant(vbuf[:, :]), 0.0, 255.0)
+        .astype(jnp.int32).astype(jnp.uint8)
+    )
+
+
+def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
+                  radius: int, tap_stride: int, interpret: bool,
+                  tile_rows: int | None = None) -> jnp.ndarray:
+    """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
+
+    tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
+    """
+    n, height, dw = planar_or_rows.shape
+    halo = radius * tap_stride
+
+    chunked = not blur_kernel_fits_vmem(
+        dw // tap_stride if tap_stride > 1 else dw, radius,
+        tap_stride if tap_stride > 1 else 1, False,
+        interleaved=tap_stride > 1)
+    land, cs, n_cols, w_t, arr_width = _landed_geometry(dw, halo, chunked)
+    # Horizontal matmul blocks cover cs in G-lane steps.
+    cs = _round_up(cs, _G)
+    w_t = cs + 2 * land
+    arr_width = n_cols * cs + 2 * land
+    n_g = cs // _G
+    if not interpret and _min_vmem_bytes(cs, w_t, radius,
+                                         False) >= _VMEM_HARD_LIMIT:
+        raise ValueError("MXU gaussian working set exceeds VMEM; use the "
+                         "VPU/XLA tiers")
+    left_fills, right_fills = (
+        _fill_sites(dw, cs, n_cols, halo, land, w_t) if tap_stride > 1
+        else ((), ()))
+
+    tile_rows = min(
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
+                        False),
+        _round_up(height, 8),
+    )
+    hp = _round_up(height, tile_rows)
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2 * radius, 8)
+    total_rows = hp - tile_rows + copy_rows
+
+    x = jnp.pad(
+        planar_or_rows,
+        ((0, 0), (radius, total_rows - height - radius),
+         (land, arr_width - land - dw)),
+        mode="edge",
+    )
+
+    k_rows = _G + 2 * halo
+    b_hi, b_lo = _band_matrices(weights, radius, tap_stride, k_rows, _G)
+    # Vertical band: out row t contracts copy-band rows [t, t + 2r], i.e.
+    # A[t, k] = w[k - t] -- the transpose of _band_matrices' B[k, l] =
+    # w[k - l] orientation, so build at (copy_rows, tile_rows) and
+    # transpose once in-graph (tiny).
+    a_hi, a_lo = (m.T for m in _band_matrices(
+        weights, radius, 1, copy_rows, tile_rows))
+
+    if n_cols == 1:
+        grid = (n, n_tiles)
+        out_spec = pl.BlockSpec((1, tile_rows, cs), lambda b, i: (b, i, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (n, n_tiles, n_cols)
+        out_spec = pl.BlockSpec((1, tile_rows, cs),
+                                lambda b, i, j: (b, i, j),
+                                memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gauss_mxu_kernel,
+            radius=radius,
+            tile_rows=tile_rows,
+            copy_rows=copy_rows,
+            w_out=cs,
+            tap_stride=tap_stride,
+            col_step=0 if n_cols == 1 else cs,
+            land=land,
+            left_fills=left_fills,
+            right_fills=right_fills,
+            n_g=n_g,
+            interp=interpret,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # b_lo
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a_hi
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # a_lo
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((n, height, dw), jnp.uint8),
+        scratch_shapes=[
+            pltpu.VMEM((copy_rows, w_t), jnp.uint8),
+            pltpu.VMEM((copy_rows, w_t), jnp.bfloat16),
+            pltpu.VMEM((copy_rows, cs), jnp.float32),
+            pltpu.VMEM((copy_rows, cs), jnp.bfloat16),
+            pltpu.VMEM((tile_rows, cs), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(b_hi, b_lo, a_hi, a_lo, x)
+
+    return out
+
+
+def gaussian_mxu(img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """(H, W, C) u8 -> u8 MXU Gaussian (ADVANCED tier, planar)."""
+    planar = jnp.transpose(img_hwc, (2, 0, 1))
+    out = _gaussian_mxu(planar, weights, radius, tap_stride=1,
+                        interpret=interpret)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def gaussian_mxu_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray,
+                      radius: int, channels: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(H, W*C) interleaved u8 rows -> same (ADVANCED tier, serving)."""
+    return _gaussian_mxu(rows_u8[None], weights, radius,
+                         tap_stride=channels, interpret=interpret)[0]
+
+
+def gaussian_mxu_rows_batch(rows_u8: jnp.ndarray, weights: jnp.ndarray,
+                            radius: int, channels: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W*C) batch -> same, batch riding the kernel grid."""
+    return _gaussian_mxu(rows_u8, weights, radius, tap_stride=channels,
+                         interpret=interpret)

@@ -113,6 +113,18 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
 
             interp = not is_tpu()
             if filter_name == "gaussian":
+                if folded:
+                    from ..ops.pallas.blur_mxu import (GAUSS_MXU_MIN_RADIUS,
+                                                       gaussian_mxu_feasible,
+                                                       gaussian_mxu_rows)
+
+                    # ADVANCED tier: MXU banded matmuls at larger radii
+                    # (nearly radius-flat; 3.4x the folded VPU at r=15).
+                    if (radius >= GAUSS_MXU_MIN_RADIUS
+                            and gaussian_mxu_feasible(w_, radius, c,
+                                                      interleaved=True)):
+                        return lambda rows, w: gaussian_mxu_rows(
+                            rows, w, radius, c, interpret=interp)
                 return lambda rows, w: gaussian_pallas_rows(
                     rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
@@ -188,6 +200,18 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                 interp = not is_tpu()
                 folded = level == 4
                 if filter_name == "gaussian":
+                    if folded:
+                        from ..ops.pallas.blur_mxu import (
+                            GAUSS_MXU_MIN_RADIUS,
+                            gaussian_mxu_feasible,
+                            gaussian_mxu_rows_batch,
+                        )
+
+                        if (radius >= GAUSS_MXU_MIN_RADIUS
+                                and gaussian_mxu_feasible(
+                                    w_, radius, c, interleaved=True)):
+                            return lambda rows, w: gaussian_mxu_rows_batch(
+                                rows, w, radius, c, interpret=interp)
                     return lambda rows, w: gaussian_pallas_rows_batch(
                         rows, w, radius, c, interpret=interp, folded=folded)
                 if filter_name == "box":

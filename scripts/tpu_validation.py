@@ -93,6 +93,19 @@ def main() -> int:
     b2, _ = RUNTIME.box_blur(img, radius=5, level=2)
     b4, _ = RUNTIME.box_blur(img, radius=5, level=4)
     check("box L4 gate<=1", np.abs(b2.astype(int) - b4.astype(int)).max() <= 1)
+    # radius >= GAUSS_MXU_MIN_RADIUS routes the ADVANCED gaussian to the
+    # MXU banded-matmul kernel (ops/pallas/blur_mxu.py).
+    m2, _ = RUNTIME.gaussian_blur(img, sigma=4.0, radius=15, level=2)
+    m4, _ = RUNTIME.gaussian_blur(img, sigma=4.0, radius=15, level=4)
+    check("gauss L4 r15 (MXU) gate<=1",
+          np.abs(m2.astype(int) - m4.astype(int)).max() <= 1)
+    # Full-width radius-15 serving shape (the VMEM stack regression case:
+    # the 31-tap rows kernel must pick a tile height that compiles).
+    wide = rng.integers(0, 256, (96, 3239, 3), np.uint8)
+    w2, _ = RUNTIME.gaussian_blur(wide, sigma=4.0, radius=15, level=2)
+    check("gauss L2 r15 full-width rows bit-exact",
+          np.array_equal(w2, oracle.gaussian_blur(
+              wide, gaussian_kernel_f32(15, 4.0), 15)))
 
     # Batched path (native Pallas batching, not vmap).
     imgs = np.stack([rng.integers(0, 256, (64, 97, 3), np.uint8) for _ in range(4)])
