@@ -56,9 +56,10 @@ _G = 512
 
 # ADVANCED-tier routing: the MXU cost is nearly radius-flat (0.71 ms at
 # r=3 -> 0.89 ms at r=15 on the README planar workload) while the VPU
-# folded tier scales with taps (0.59 -> 2.34 ms); measured crossover is
-# around 9 taps (scripts/exp_mxu_gauss.py, v5e 2026-08-17: r=15 MXU is
-# 2.6x planar / 3.4x rows faster, r=3 it is ~1.15x slower).
+# folded tier scales with taps (0.59 -> 2.34 ms).  Measured mxu/vpu ratios
+# (v5e, scripts/exp_mxu_gauss.py + exp_mxu_crossover.py, 2026-08-17):
+#   r=3: 1.20x planar / 1.13x rows (slower); r=5: 0.98 / 0.78;
+#   r=8: 0.61 / 0.57; r=15: 0.38 / 0.30.
 GAUSS_MXU_MIN_RADIUS = 5
 
 

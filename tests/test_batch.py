@@ -86,3 +86,18 @@ def test_endpoint_batch_empty(app):
         method="POST", path="/api/process-batch", json={"images": [], "filter": "box"},
     ))
     assert status == 400
+
+
+def test_batch_level4_mxu_radius_within_gate(rng):
+    """Batched ADVANCED gaussian at MXU-routed radius stays within the
+    <=1 gate vs the batched level-2 result."""
+    import numpy as np
+
+    from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+
+    imgs = np.stack([
+        (rng.integers(0, 256, (40, 52, 3))).astype("uint8") for _ in range(3)
+    ])
+    l2, _ = RUNTIME.run_batch("gaussian", imgs, level=2, sigma=3.0, radius=8)
+    l4, _ = RUNTIME.run_batch("gaussian", imgs, level=4, sigma=3.0, radius=8)
+    assert np.abs(l2.astype(int) - l4.astype(int)).max() <= 1
