@@ -51,11 +51,41 @@ def main() -> int:
         print(f"{fname:10} L{level}: {ms:9.3f} ms  (ref {ref_ms:7.3f} ms, "
               f"{ref_ms / ms:6.2f}x)", flush=True)
 
+    # Extended (beyond the reference's table): large-radius gaussian, where
+    # the ADVANCED tier routes to the MXU banded-matmul kernel
+    # (ops/pallas/blur_mxu.py).  No reference number exists (the reference
+    # only published radius-3); L2 at the same radius is the comparison.
+    from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+    from gpu_image_processing_tpu.runtime.timing import device_time_ms
+
+    l2impls: dict = {}
+    from gpu_image_processing_tpu.ops import fused
+
+    fused.register_all(lambda k, v: l2impls.__setitem__(k, v))
+    import jax
+
+    w15 = jax.device_put(gaussian_kernel_f32(15, 4.0), default_device())
+    img_dev = jax.device_put(img, default_device())
+    extended = []
+    for label, impl in (
+        ("gaussian r15 L2 (VPU, bit-exact)",
+         lambda x, w: l2impls["gaussian"](x, w, 15)),
+        ("gaussian r15 L4 (MXU, maxdiff<=1)",
+         lambda x, w: l2impls["gaussian_adv"](x, w, 15)),
+    ):
+        samples = sorted(
+            device_time_ms(impl, [img_dev, w15], iters=48) for _ in range(3)
+        )
+        ms = samples[len(samples) // 2]
+        extended.append({"case": label, "time_ms": round(ms, 4)})
+        print(f"{label}: {ms:.3f} ms", flush=True)
+
     payload = {
         "workload": f"{bench.W}x{bench.H} RGB",
         "device": str(default_device()),
         "host": platform.node(),
         "rows": rows,
+        "extended": extended,
     }
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
