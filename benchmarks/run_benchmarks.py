@@ -66,17 +66,25 @@ def main() -> int:
 
     w15 = jax.device_put(gaussian_kernel_f32(15, 4.0), default_device())
     img_dev = jax.device_put(img, default_device())
-    extended = []
-    for label, impl in (
+    ext_arms = [
         ("gaussian r15 L2 (VPU, bit-exact)",
          lambda x, w: l2impls["gaussian"](x, w, 15)),
         ("gaussian r15 L4 (MXU, maxdiff<=1)",
          lambda x, w: l2impls["gaussian_adv"](x, w, 15)),
-    ):
-        samples = sorted(
-            device_time_ms(impl, [img_dev, w15], iters=48) for _ in range(3)
-        )
-        ms = samples[len(samples) // 2]
+    ]
+    # Arms interleaved WITHIN rounds (CLAUDE.md measurement discipline:
+    # the shared chip drifts up to 2.7x between rounds, so sequential
+    # per-arm measurement would corrupt exactly the L2-vs-L4 comparison
+    # this section exists to publish).
+    ext_samples: dict[str, list] = {label: [] for label, _ in ext_arms}
+    for _ in range(3):
+        for label, impl in ext_arms:
+            ext_samples[label].append(
+                device_time_ms(impl, [img_dev, w15], iters=48))
+    extended = []
+    for label, _ in ext_arms:
+        s = sorted(ext_samples[label])
+        ms = s[len(s) // 2]
         extended.append({"case": label, "time_ms": round(ms, 4)})
         print(f"{label}: {ms:.3f} ms", flush=True)
 

@@ -47,12 +47,10 @@ def _gaussian_adv(img, w, radius: int, interpret: bool):
     GAUSS_MXU_MIN_RADIUS (nearly radius-flat cost; 2.6-3.4x the VPU at
     r=15), symmetric-folded VPU taps below it."""
     from .blur import gaussian_pallas
-    from .blur_mxu import (GAUSS_MXU_MIN_RADIUS, gaussian_mxu,
-                           gaussian_mxu_feasible)
+    from .blur_mxu import gaussian_mxu, use_mxu_gaussian
 
-    if (radius >= GAUSS_MXU_MIN_RADIUS
-            and gaussian_mxu_feasible(img.shape[1], radius, img.shape[2],
-                                      interleaved=False)):
+    if use_mxu_gaussian(radius, img.shape[1], img.shape[2],
+                        interleaved=False):
         return gaussian_mxu(img, w, radius, interpret=interpret)
     return gaussian_pallas(img, w, radius, interpret=interpret, folded=True)
 

@@ -42,11 +42,10 @@ from .blur import (
     _edge_fill,
     _fill_sites,
     _landed_geometry,
-    _min_vmem_bytes,
-    _pick_tile_rows,
     _quant,
     _round_up,
     _VMEM_HARD_LIMIT,
+    _VMEM_TARGET,
     blur_kernel_fits_vmem,
 )
 
@@ -63,18 +62,48 @@ _G = 512
 GAUSS_MXU_MIN_RADIUS = 5
 
 
+def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
+                           halo: int) -> int:
+    """VMEM working set of the MXU kernel at this tile height: its own
+    buffer list (bf16 tile, f32+bf16 intermediates, band operands), not the
+    VPU conv model -- the MXU kernel has no sequenced tap loop, so its
+    Mosaic stack is ~one tile of matmul temporaries, not (1 + taps/16)."""
+    cr = _round_up(tile_rows + 2 * radius, 8)
+    total = (
+        cr * w_t * 1            # tile_u8
+        + cr * w_t * 2          # x16 bf16
+        + cr * cs * 4           # hbuf f32
+        + cr * cs * 2           # h16 bf16
+        + tile_rows * cs * 4    # vbuf f32
+        + 2 * tile_rows * cs    # double-buffered output block
+        + 2 * (_G + 2 * halo) * _G * 2   # b_hi/b_lo operands
+        + 2 * tile_rows * cr * 2         # a_hi/a_lo operands
+    )
+    total += cr * w_t * 4       # Mosaic stack (matmul accum temps)
+    return total + 1_800_000
+
+
 def gaussian_mxu_feasible(width: int, radius: int, channels: int,
                           interleaved: bool) -> bool:
-    """Whether the MXU gaussian working set fits VMEM (same accounting as
-    the VPU tier; the bf16 tiles make it slightly conservative)."""
+    """Whether the MXU gaussian working set fits VMEM at the minimum tile
+    height."""
     dw = width * (channels if interleaved else 1)
     halo = radius * (channels if interleaved else 1)
     chunked = not blur_kernel_fits_vmem(width, radius, channels, False,
                                         interleaved)
-    land, cs, _, w_t, _ = _landed_geometry(dw, halo, chunked)
+    land, cs, _, _, _ = _landed_geometry(dw, halo, chunked)
     cs = _round_up(cs, _G)
-    return _min_vmem_bytes(cs, cs + 2 * land, radius,
-                           False) < _VMEM_HARD_LIMIT
+    return _mxu_working_set_bytes(8, cs, cs + 2 * land, radius,
+                                  halo) < _VMEM_HARD_LIMIT
+
+
+def use_mxu_gaussian(radius: int, width: int, channels: int,
+                     interleaved: bool) -> bool:
+    """THE routing predicate for the ADVANCED gaussian (single source --
+    dispatch rows/batch and the planar registry all consult it): MXU wins
+    from GAUSS_MXU_MIN_RADIUS up, provided the working set fits VMEM."""
+    return (radius >= GAUSS_MXU_MIN_RADIUS
+            and gaussian_mxu_feasible(width, radius, channels, interleaved))
 
 
 def _band_matrices(weights: jnp.ndarray, radius: int, stride: int,
@@ -102,9 +131,9 @@ def _band_matrices(weights: jnp.ndarray, radius: int, stride: int,
 def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
                       tile_u8, x16, hbuf, h16, vbuf, sem, *,
                       radius: int, tile_rows: int, copy_rows: int,
-                      w_out: int, tap_stride: int, col_step: int,
+                      tap_stride: int, col_step: int,
                       land: int, left_fills: tuple, right_fills: tuple,
-                      n_g: int, interp: bool):
+                      n_g: int, interp: bool, passes: str = "both"):
     """One grid step.  bh/bl: (K, G) bf16 horizontal band (K = G + 2*halo);
     ah/al: (TH, CR) bf16 vertical band; layout/scratch as in
     blur.py::_blur_kernel with bf16 tiles."""
@@ -142,15 +171,26 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     # The math is identical either way: the products are exact.
     up = (lambda a: a.astype(jnp.float32)) if interp else (lambda a: a)
 
-    # Horizontal pass: per-G-block banded matmuls on the MXU.
-    k_rows = bh_ref.shape[0]
-    for g in range(n_g):
-        sl = x16[:, base + g * _G : base + g * _G + k_rows]
-        acc = jnp.dot(up(sl), up(bh_ref[:, :]),
-                      preferred_element_type=jnp.float32)
-        acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
-                            preferred_element_type=jnp.float32)
-        hbuf[:, g * _G : (g + 1) * _G] = acc
+    # Horizontal pass: per-G-block banded matmuls on the MXU.  `passes`
+    # isolates one pass for the profiler's per-pass breakdown, mirroring
+    # blur.py::_blur_kernel.
+    if passes in ("both", "horizontal"):
+        k_rows = bh_ref.shape[0]
+        for g in range(n_g):
+            sl = x16[:, base + g * _G : base + g * _G + k_rows]
+            acc = jnp.dot(up(sl), up(bh_ref[:, :]),
+                          preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
+                                preferred_element_type=jnp.float32)
+            hbuf[:, g * _G : (g + 1) * _G] = acc
+    else:
+        hbuf[:, :] = x16[:, land : land + hbuf.shape[1]].astype(jnp.float32)
+    if passes == "horizontal":
+        out_ref[0] = (
+            jnp.clip(_quant(hbuf[radius : radius + tile_rows, :]), 0.0, 255.0)
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
+        return
     # Inter-pass uint8 quantization (reference's u8 temp buffer); the
     # quantized integers stay exact in bf16 for the vertical matmul.
     h16[:, :] = _quant(hbuf[:, :]).astype(jnp.bfloat16)
@@ -169,7 +209,8 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
 
 def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
                   radius: int, tap_stride: int, interpret: bool,
-                  tile_rows: int | None = None) -> jnp.ndarray:
+                  tile_rows: int | None = None,
+                  passes: str = "both") -> jnp.ndarray:
     """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
 
     tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
@@ -187,19 +228,19 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
     w_t = cs + 2 * land
     arr_width = n_cols * cs + 2 * land
     n_g = cs // _G
-    if not interpret and _min_vmem_bytes(cs, w_t, radius,
-                                         False) >= _VMEM_HARD_LIMIT:
+    if not interpret and _mxu_working_set_bytes(
+            8, cs, w_t, radius, halo) >= _VMEM_HARD_LIMIT:
         raise ValueError("MXU gaussian working set exceeds VMEM; use the "
-                         "VPU/XLA tiers")
+                         "VPU/XLA tiers (see gaussian_mxu_feasible)")
     left_fills, right_fills = (
         _fill_sites(dw, cs, n_cols, halo, land, w_t) if tap_stride > 1
         else ((), ()))
 
-    tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
-                        False),
-        _round_up(height, 8),
-    )
+    tile = max(((tile_rows or TPU.blur_tile_rows) // 8) * 8, 8)
+    while tile > 8 and _mxu_working_set_bytes(tile, cs, w_t, radius,
+                                              halo) > _VMEM_TARGET:
+        tile -= 8
+    tile_rows = min(tile, _round_up(height, 8))
     hp = _round_up(height, tile_rows)
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
@@ -237,7 +278,6 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             radius=radius,
             tile_rows=tile_rows,
             copy_rows=copy_rows,
-            w_out=cs,
             tap_stride=tap_stride,
             col_step=0 if n_cols == 1 else cs,
             land=land,
@@ -245,6 +285,7 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             right_fills=right_fills,
             n_g=n_g,
             interp=interpret,
+            passes=passes,
         ),
         grid=grid,
         in_specs=[
@@ -271,20 +312,23 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
 
 
 def gaussian_mxu(img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: bool = False,
+                 passes: str = "both") -> jnp.ndarray:
     """(H, W, C) u8 -> u8 MXU Gaussian (ADVANCED tier, planar)."""
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _gaussian_mxu(planar, weights, radius, tap_stride=1,
-                        interpret=interpret)
+                        interpret=interpret, passes=passes)
     return jnp.transpose(out, (1, 2, 0))
 
 
 def gaussian_mxu_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray,
                       radius: int, channels: int,
-                      interpret: bool = False) -> jnp.ndarray:
+                      interpret: bool = False,
+                      passes: str = "both") -> jnp.ndarray:
     """(H, W*C) interleaved u8 rows -> same (ADVANCED tier, serving)."""
     return _gaussian_mxu(rows_u8[None], weights, radius,
-                         tap_stride=channels, interpret=interpret)[0]
+                         tap_stride=channels, interpret=interpret,
+                         passes=passes)[0]
 
 
 def gaussian_mxu_rows_batch(rows_u8: jnp.ndarray, weights: jnp.ndarray,

@@ -77,6 +77,18 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
             interp = not is_tpu()
             folded = lvl == 4
             if filter_type == "gaussian":
+                if folded:
+                    from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
+                                                       use_mxu_gaussian)
+
+                    # Match the tier the runtime actually serves: L4 at
+                    # MXU-routed radii breaks down the MXU kernel's own
+                    # passes, not the VPU kernel's.
+                    if use_mxu_gaussian(radius, w, c, interleaved=True):
+                        return lambda rows, wts: gaussian_mxu_rows(
+                            rows, wts, radius, c,
+                            interpret=interp, passes=which,
+                        )
                 return lambda rows, wts: gaussian_pallas_rows(
                     rows, wts, radius, c,
                     interpret=interp, folded=folded, passes=which,

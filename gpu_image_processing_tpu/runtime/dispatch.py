@@ -114,15 +114,12 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             interp = not is_tpu()
             if filter_name == "gaussian":
                 if folded:
-                    from ..ops.pallas.blur_mxu import (GAUSS_MXU_MIN_RADIUS,
-                                                       gaussian_mxu_feasible,
-                                                       gaussian_mxu_rows)
+                    from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
+                                                       use_mxu_gaussian)
 
                     # ADVANCED tier: MXU banded matmuls at larger radii
                     # (nearly radius-flat; 3.4x the folded VPU at r=15).
-                    if (radius >= GAUSS_MXU_MIN_RADIUS
-                            and gaussian_mxu_feasible(w_, radius, c,
-                                                      interleaved=True)):
+                    if use_mxu_gaussian(radius, w_, c, interleaved=True):
                         return lambda rows, w: gaussian_mxu_rows(
                             rows, w, radius, c, interpret=interp)
                 return lambda rows, w: gaussian_pallas_rows(
@@ -202,14 +199,11 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                 if filter_name == "gaussian":
                     if folded:
                         from ..ops.pallas.blur_mxu import (
-                            GAUSS_MXU_MIN_RADIUS,
-                            gaussian_mxu_feasible,
                             gaussian_mxu_rows_batch,
+                            use_mxu_gaussian,
                         )
 
-                        if (radius >= GAUSS_MXU_MIN_RADIUS
-                                and gaussian_mxu_feasible(
-                                    w_, radius, c, interleaved=True)):
+                        if use_mxu_gaussian(radius, w_, c, interleaved=True):
                             return lambda rows, w: gaussian_mxu_rows_batch(
                                 rows, w, radius, c, interpret=interp)
                     return lambda rows, w: gaussian_pallas_rows_batch(

@@ -58,7 +58,9 @@ def test_gaussian_advanced_mxu_radius_within_gate(rng, shape):
     )
 
     img = make_image(rng, *shape)
-    for radius in (GAUSS_MXU_MIN_RADIUS, 15):
+    # 31 is the weight-table cap (MAX_KERNEL_TAPS=64, reference
+    # image_filters.cu:729-732) -- the largest halo the MXU band sees.
+    for radius in (GAUSS_MXU_MIN_RADIUS, 15, 31):
         l2, _ = RUNTIME.gaussian_blur(img, sigma=3.0, radius=radius, level=2)
         l4, _ = RUNTIME.gaussian_blur(img, sigma=3.0, radius=radius, level=4)
         assert np.abs(l2.astype(int) - l4.astype(int)).max() <= 1
