@@ -23,8 +23,8 @@ def main() -> int:
 
     import jax
 
-    import scripts.legacy_blur_landed_snapshot as lblur
-    import scripts.legacy_sobel_snapshot as lsobel
+    import scripts.archive.legacy_blur_landed_snapshot as lblur
+    import scripts.archive.legacy_sobel_snapshot as lsobel
     from gpu_image_processing_tpu.ops.pallas import blur as nblur
     from gpu_image_processing_tpu.ops.pallas import sobel as nsobel
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """A/B the landed-DMA blur prologue vs the legacy tile/concat/pad prologue.
 
-Legacy implementation is a frozen snapshot (scripts/legacy_blur_snapshot.py)
+Legacy implementation is a frozen snapshot (scripts/archive/legacy_blur_snapshot.py)
 of ops/pallas/blur.py as of commit ecbd0d5; the package now carries the
 landed-DMA scheme.  Both run in ONE process with arms interleaved within
 rounds (the shared chip drifts up to 2.7x between rounds -- only
@@ -32,7 +32,7 @@ def main() -> int:
 
     import jax
 
-    import scripts.legacy_blur_snapshot as legacy
+    import scripts.archive.legacy_blur_snapshot as legacy
     from gpu_image_processing_tpu.ops.pallas import blur as new
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
     from gpu_image_processing_tpu.runtime.device import (

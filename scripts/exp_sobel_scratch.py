@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """A/B sobel gx/gy scratch-ref accumulation vs value-chained (legacy).
 
-Legacy = scripts/legacy_sobel_snapshot.py (value-chained gx/gy, frozen at
+Legacy = scripts/archive/legacy_sobel_snapshot.py (value-chained gx/gy, frozen at
 commit 6317748); package now accumulates gx/gy through VMEM scratch refs
 (bounded liveness -- the trick that gave the gray plane 3x).  Bit-equality
 gates on hardware, then within-round timing.
@@ -25,7 +25,7 @@ def main() -> int:
 
     import jax
 
-    import scripts.legacy_sobel_snapshot as legacy
+    import scripts.archive.legacy_sobel_snapshot as legacy
     from gpu_image_processing_tpu.ops.pallas import sobel as new
     from gpu_image_processing_tpu.runtime.device import (
         default_device,
