@@ -31,23 +31,70 @@ import numpy as np
 from ..runtime.device import default_device, platform
 
 # Peak specs used to turn measured rates into utilization percentages (the
-# TPU analog of ncu's "% of speed-of-light" columns).  v5e numbers from the
-# public spec sheet; override per-platform via env for other chips.
-_DEVICE_PEAKS = {
-    # platform -> (HBM GB/s, f32 TFLOP/s, bf16 TFLOP/s)
-    "tpu": (819.0, 98.0, 197.0),
-    "cpu": (50.0, 0.5, 0.5),
-    "gpu": (500.0, 20.0, 40.0),
+# TPU analog of ncu's "% of speed-of-light" columns).  Keyed by TPU
+# GENERATION read from `device_kind` -- a v5e table applied to a v5p would
+# silently misreport every percentage.  Public spec-sheet numbers; f32 is
+# modeled as half the bf16 MXU rate.
+_TPU_GENERATION_PEAKS = {
+    # generation -> (HBM GB/s, f32 TFLOP/s, bf16 TFLOP/s)
+    "v4": (1228.0, 137.0, 275.0),
+    "v5e": (819.0, 98.0, 197.0),
+    "v5p": (2765.0, 229.0, 459.0),
+    "v6e": (1640.0, 459.0, 918.0),
 }
 
+# Non-TPU hosts get rough placeholder peaks: percentages there are only for
+# exercising the UI path in tests, never reported as hardware truth.
+_FALLBACK_PEAKS = {"cpu": (50.0, 0.5, 0.5), "gpu": (500.0, 20.0, 40.0)}
 
-def device_peaks() -> tuple[float, float, float]:
-    plat = platform()
-    hbm = float(os.environ.get("GIP_TPU_PEAK_HBM_GBPS", 0.0)) or None
-    peaks = _DEVICE_PEAKS.get(plat, _DEVICE_PEAKS["cpu"])
-    if hbm:
-        peaks = (hbm, peaks[1], peaks[2])
-    return peaks
+
+def _tpu_generation(device_kind: str) -> Optional[str]:
+    """Map a jax `device_kind` string to a generation key, or None.
+
+    Known spellings: "TPU v4", "TPU v5 lite"/"TPU v5e", "TPU v5p",
+    "TPU v6 lite"/"TPU v6e" (trailing core index tolerated).
+    """
+    kind = device_kind.lower()
+    if "v6 lite" in kind or "v6e" in kind:
+        return "v6e"
+    if "v5 lite" in kind or "v5e" in kind:
+        return "v5e"
+    if "v5p" in kind:
+        return "v5p"
+    if "v4" in kind:
+        return "v4"
+    return None
+
+
+def device_peaks(device_kind: Optional[str] = None,
+                 plat: Optional[str] = None) -> Optional[tuple[float, float, float]]:
+    """(HBM GB/s, f32 TFLOP/s, bf16 TFLOP/s) for the attached device.
+
+    Returns None for a TPU generation not in the table (unless env
+    overrides supply the numbers): callers must then OMIT utilization
+    percentages rather than compute them against a wrong peak.
+    Env overrides: GIP_TPU_PEAK_HBM_GBPS, GIP_TPU_PEAK_F32_TFLOPS,
+    GIP_TPU_PEAK_BF16_TFLOPS.
+    """
+    plat = plat or platform()
+    if device_kind is None:
+        device_kind = getattr(default_device(), "device_kind", "") or ""
+
+    env = [float(os.environ.get(k, 0.0)) or None for k in (
+        "GIP_TPU_PEAK_HBM_GBPS", "GIP_TPU_PEAK_F32_TFLOPS",
+        "GIP_TPU_PEAK_BF16_TFLOPS")]
+
+    if plat == "tpu":
+        gen = _tpu_generation(device_kind)
+        peaks = _TPU_GENERATION_PEAKS.get(gen) if gen else None
+    else:
+        peaks = _FALLBACK_PEAKS.get(plat, _FALLBACK_PEAKS["cpu"])
+
+    if peaks is None:
+        if all(v is not None for v in env):
+            return (env[0], env[1], env[2])
+        return None
+    return tuple(e if e is not None else p for e, p in zip(env, peaks))
 
 
 def check_profiler_available() -> bool:
@@ -71,33 +118,42 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     if (lvl >= 2 and not _routed_to_xla(lvl, h, w)
             and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"):
         try:
-            from ..ops.pallas.blur import box_pallas_rows, gaussian_pallas_rows
+            from ..ops.pallas.blur import (blur_pallas_feasible,
+                                           box_pallas_rows,
+                                           gaussian_pallas_rows)
             from ..runtime.device import is_tpu
 
-            interp = not is_tpu()
-            folded = lvl == 4
-            if filter_type == "gaussian":
-                if folded:
-                    from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
-                                                       use_mxu_gaussian)
+            # Mirror dispatch's VMEM-feasibility gate (_rows_optimized):
+            # for radii the runtime serves from the XLA tier, measure the
+            # XLA passes actually served instead of tracing a Pallas
+            # kernel that raises (and silently killed the breakdown).
+            if blur_pallas_feasible(w, radius, c, filter_type == "box",
+                                    interleaved=True):
+                interp = not is_tpu()
+                folded = lvl == 4
+                if filter_type == "gaussian":
+                    if folded:
+                        from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
+                                                           use_mxu_gaussian)
 
-                    # Match the tier the runtime actually serves: L4 at
-                    # MXU-routed radii breaks down the MXU kernel's own
-                    # passes, not the VPU kernel's.
-                    if use_mxu_gaussian(radius, w, c, interleaved=True):
-                        return lambda rows, wts: gaussian_mxu_rows(
-                            rows, wts, radius, c,
-                            interpret=interp, passes=which,
-                        )
-                return lambda rows, wts: gaussian_pallas_rows(
-                    rows, wts, radius, c,
-                    interpret=interp, folded=folded, passes=which,
-                )
-            return lambda rows: box_pallas_rows(
-                rows, radius, c,
-                interpret=interp, folded=folded, passes=which,
-            )
-        except Exception:  # pragma: no cover - env without Mosaic
+                        # Match the tier the runtime actually serves: L4 at
+                        # MXU-routed radii breaks down the MXU kernel's own
+                        # passes, not the VPU kernel's.
+                        if use_mxu_gaussian(radius, w, c, interleaved=True):
+                            return lambda rows, wts: gaussian_mxu_rows(
+                                rows, wts, radius, c,
+                                interpret=interp, passes=which,
+                            )
+                    return lambda rows, wts: gaussian_pallas_rows(
+                        rows, wts, radius, c,
+                        interpret=interp, folded=folded, passes=which,
+                    )
+                else:
+                    return lambda rows: box_pallas_rows(
+                        rows, radius, c,
+                        interpret=interp, folded=folded, passes=which,
+                    )
+        except ImportError:  # pragma: no cover - env without Mosaic
             pass
 
     from ..ops import interleaved as il
@@ -301,7 +357,7 @@ def profile_filter(
         except Exception:
             pass
 
-    peak_hbm_gbps, peak_f32_tflops, _ = device_peaks()
+    peaks = device_peaks()
     label = _kernel_label(filter_type, lvl)
 
     # Modeled traffic (image in + image out, uint8) -- the minimum bytes any
@@ -317,29 +373,17 @@ def profile_filter(
             "Duration (ms)": duration_ms,
             "Mean Duration (ms)": mean_ms,
             "Launch Count": len(times_ms) or 1,
-            "Compute Throughput (% of peak f32)": (
-                100.0 * achieved_tflops / peak_f32_tflops if achieved_tflops else 0.0
-            ),
         },
         "memory": {
             "Memory Throughput (Gbyte/s)": achieved_hlo_gbps or achieved_io_gbps,
             "IO Throughput (Gbyte/s)": achieved_io_gbps,
-            "DRAM Throughput (% of peak)": (
-                100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
-            ),
             "HLO Bytes Accessed": bytes_accessed,
             "Peak Device Memory (bytes)": peak_vmem_bytes,
             "Temp Buffer Bytes": temp_bytes,
             "Argument Bytes": argument_bytes,
             "Output Bytes": output_bytes,
         },
-        "occupancy": {
-            # TPU has no warp occupancy; report bandwidth-bound utilization,
-            # the nearest "how busy is the hot resource" analog.
-            "Achieved Occupancy (% of peak HBM bandwidth)": (
-                100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
-            ),
-        },
+        "occupancy": {},
         "config": {
             "Image Shape": f"{height}x{width}x{channels}",
             "Platform": platform(),
@@ -350,6 +394,26 @@ def profile_filter(
         "kernels_profiled": [label],
         "profiler": "xla_cost_analysis",
     }
+
+    # Utilization percentages ONLY when the device generation's peaks are
+    # known (or env-supplied) -- an unknown chip gets no percentages rather
+    # than percentages against the wrong table.
+    if peaks is not None:
+        peak_hbm_gbps, peak_f32_tflops, _ = peaks
+        dram_pct = 100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
+        metrics["execution"]["Compute Throughput (% of peak f32)"] = (
+            100.0 * achieved_tflops / peak_f32_tflops if achieved_tflops else 0.0
+        )
+        metrics["memory"]["DRAM Throughput (% of peak)"] = dram_pct
+        # TPU has no warp occupancy; report bandwidth-bound utilization,
+        # the nearest "how busy is the hot resource" analog.
+        metrics["occupancy"]["Achieved Occupancy (% of peak HBM bandwidth)"] = dram_pct
+        metrics["config"]["Peak HBM Bandwidth (Gbyte/s)"] = peak_hbm_gbps
+    else:
+        metrics["config"]["Peak Table"] = (
+            "unknown device generation %r: utilization percentages omitted"
+            % (getattr(default_device(), "device_kind", ""),)
+        )
 
     # Per-pass durations for the separable blurs, rescaled so the pair sums
     # to the fused kernel's measured total (see _pass_breakdown).
