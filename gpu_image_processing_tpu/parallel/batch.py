@@ -11,6 +11,7 @@ over ICI-connected chips.
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import fused, ref
@@ -19,33 +20,33 @@ from ..ops import fused, ref
 def make_batch_filter(mesh: Mesh, filter_name: str, radius: int = 3, level: int = 2):
     """Jitted batch filter with the batch dim sharded over EVERY mesh axis.
 
-    Input (B, H, W, C) uint8, B divisible by the total device count.
+    Input (B, H, W, C) uint8, any B: batches that don't divide the device
+    count are padded with copies of the last image and cropped after (data
+    parallelism is per-image, so pad images cannot affect real outputs).
     """
     axes = tuple(mesh.axis_names)
+    n = mesh.size
     spec = P(axes, None, None, None)
     sharding = NamedSharding(mesh, spec)
-    rep = NamedSharding(mesh, P())
 
     if filter_name == "gaussian":
         impl = ref.gaussian_blur if level == 1 else fused.gaussian_fused
-
-        def fn(imgs, weights):
-            return jax.vmap(lambda im: impl(im, weights, radius))(imgs)
-
-        return jax.jit(fn, in_shardings=(sharding, rep), out_shardings=sharding)
-
-    if filter_name == "box":
+        per_image = lambda im, weights: impl(im, weights, radius)
+    elif filter_name == "box":
         impl = ref.box_blur if level == 1 else fused.box_fused
+        per_image = lambda im: impl(im, radius)
+    elif filter_name == "sobel":
+        per_image = lambda im: ref.sobel(im, level)
+    else:
+        raise ValueError(f"Unknown filter: {filter_name}")
 
-        def fn(imgs):
-            return jax.vmap(lambda im: impl(im, radius))(imgs)
+    def fn(imgs, *rest):
+        b = imgs.shape[0]
+        pad_b = -b % n
+        if pad_b:
+            imgs = jnp.pad(imgs, ((0, pad_b), (0, 0), (0, 0), (0, 0)), mode="edge")
+        imgs = jax.lax.with_sharding_constraint(imgs, sharding)
+        out = jax.vmap(lambda im: per_image(im, *rest))(imgs)
+        return out[:b] if pad_b else out
 
-        return jax.jit(fn, in_shardings=(sharding,), out_shardings=sharding)
-
-    if filter_name == "sobel":
-        def fn(imgs):
-            return jax.vmap(lambda im: ref.sobel(im, level))(imgs)
-
-        return jax.jit(fn, in_shardings=(sharding,), out_shardings=sharding)
-
-    raise ValueError(f"Unknown filter: {filter_name}")
+    return jax.jit(fn)

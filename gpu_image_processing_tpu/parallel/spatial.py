@@ -233,30 +233,59 @@ def make_sharded_filter(
 ):
     """Build a jitted (dp, sp)-sharded batch filter step.
 
-    Input: (B, H, W, C) uint8 with B % dp == 0, H % sp == 0 and
-    H/sp >= radius.  Gaussian additionally takes a (2r+1,) f32 weight vector
-    (replicated).  Returns the jitted function; call with committed sharded
-    arrays or let jit shard by in_shardings.
+    Input: any (B, H, W, C) uint8.  Gaussian additionally takes a (2r+1,)
+    f32 weight vector (replicated).
+
+    Shapes that don't tile the mesh (B % dp != 0, H % sp != 0, or fewer
+    than `halo` rows per shard) are edge-padded up to the divisible shape,
+    filtered, and cropped back -- the same pad-and-crop trick the
+    single-chip runtime uses for shape bucketing (runtime/dispatch.py).
+    Bit-exactness survives because edge padding replicates the clamp row:
+    every tap an in-image output row reads from the pad region carries
+    exactly the value clamp-to-edge would have produced.  Sobel's global
+    bottom border row is re-zeroed after the crop (the in-graph zeroing hit
+    the padded bottom row instead).
     """
+    dp = mesh.shape["dp"]
+    sp = mesh.shape["sp"]
     spec = _specs(mesh)
     sharding = NamedSharding(mesh, spec)
-    rep = NamedSharding(mesh, P())
 
     if filter_name == "gaussian":
         body = partial(_gaussian_body, radius=radius)
-        shard_fn = jax.shard_map(
-            body, mesh=mesh, in_specs=(spec, P()), out_specs=spec,
-            check_vma=False,  # pallas_call outputs carry no vma metadata
-        )
-        return jax.jit(shard_fn, in_shardings=(sharding, rep), out_shardings=sharding)
-    if filter_name == "box":
+        in_specs = (spec, P())
+        halo = radius
+    elif filter_name == "box":
         body = partial(_box_body, radius=radius)
-        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                                 check_vma=False)
-        return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
-    if filter_name == "sobel":
+        in_specs = (spec,)
+        halo = radius
+    elif filter_name == "sobel":
         body = partial(_sobel_body, level=level)
-        shard_fn = jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                                 check_vma=False)
-        return jax.jit(shard_fn, in_shardings=(sharding,), out_shardings=sharding)
-    raise ValueError(f"Unknown filter: {filter_name}")
+        in_specs = (spec,)
+        halo = 1
+    else:
+        raise ValueError(f"Unknown filter: {filter_name}")
+
+    shard_fn = jax.shard_map(
+        body, mesh=mesh, in_specs=in_specs, out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+
+    def fn(batch, *rest):
+        b, h = batch.shape[0], batch.shape[1]
+        pad_b = -b % dp
+        h_target = sp * max(-(-h // sp), halo)
+        pad_h = h_target - h
+        if pad_b or pad_h:
+            batch = jnp.pad(
+                batch, ((0, pad_b), (0, pad_h), (0, 0), (0, 0)), mode="edge"
+            )
+        batch = jax.lax.with_sharding_constraint(batch, sharding)
+        out = shard_fn(batch, *rest)
+        if pad_b or pad_h:
+            out = out[:b, :h]
+            if filter_name == "sobel" and pad_h:
+                out = out.at[:, h - 1].set(jnp.uint8(0))
+        return out
+
+    return jax.jit(fn)

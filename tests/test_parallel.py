@@ -85,6 +85,68 @@ def test_batch_dp_sobel(rng, mesh8):
     np.testing.assert_array_equal(out[3], oracle.sobel(imgs[3], 2))
 
 
+def test_spatial_uneven_batch_and_height(rng):
+    """VERDICT r2 item 4: arbitrary B and H on a fixed mesh via pad-and-crop.
+
+    B=6 is not a multiple of dp=4; H=100 is not a multiple of sp=2? it is --
+    so use H=101 to force a height pad too.  Must stay bit-exact."""
+    from gpu_image_processing_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, dp=4, sp=2)
+    imgs = _batch(rng, 6, 101, 23, 3)
+    w = gaussian_kernel_f32(3, 2.0)
+    fn = make_sharded_filter(mesh, "gaussian", radius=3)
+    out = np.asarray(fn(imgs, w))
+    assert out.shape == imgs.shape
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], oracle.gaussian_blur(imgs[i], w, 3))
+
+
+def test_spatial_uneven_box_b6_h100(rng, mesh8):
+    # The literal VERDICT case: a batch of 6 with H=100 on the 8-device
+    # mesh (dp=2, sp=4): H=100 % 4 == 0 but 6 % ... exercises the wrapper
+    # end-to-end; use H=102 so the height pad engages as well.
+    imgs = _batch(rng, 6, 102, 17, 4)
+    fn = make_sharded_filter(mesh8, "box", radius=5)
+    out = np.asarray(fn(imgs))
+    assert out.shape == imgs.shape
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], oracle.box_blur(imgs[i], 5))
+
+
+def test_spatial_uneven_short_shards(rng, mesh8):
+    # Fewer rows per shard than the radius: H=10 over sp=4 gives 2 or 3
+    # rows/shard < r=8; the wrapper must pad height up to sp*radius.
+    imgs = _batch(rng, 2, 10, 24, 1)
+    w = gaussian_kernel_f32(8, 4.0)
+    fn = make_sharded_filter(mesh8, "gaussian", radius=8)
+    out = np.asarray(fn(imgs, w))
+    np.testing.assert_array_equal(out[0], oracle.gaussian_blur(imgs[0], w, 8))
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_spatial_uneven_sobel_border_rezeroed(rng, mesh8, level):
+    # The padded bottom row displaces the in-graph global border zeroing;
+    # the crop epilogue must re-zero the TRUE bottom border row.
+    imgs = _batch(rng, 3, 33, 21, 3)  # H=33 % 4 != 0, B=3 % 2 != 0
+    fn = make_sharded_filter(mesh8, "sobel", level=level)
+    out = np.asarray(fn(imgs))
+    assert out.shape == imgs.shape
+    for i in range(3):
+        assert_sobel_close(out[i], oracle.sobel(imgs[i], level))
+        assert not out[i][-1].any() and not out[i][0].any()
+
+
+def test_batch_dp_uneven(rng, mesh8):
+    imgs = _batch(rng, 6, 16, 19, 3)  # 6 % 8 != 0
+    w = gaussian_kernel_f32(3, 2.0)
+    fn = make_batch_filter(mesh8, "gaussian", radius=3)
+    out = np.asarray(fn(imgs, w))
+    assert out.shape == imgs.shape
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], oracle.gaussian_blur(imgs[i], w, 3))
+
+
 def test_sharded_output_sharding(rng, mesh8):
     # The result must actually be sharded (dp, sp), not gathered.
     imgs = _batch(rng, 2, 32, 16, 3)
