@@ -193,6 +193,48 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
 # variants are compile-heavy, so measure each profiled config once.
 _PASS_CACHE: dict[tuple, tuple[float, float]] = {}
 
+# Same key -> {kernel: {count, total_ms, avg_ms}} parsed from an xplane
+# trace of the served executable; None caches "trace tier unavailable".
+_TRACE_CACHE: dict[tuple, Optional[dict]] = {}
+
+
+def _trace_kernel_breakdown(key: tuple, run_fn) -> Optional[dict]:
+    """Tier-1 per-kernel durations: capture a jax.profiler trace around the
+    ACTUAL served executable and parse the device plane (profiling/xplane.py).
+
+    The reference's primary tier parses ncu CSV of the re-run kernels
+    (ncu_profiler.py:177-203,406-723); here the trace wraps the very
+    executable the runtime serves, so the durations are the served
+    kernels' own.  Returns None when the capture yields no device events
+    (CPU backend, profiler unavailable) -- callers fall to the estimate
+    tier.  Cached per config: capture + parse costs ~100 ms.
+    """
+    if os.environ.get("GIP_TPU_DISABLE_TRACE_TIER", "0") == "1":
+        return None
+    if key in _TRACE_CACHE:
+        return _TRACE_CACHE[key]
+    result: Optional[dict] = None
+    try:
+        import shutil
+        import tempfile
+
+        import jax
+
+        from .xplane import serving_kernel_durations
+
+        out_dir = tempfile.mkdtemp(prefix="gip_tpu_xplane_")
+        try:
+            with jax.profiler.trace(out_dir):
+                run_fn()
+            kernels = serving_kernel_durations(out_dir)
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        result = kernels or None
+    except Exception:  # pragma: no cover - profiler unsupported on backend
+        result = None
+    _TRACE_CACHE[key] = result
+    return result
+
 
 def _pass_breakdown(
     filter_type: str, lvl: int, radius: int,
@@ -284,6 +326,7 @@ def profile_filter(
     times_ms: list[float] = []
     duration_ms = first_metrics.time_ms
     per_pass: Optional[tuple[float, float]] = None
+    trace_kernels: Optional[dict] = None
     if exe is not None and exe._compiled is not None:
         import jax
 
@@ -326,7 +369,20 @@ def profile_filter(
             duration_ms = device_time_ms(fn, args, iters=32, sync_reps=3)
         except Exception:
             duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
-        if filter_type in ("gaussian", "box"):
+
+        # Tier 1: REAL per-kernel durations from an xplane trace of the
+        # served executable (device plane only).
+        def _traced_run(compiled=exe._compiled, a=args):
+            out = None
+            for _ in range(4):
+                out = compiled(*a)
+            jax.block_until_ready(out)
+
+        trace_kernels = _trace_kernel_breakdown(key_map[filter_type], _traced_run)
+
+        # Tier 2 (trace unavailable): isolated-pass estimate for the
+        # separable blurs, rescaled to the fused total (see _pass_breakdown).
+        if filter_type in ("gaussian", "box") and trace_kernels is None:
             try:
                 per_pass = _pass_breakdown(
                     filter_type, lvl, kwargs["radius"], kh, kw, channels, args
@@ -415,9 +471,28 @@ def profile_filter(
             % (getattr(default_device(), "device_kind", ""),)
         )
 
-    # Per-pass durations for the separable blurs, rescaled so the pair sums
-    # to the fused kernel's measured total (see _pass_breakdown).
-    if per_pass is not None and (per_pass[0] + per_pass[1]) > 0:
+    # Per-kernel rows, by tier (the ncu analog of per-kernel Duration rows,
+    # ncu_profiler.py:499-557), tagged with their provenance:
+    #   "xplane_trace"          -- measured device events of the SERVED
+    #                              executable (tier 1, the real thing);
+    #   "isolated_pass_estimate" -- isolated-pass kernels rescaled to the
+    #                              fused total (tier 2, an estimate);
+    #   "device_timing"         -- no breakdown, loop-delta total only.
+    if trace_kernels:
+        names = sorted(
+            trace_kernels, key=lambda n: -trace_kernels[n]["total_ms"]
+        )
+        metrics["kernels_profiled"] = names
+        metrics["kernel_durations_ms"] = {
+            n: trace_kernels[n]["avg_ms"] for n in names
+        }
+        metrics["trace_kernel_stats"] = trace_kernels
+        metrics["duration_source"] = "xplane_trace"
+        metrics["profiler"] = "jax_xplane_trace"
+        for n in names:
+            metrics["execution"][f"Duration {n} (ms)"] = trace_kernels[n]["avg_ms"]
+    elif per_pass is not None and (per_pass[0] + per_pass[1]) > 0:
+        # Rescaled so the pair sums to the fused kernel's measured total.
         share = per_pass[0] / (per_pass[0] + per_pass[1])
         h_ms = duration_ms * share
         v_ms = duration_ms - h_ms
@@ -426,8 +501,11 @@ def profile_filter(
             "horizontal": h_ms,
             "vertical": v_ms,
         }
+        metrics["duration_source"] = "isolated_pass_estimate"
         metrics["execution"]["Duration horizontal pass (ms)"] = h_ms
         metrics["execution"]["Duration vertical pass (ms)"] = v_ms
+    else:
+        metrics["duration_source"] = "device_timing"
 
     if capture_trace:
         metrics["trace_dir"] = capture_xla_trace(
@@ -493,11 +571,18 @@ def get_common_metrics(
             common["compute_throughput_pct"] = float(value)
 
     source = ncu_data if (ncu_data and "total_kernel_duration_ms" in ncu_data) else metrics
-    if "per_pass_durations_ms" in source:
+    if "kernel_durations_ms" in source:
+        # Tier-1 trace: one row per device kernel actually executed.
+        common["kernel_durations"] = [
+            float(v) for v in source["kernel_durations_ms"].values()
+        ]
+    elif "per_pass_durations_ms" in source:
         # Separable blurs: one duration per pass, like ncu's per-kernel rows.
         common["kernel_durations"] = [
             float(v) for v in source["per_pass_durations_ms"].values()
         ]
+    if "duration_source" in source:
+        common["kernel_duration_source"] = source["duration_source"]
     if "total_kernel_duration_ms" in source:
         common["time_ms"] = source["total_kernel_duration_ms"]
         common["kernel_duration_ms"] = source["total_kernel_duration_ms"]

@@ -125,6 +125,28 @@ def test_process_all(app):
     assert body["profiling_available"] is False
 
 
+def test_process_all_profiling_source_tag(app):
+    """/api/process-all kernel rows must carry their provenance tag
+    (xplane_trace on TPU; estimate/device-timing fallbacks elsewhere), and
+    the profiled time must never override the device-event time_ms."""
+    img = _small_image()
+    status, body = _post(app, "/api/process-all", {
+        "image": _png_b64(img), "filter": "gaussian", "sigma": 2.0,
+        "radius": 3, "enable_profiling": True,
+    })
+    assert status == 200
+    assert body["profiling_available"] is True
+    for key in ("level_1", "level_2"):
+        m = body["results"][key]["metrics"]
+        assert m["kernel_duration_source"] in (
+            "xplane_trace", "isolated_pass_estimate", "device_timing"
+        )
+        assert m["ncu_data"]["duration_source"] == m["kernel_duration_source"]
+        # never-override-primary-time invariant (backend/app.py:391-427)
+        assert m["time_ms"] > 0
+        assert "ncu_profiled_time_ms" in m
+
+
 def test_process_all_grayscale_normalized(app):
     # L-mode input is normalized to RGB by the codec (app.py:80-83).
     gray = np.random.default_rng(3).integers(0, 256, (12, 14), dtype=np.uint8)
