@@ -48,6 +48,10 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
         raise ImageCodecError("Failed to decode image: empty payload")
 
     arr = native_codec.png_decode(raw)
+    if arr is None and len(raw) > 3 and raw[:2] == b"\xff\xd8":
+        # Baseline JPEG decodes in the native tier too (the browser's most
+        # common upload format); progressive/CMYK fall through to PIL.
+        arr = native_codec.jpeg_decode(raw)
     if arr is not None:
         # Normalize to RGB like the reference server (app.py:80-83).
         if arr.shape[2] == 1:

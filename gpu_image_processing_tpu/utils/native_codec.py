@@ -67,6 +67,22 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    try:
+        lib.gip_jpeg_encode.restype = ctypes.c_int
+        lib.gip_jpeg_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.gip_jpeg_decode.restype = ctypes.c_int
+        lib.gip_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+    except AttributeError:  # stale pre-JPEG build of the library
+        pass
     _LIB = lib
     return _LIB
 
@@ -109,6 +125,54 @@ def png_decode(data: bytes) -> Optional[np.ndarray]:
     w = ctypes.c_int()
     c = ctypes.c_int()
     rc = lib.gip_png_decode(
+        data, len(data), ctypes.byref(buf),
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(buf, h.value * w.value * c.value)
+    finally:
+        lib.gip_free(buf)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h.value, w.value, c.value)
+
+
+def jpeg_encode(img: np.ndarray, quality: int = 90) -> Optional[bytes]:
+    """HWC uint8 (C in 1/3) -> baseline JPEG bytes (4:4:4), or None."""
+    lib = load()
+    if lib is None or not hasattr(lib, "gip_jpeg_encode"):
+        return None
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        return None
+    buf = ctypes.c_void_p()
+    length = ctypes.c_size_t()
+    rc = lib.gip_jpeg_encode(
+        img.ctypes.data_as(ctypes.c_char_p), h, w, c, quality,
+        ctypes.byref(buf), ctypes.byref(length),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(buf, length.value)
+    finally:
+        lib.gip_free(buf)
+
+
+def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
+    """Baseline JPEG bytes -> HWC uint8 (gray 1 / RGB 3), or None when the
+    stream needs the PIL fallback (progressive, 12-bit, CMYK, ...)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "gip_jpeg_decode"):
+        return None
+    buf = ctypes.c_void_p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.gip_jpeg_decode(
         data, len(data), ctypes.byref(buf),
         ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
     )

@@ -17,6 +17,8 @@ int gip_png_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_ppm_write(const char*, const uint8_t*, int, int, int);
 int gip_ppm_read(const char*, uint8_t**, int*, int*, int*);
 int gip_bmp_write(const char*, const uint8_t*, int, int, int);
+int gip_jpeg_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
+int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 }
 
 static int failures = 0;
@@ -103,6 +105,80 @@ int main() {
       std::fclose(f);
     }
     CHECK(hdr[0] == 'B' && hdr[1] == 'M', "bmp header");
+  }
+
+  // JPEG roundtrip: smooth gradient, quality 95 -> small reconstruction
+  // error (lossy, so a max-diff budget, not bit equality; the same
+  // methodology as the reference's L1-vs-L2 maxdiff gate,
+  // tests/test_comparison.cu:204-221).
+  {
+    const int H = 41, W = 67;
+    std::vector<uint8_t> img((size_t)H * W * 3);
+    for (int y = 0; y < H; ++y)
+      for (int x = 0; x < W; ++x) {
+        img[((size_t)y * W + x) * 3 + 0] = (uint8_t)(x * 3);
+        img[((size_t)y * W + x) * 3 + 1] = (uint8_t)(y * 5);
+        img[((size_t)y * W + x) * 3 + 2] = (uint8_t)(128 + ((x + y) & 31));
+      }
+    uint8_t* jpg = nullptr;
+    size_t jlen = 0;
+    CHECK(gip_jpeg_encode(img.data(), H, W, 3, 95, &jpg, &jlen) == 0 && jlen > 100,
+          "jpeg encode rgb");
+    uint8_t* out = nullptr;
+    int h = 0, w = 0, c = 0;
+    int rc = gip_jpeg_decode(jpg, jlen, &out, &h, &w, &c);
+    CHECK(rc == 0 && h == H && w == W && c == 3, "jpeg decode rgb header");
+    int maxdiff = 0;
+    if (rc == 0)
+      for (size_t i = 0; i < img.size(); ++i) {
+        int d = std::abs((int)out[i] - (int)img[i]);
+        if (d > maxdiff) maxdiff = d;
+      }
+    char msg[64];
+    std::snprintf(msg, sizeof msg, "jpeg rgb roundtrip maxdiff=%d <= 12", maxdiff);
+    CHECK(rc == 0 && maxdiff <= 12, msg);
+    gip_free(jpg);
+    gip_free(out);
+  }
+
+  // JPEG grayscale roundtrip
+  {
+    const int H = 33, W = 29;
+    std::vector<uint8_t> img((size_t)H * W);
+    for (int y = 0; y < H; ++y)
+      for (int x = 0; x < W; ++x) img[(size_t)y * W + x] = (uint8_t)(x * 4 + y * 2);
+    uint8_t* jpg = nullptr;
+    size_t jlen = 0;
+    CHECK(gip_jpeg_encode(img.data(), H, W, 1, 95, &jpg, &jlen) == 0,
+          "jpeg encode gray");
+    uint8_t* out = nullptr;
+    int h = 0, w = 0, c = 0;
+    int rc = gip_jpeg_decode(jpg, jlen, &out, &h, &w, &c);
+    int maxdiff = 0;
+    if (rc == 0)
+      for (size_t i = 0; i < img.size(); ++i) {
+        int d = std::abs((int)out[i] - (int)img[i]);
+        if (d > maxdiff) maxdiff = d;
+      }
+    char msg[64];
+    std::snprintf(msg, sizeof msg,
+                  "jpeg gray roundtrip h=%d w=%d c=%d maxdiff=%d <= 8", h, w, c,
+                  maxdiff);
+    CHECK(rc == 0 && h == H && w == W && c == 1 && maxdiff <= 8, msg);
+    gip_free(jpg);
+    gip_free(out);
+  }
+
+  // JPEG error paths: truncated stream and progressive rejection signal
+  {
+    uint8_t junk[8] = {0xFF, 0xD8, 0xFF, 0xC2, 0, 4, 0, 0};
+    uint8_t* out = nullptr;
+    int h, w, c;
+    CHECK(gip_jpeg_decode(junk, sizeof junk, &out, &h, &w, &c) == 2,
+          "jpeg progressive rejected with code 2");
+    uint8_t not_jpeg[4] = {1, 2, 3, 4};
+    CHECK(gip_jpeg_decode(not_jpeg, 4, &out, &h, &w, &c) == 1,
+          "jpeg bad magic rejected");
   }
 
   std::printf("\n%s (%d failures)\n", failures ? "FAILED" : "ALL PASSED",

@@ -66,11 +66,77 @@ def test_codec_pipeline_rgba_normalized(rng):
     np.testing.assert_array_equal(arr, img[:, :, :3])
 
 
-def test_codec_pipeline_jpeg_falls_back(rng):
-    # JPEG can't be decoded natively; the PIL fallback must kick in.
+def _smooth_rgb(rng, h, w):
+    """A JPEG-friendly image (gradients + mild noise): lossy roundtrips on
+    pure random noise have unbounded per-pixel error at any quality."""
+    x = np.linspace(0, 255, w)[None, :, None]
+    y = np.linspace(0, 255, h)[:, None, None]
+    base = (x + y) / 2 + rng.normal(0, 4, (h, w, 3))
+    return base.clip(0, 255).astype(np.uint8)
+
+
+@needs_native
+def test_jpeg_roundtrip_native(rng):
+    img = _smooth_rgb(rng, 40, 56)
+    jpg = native_codec.jpeg_encode(img, quality=92)
+    assert jpg is not None and jpg[:2] == b"\xff\xd8" and jpg[-2:] == b"\xff\xd9"
+    out = native_codec.jpeg_decode(jpg)
+    assert out is not None and out.shape == img.shape
+    # Lossy: bounded reconstruction error on smooth content.
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 24
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) <= 3.0
+
+
+@needs_native
+def test_jpeg_interop_with_pil(rng):
+    """Both directions against libjpeg: PIL reads ours, we read PIL's
+    (including its default 4:2:0 chroma subsampling), within the small
+    IDCT-implementation variance T.81 permits."""
+    img = _smooth_rgb(rng, 48, 64)
+    jpg = native_codec.jpeg_encode(img, quality=92)
+    pil_view = np.array(Image.open(io.BytesIO(jpg)).convert("RGB"))
+    ours_view = native_codec.jpeg_decode(jpg)
+    assert int(np.abs(pil_view.astype(int) - ours_view.astype(int)).max()) <= 4
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=75)  # 4:2:0
+    ours = native_codec.jpeg_decode(buf.getvalue())
+    pil = np.array(Image.open(buf))
+    assert ours is not None and ours.shape == pil.shape
+    assert int(np.abs(ours.astype(int) - pil.astype(int)).max()) <= 4
+
+
+@needs_native
+def test_jpeg_gray_native(rng):
+    img = _smooth_rgb(rng, 24, 30)[:, :, 0]
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    ours = native_codec.jpeg_decode(buf.getvalue())
+    assert ours is not None and ours.shape == (24, 30, 1)
+    pil = np.array(Image.open(buf))
+    assert int(np.abs(ours[:, :, 0].astype(int) - pil.astype(int)).max()) <= 2
+
+
+@needs_native
+def test_jpeg_serving_path_native(rng):
+    # decode_base64_image routes baseline JPEG through the native tier and
+    # normalizes to RGB (the reference's most common upload format decodes
+    # natively via stb; round-1 fell back to PIL here).
+    img = _smooth_rgb(rng, 16, 16)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
+    arr = decode_base64_image(data_url)
+    assert arr.shape == (16, 16, 3)
+    assert int(np.abs(arr.astype(int) - img.astype(int)).max()) <= 20
+
+
+def test_codec_pipeline_jpeg_progressive_falls_back(rng):
+    # Progressive JPEG is outside the native baseline decoder; the PIL
+    # fallback must kick in transparently.
     img = make_image(rng, 16, 16, 3)
     buf = io.BytesIO()
-    Image.fromarray(img).save(buf, format="JPEG")
+    Image.fromarray(img).save(buf, format="JPEG", progressive=True)
     data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
     arr = decode_base64_image(data_url)
     assert arr.shape == (16, 16, 3)
