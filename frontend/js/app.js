@@ -252,33 +252,88 @@ function fmtNum(v) {
 
 /* ----------------------------------------------------------- metrics table */
 
+/* Categorized sections mirroring the reference UI's ~7-category ncu view
+ * (frontend/js/app.js:371-581 there): Execution / per-kernel rows /
+ * Memory / Occupancy / Configuration, plus a generic Other section that
+ * sweeps up any profiler-dict entry not explicitly mapped, so the WHOLE
+ * deep-profile dict always reaches the table. */
 const METRIC_SECTIONS = [
-  ["Execution", ["time_ms", "ncu_profiled_time_ms", "kernel_duration_ms", "fps",
+  ["Execution", ["time_ms", "ncu_profiled_time_ms", "kernel_duration_ms",
+                 "kernel_duration_source", "fps",
                  "total_kernels", "compute_throughput_pct"]],
-  ["Memory", ["bandwidth_gbps", "memory_throughput_gbps", "dram_throughput_pct",
-              "peak_device_memory_bytes"]],
+  ["Memory", ["bandwidth_gbps", "memory_throughput_gbps", "io_throughput_gbps",
+              "hlo_bytes_accessed", "dram_throughput_pct",
+              "peak_device_memory_bytes", "temp_buffer_bytes",
+              "argument_bytes", "output_bytes"]],
   ["Occupancy", ["occupancy_pct"]],
+  ["Configuration", ["image_shape", "platform", "device", "hlo_flops",
+                     "peak_hbm_gbps"]],
 ];
-const IMPORTANT = new Set(["time_ms", "bandwidth_gbps", "fps"]);
+const IMPORTANT = new Set(["time_ms", "bandwidth_gbps", "fps",
+                           "dram_throughput_pct"]);
 const LABELS = {
   time_ms: "Execution time (ms)",
   ncu_profiled_time_ms: "Profiled kernel time (ms)",
   kernel_duration_ms: "Kernel duration (ms)",
+  kernel_duration_source: "Duration source",
   fps: "Throughput (fps)",
   total_kernels: "Kernels profiled",
   compute_throughput_pct: "Compute throughput (% peak)",
   bandwidth_gbps: "Modeled bandwidth (GB/s)",
   memory_throughput_gbps: "Measured memory throughput (GB/s)",
+  io_throughput_gbps: "Image IO throughput (GB/s)",
+  hlo_bytes_accessed: "HLO bytes accessed",
   dram_throughput_pct: "HBM utilization (%)",
   peak_device_memory_bytes: "Peak device memory (bytes)",
+  temp_buffer_bytes: "Temp buffer (bytes)",
+  argument_bytes: "Argument buffers (bytes)",
+  output_bytes: "Output buffers (bytes)",
   occupancy_pct: "Bandwidth occupancy (%)",
+  image_shape: "Image shape",
+  platform: "Platform",
+  device: "Device",
+  hlo_flops: "HLO FLOPs",
+  peak_hbm_gbps: "Peak HBM bandwidth (GB/s)",
+};
+/* Honest provenance labels for the per-kernel duration rows (round-1
+ * presented estimates as measurements; the source tag fixes that). */
+const SOURCE_LABELS = {
+  xplane_trace: "measured (device trace)",
+  isolated_pass_estimate: "estimated (isolated passes)",
+  device_timing: "device timing (no breakdown)",
 };
 
-/* Expand the profiler's per-pass duration lists (kernel_durations +
- * kernels_profiled, e.g. the separable blur's horizontal/vertical split)
- * into scalar rows, like the reference's per-kernel ncu Duration rows. */
+/* Deep-profile dict (ncu_data) -> flat UI keys.  Anything in the deep
+ * sections NOT named here lands in the generic Other section. */
+const DEEP_KEY_MAP = {
+  "IO Throughput (Gbyte/s)": "io_throughput_gbps",
+  "HLO Bytes Accessed": "hlo_bytes_accessed",
+  "Temp Buffer Bytes": "temp_buffer_bytes",
+  "Argument Bytes": "argument_bytes",
+  "Output Bytes": "output_bytes",
+  "Image Shape": "image_shape",
+  "Platform": "platform",
+  "Device": "device",
+  "HLO FLOPs": "hlo_flops",
+  "Peak HBM Bandwidth (Gbyte/s)": "peak_hbm_gbps",
+};
+/* Deep entries that would duplicate a primary row are suppressed, keeping
+ * the never-override-time_ms invariant visible in the UI as well. */
+const DEEP_SUPPRESS = new Set([
+  "Duration (ms)", "Mean Duration (ms)", "Launch Count",
+  "Memory Throughput (Gbyte/s)", "DRAM Throughput (% of peak)",
+  "Achieved Occupancy (% of peak HBM bandwidth)",
+  "Compute Throughput (% of peak f32)",
+  "Peak Device Memory (bytes)",
+]);
+
+/* Expand the profiler's per-kernel duration lists (kernel_durations +
+ * kernels_profiled: trace-derived device kernels, or the separable blur's
+ * horizontal/vertical split) into scalar rows, like the reference's
+ * per-kernel ncu Duration rows -- labeled with their provenance. */
 function expandPassDurations(m, labels) {
   const out = { ...m };
+  const est = m.kernel_duration_source === "isolated_pass_estimate";
   if (Array.isArray(m.kernel_durations) && m.kernel_durations.length > 1 &&
       Array.isArray(m.kernels_profiled)) {
     m.kernel_durations.forEach((v, i) => {
@@ -286,8 +341,36 @@ function expandPassDurations(m, labels) {
       const name = String(m.kernels_profiled[i] || `kernel ${i}`);
       const pass = name.match(/(horizontal|vertical)$/);
       out[key] = v;
-      labels[key] = `└ ${pass ? pass[1] + " pass" : name} (ms)`;
+      const unit = est ? "est. ms" : "ms";
+      labels[key] = `└ ${pass ? pass[1] + " pass" : name} (${unit})`;
     });
+  }
+  return out;
+}
+
+/* Pull extra deep-profile entries (ncu_data sections) into flat keys; the
+ * unmapped remainder goes to an Other map rendered generically. */
+function flattenDeep(m, other) {
+  const out = { ...m };
+  const deep = m.ncu_data;
+  if (!deep || typeof deep !== "object") return out;
+  for (const section of ["execution", "memory", "occupancy", "config"]) {
+    const entries = deep[section];
+    if (!entries || typeof entries !== "object") continue;
+    for (const [name, v] of Object.entries(entries)) {
+      if (v === null || v === undefined || DEEP_SUPPRESS.has(name)) continue;
+      const key = DEEP_KEY_MAP[name];
+      if (key) {
+        if (out[key] === undefined) out[key] = v;
+      } else if (!name.startsWith("Duration ")) {
+        other[name] = true;
+        out[`other:${name}`] = v;
+      }
+    }
+  }
+  if (out.kernel_duration_source) {
+    out.kernel_duration_source =
+      SOURCE_LABELS[out.kernel_duration_source] || out.kernel_duration_source;
   }
   return out;
 }
@@ -296,15 +379,21 @@ function renderMetricsTable(results) {
   const host = $("metricsTable");
   const levels = Object.keys(results).sort();
   const dynLabels = {};
+  const otherNames = {};
   const metricsByLevel = {};
   for (const lv of levels) {
-    metricsByLevel[lv] = expandPassDurations(results[lv].metrics, dynLabels);
+    metricsByLevel[lv] =
+      flattenDeep(expandPassDurations(results[lv].metrics, dynLabels), otherNames);
   }
   let html = "<table class='metrics'><tr><th>Metric</th>";
   for (const key of levels) html += `<th>${levelLabel(key, results[key].info)}</th>`;
   html += "</tr>";
 
-  for (const [section, keys] of METRIC_SECTIONS) {
+  const sections = METRIC_SECTIONS.map(([s, keys]) => [s, keys]);
+  const otherKeys = Object.keys(otherNames).sort().map((n) => `other:${n}`);
+  if (otherKeys.length) sections.push(["Other", otherKeys]);
+
+  for (const [section, keys] of sections) {
     let sectionKeys = keys;
     if (section === "Execution") {
       const passKeys = Object.keys(dynLabels).sort();
@@ -317,10 +406,12 @@ function renderMetricsTable(results) {
     html += `<tr class="section"><td colspan="${levels.length + 1}">${section}</td></tr>`;
     for (const k of present) {
       const star = IMPORTANT.has(k) ? `<span class="star">★</span> ` : "";
-      html += `<tr><td>${star}${LABELS[k] || dynLabels[k] || k}</td>`;
+      const label = LABELS[k] || dynLabels[k] ||
+        (k.startsWith("other:") ? k.slice(6) : k);
+      html += `<tr><td>${star}${label}</td>`;
       for (const lv of levels) {
         const v = metricsByLevel[lv][k];
-        html += `<td class="num ${pctClass(k, v)}">${fmtNum(typeof v === "number" ? v : NaN)}</td>`;
+        html += `<td class="num ${pctClass(k, v)}">${fmtVal(v)}</td>`;
       }
       html += "</tr>";
     }
@@ -329,8 +420,19 @@ function renderMetricsTable(results) {
   host.innerHTML = html;
 }
 
+function fmtVal(v) {
+  if (typeof v === "number") return fmtNum(v);
+  if (v === null || v === undefined) return "—";
+  return escapeHtml(String(v));
+}
+
+function escapeHtml(s) {
+  return s.replace(/&/g, "&amp;").replace(/</g, "&lt;").replace(/>/g, "&gt;");
+}
+
 function pctClass(key, v) {
-  if (!key.endsWith("_pct") || typeof v !== "number") return "";
+  if (!(key.endsWith("_pct") || key.includes("(%")) || typeof v !== "number")
+    return "";
   if (v >= 60) return "pct-good";
   if (v >= 25) return "pct-mid";
   return "pct-low";

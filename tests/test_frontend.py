@@ -45,23 +45,73 @@ def test_js_targets_real_api_routes():
         assert statuses - {404}, f"UI calls unknown route {route}"
 
 
-def test_metric_keys_match_profiler_output():
+def _js_section_keys():
     js = _read("js/app.js")
-    js_keys = set(re.findall(r'"(\w+)"(?:,)?', js.split("METRIC_SECTIONS")[1]
-                             .split("];")[0]))
-    # Keys the backend can actually emit.
+    return set(re.findall(r'"(\w+)"(?:,)?', js.split("METRIC_SECTIONS")[1]
+                          .split("];")[0]))
+
+
+def test_metric_keys_match_profiler_output():
+    js_keys = _js_section_keys()
+    # Keys the backend can actually emit (common metrics + the deep-dict
+    # entries flattenDeep maps into flat rows).
     backend_keys = {
         "time_ms", "bandwidth_gbps", "fps", "ncu_profiled_time_ms",
-        "kernel_duration_ms", "total_kernels", "compute_throughput_pct",
-        "memory_throughput_gbps", "dram_throughput_pct",
-        "peak_device_memory_bytes", "occupancy_pct", "kernel_durations",
-        "kernels_profiled", "ncu_data", "profiling_error", "elapsed_cycles",
+        "kernel_duration_ms", "kernel_duration_source", "total_kernels",
+        "compute_throughput_pct", "memory_throughput_gbps",
+        "io_throughput_gbps", "hlo_bytes_accessed", "dram_throughput_pct",
+        "peak_device_memory_bytes", "temp_buffer_bytes", "argument_bytes",
+        "output_bytes", "occupancy_pct", "image_shape", "platform", "device",
+        "hlo_flops", "peak_hbm_gbps", "kernel_durations", "kernels_profiled",
+        "ncu_data", "profiling_error", "elapsed_cycles",
     }
     unknown = {
         k for k in js_keys
         if k not in backend_keys and k.isidentifier() and k.islower()
     }  # capitalized tokens are section titles, not metric keys
     assert not unknown, f"UI metric table references unknown keys: {unknown}"
+
+
+def test_every_common_metric_key_renders(rng=None):
+    """VERDICT r2 item 6 done-bar: every key get_common_metrics emits must
+    render in the categorized table -- either as a listed section row or
+    through a dedicated expansion (per-kernel duration rows)."""
+    import numpy as np
+
+    from gpu_image_processing_tpu.profiling.profiler import (
+        get_common_metrics,
+        profile_filter,
+    )
+
+    img = np.random.default_rng(5).integers(0, 256, (16, 20, 3), np.uint8)
+    deep = profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    common = get_common_metrics(deep, ncu_data=deep)
+
+    js_keys = _js_section_keys()
+    # Keys the renderer handles outside METRIC_SECTIONS:
+    expanded = {"kernel_durations", "kernels_profiled"}  # expandPassDurations
+    missing = {
+        k for k in common
+        if k not in js_keys and k not in expanded
+    }
+    assert not missing, f"get_common_metrics keys the UI never renders: {missing}"
+
+
+def test_deep_dict_reaches_the_table():
+    """The whole profiler dict must reach the UI: explicitly-mapped rows
+    (HLO FLOPs, temp/argument bytes, peak HBM) plus a generic Other sweep
+    for anything unmapped (reference renders the full ncu dict,
+    frontend/js/app.js:371-581 there)."""
+    js = _read("js/app.js")
+    deep_map = js.split("DEEP_KEY_MAP")[1].split("};")[0]
+    for name in ("HLO FLOPs", "Temp Buffer Bytes", "Argument Bytes",
+                 "Peak HBM Bandwidth (Gbyte/s)", "Image Shape",
+                 "HLO Bytes Accessed"):
+        assert name in deep_map, f"deep key {name!r} not mapped to a UI row"
+    assert "flattenDeep" in js and '"Other"' in js
+    # Honest provenance: the trace/estimate tag must be rendered.
+    assert "SOURCE_LABELS" in js
+    assert "isolated_pass_estimate" in js and "xplane_trace" in js
 
 
 def test_per_pass_duration_rows_wired():
