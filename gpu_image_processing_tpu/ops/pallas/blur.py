@@ -97,9 +97,15 @@ def _working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
     return total + 1_800_000
 
 
-# Tile-height picker target: leave headroom under the 16 MB scoped-VMEM
-# hard limit for estimate error.
-_VMEM_TARGET = 14 * 1024 * 1024
+# Scoped-VMEM budget.  Round 1 ran under Mosaic's default 16 MB scope,
+# which capped serving tiles at 56 rows; the v5e physically has far more
+# VMEM, and raising the scope via CompilerParams(vmem_limit_bytes) to run
+# 128-row tiles measured 0.845x alone and 0.745x combined with the
+# constant-row-pad fill (scripts/exp_blur_v2.py, 4-round medians, bit-exact
+# gated).  Tiles beyond 128 rows measured WORSE (192: 0.96x, 256: 1.02x) --
+# the target below deliberately stops growth near the 128-row working set.
+_VMEM_TARGET = 48 * 1024 * 1024
+_VMEM_SCOPE_BYTES = 64 * 1024 * 1024
 
 
 def _pick_tile_rows(requested: int, cs: int, w_t: int, radius: int,
@@ -125,7 +131,7 @@ def _min_vmem_bytes(cs: int, w_t: int, radius: int, box_mode: bool) -> int:
     return _working_set_bytes(8, cs, w_t, radius, box_mode)
 
 
-_VMEM_HARD_LIMIT = 16 * 1024 * 1024
+_VMEM_HARD_LIMIT = 60 * 1024 * 1024
 
 
 def blur_kernel_fits_vmem(width: int, radius: int, channels: int,
@@ -201,7 +207,8 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
                  box_mode: bool, folded: bool = False, passes: str = "both",
                  tap_stride: int = 1, col_step: int = 0, land: int = _LAND,
                  left_fills: tuple = (),
-                 right_fills: tuple = ()):
+                 right_fills: tuple = (),
+                 row_fill: tuple | None = None):
     """One grid step: rows [i*TH, i*TH+TH) of channel c, with halos.
 
     w_ref:  (1, 2r+1) f32 in SMEM (box: w_ref[0,0] holds 1/(2r+1))
@@ -256,6 +263,26 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
 
     # u8 -> f32 via i32: Mosaic has no direct unsigned->float cast.
     xbuf[:, :] = tile_u8[:].astype(jnp.int32).astype(jnp.float32)
+
+    # Clamp-to-edge halo ROWS, built in VMEM.  With row_fill the wrapper
+    # pads rows with CONSTANT zeros (a single cheap XLA pad fusion; the
+    # edge-replicating row pad lowered to a concatenate that measured
+    # 0.19 ms on the served README trace -- benchmarks/trace_tier_r02.jsonl)
+    # and the first/last real band rebuilds the clamp rows here with two
+    # sublane broadcasts.  Requires radius <= tile_rows so only band 0 /
+    # the last real band touch pad rows (the wrapper gates this).
+    if row_fill is not None:
+        last_band, last_pos = row_fill
+
+        @pl.when(i == 0)
+        def _():
+            xbuf[0:radius, :] = jnp.broadcast_to(
+                xbuf[radius:radius + 1, :], (radius, xbuf.shape[1]))
+
+        @pl.when(i == last_band)
+        def _():
+            xbuf[last_pos + 1:last_pos + 1 + radius, :] = jnp.broadcast_to(
+                xbuf[last_pos:last_pos + 1, :], (radius, xbuf.shape[1]))
 
     # Clamp-to-edge halo lanes, built in VMEM (see module docstring).
     for left, sites in ((True, left_fills), (False, right_fills)):
@@ -494,6 +521,7 @@ def _separable_blur_planar(
     # PIXEL, so the pad content is the correct clamp and no in-kernel
     # fills are needed.
     total_rows = hp - tile_rows + copy_rows
+    row_fill = None
     if rows_prepadded:
         junk = total_rows - (height + 2 * radius)
         x = jnp.pad(
@@ -501,6 +529,17 @@ def _separable_blur_planar(
             ((0, 0), (0, junk), (land, arr_width - land - width)),
             mode="edge",
         )
+    elif radius <= tile_rows:
+        # Constant-zero row pad + in-kernel clamp fills (see the
+        # interleaved wrapper; measured 0.87x alone, 0.745x with the
+        # raised-VMEM 128-row tiles, scripts/exp_blur_v2.py).
+        row_fill = ((height - 1) // tile_rows,
+                    radius + (height - 1) % tile_rows)
+        x = jnp.pad(
+            planar_u8,
+            ((0, 0), (radius, total_rows - height - radius), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (land, arr_width - land - width)),
+                    mode="edge")
     else:
         x = jnp.pad(
             planar_u8,
@@ -546,6 +585,7 @@ def _separable_blur_planar(
             passes=passes,
             col_step=0 if n_cols == 1 else cs,
             land=land,
+            row_fill=row_fill,
         ),
         grid=grid,
         in_specs=[
@@ -555,6 +595,8 @@ def _separable_blur_planar(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((channels, height, width), jnp.uint8),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(w2d, x)
 
@@ -611,12 +653,24 @@ def _separable_blur_interleaved(
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
     total_rows = hp - tile_rows + copy_rows
 
-    x = jnp.pad(
-        rows_u8,
-        ((0, 0), (radius, total_rows - height - radius),
-         (land, arr_width - land - wf)),
-        mode="edge",
-    )
+    # Row clamp: constant-zero pad + in-kernel broadcast fills when the
+    # radius fits one band (cheap single pad fusion vs the 0.19 ms
+    # edge-replication concatenate); edge pad otherwise (huge box radii).
+    row_fill = None
+    if radius <= tile_rows:
+        row_fill = ((height - 1) // tile_rows,
+                    radius + (height - 1) % tile_rows)
+        x = jnp.pad(
+            rows_u8, ((0, 0), (radius, total_rows - height - radius), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (land, arr_width - land - wf)),
+                    mode="edge")
+    else:
+        x = jnp.pad(
+            rows_u8,
+            ((0, 0), (radius, total_rows - height - radius),
+             (land, arr_width - land - wf)),
+            mode="edge",
+        )
 
     # Exact (N, H, W*C) out_shape -- partial tile/chunk stores are masked
     # (see the planar variant); no epilogue slice.
@@ -645,6 +699,7 @@ def _separable_blur_interleaved(
             land=land,
             left_fills=left_fills,
             right_fills=right_fills,
+            row_fill=row_fill,
         ),
         grid=grid,
         in_specs=[
@@ -664,6 +719,8 @@ def _separable_blur_interleaved(
                if doubling else [])
             + [pltpu.SemaphoreType.DMA]
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(weights.reshape(1, -1), x)
 

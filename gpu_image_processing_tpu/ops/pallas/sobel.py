@@ -50,11 +50,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Scoped-VMEM budget: raised beyond Mosaic's 16 MB default like the blur
+# kernels (ops/pallas/blur.py _VMEM_SCOPE_BYTES rationale; bigger tiles
+# measured faster on the v5e -- fewer DMA round-trips per image).
+_VMEM_SCOPE_BYTES = 64 * 1024 * 1024
+
+
 def _pick_tile_rows(requested: int, wp: int) -> int:
     """Cap tile rows so the VMEM working set fits for any width: C uint8
     planes + several live f32 tiles (gray, gx, gy, magnitude) cost ~30
     bytes per (row x Wp lane)."""
-    budget = 10 * 1024 * 1024
+    budget = 40 * 1024 * 1024
     tile = max(int(budget / (wp * 30.0)) - 2, 8)
     tile = max((tile // 8) * 8, 8)
     return min(requested, tile)
@@ -241,7 +247,7 @@ def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
 def _pick_tile_rows_interleaved(requested: int, wp: int) -> int:
     """VMEM budget for the interleaved kernel: u8 tile + gray f32 + M f32 +
     replication temps over Wp lanes ~= 30 bytes per (row x Wp lane)."""
-    budget = 10 * 1024 * 1024
+    budget = 40 * 1024 * 1024
     tile = max(int(budget / (wp * 30.0)) - 2, 8)
     tile = max((tile // 8) * 8, 8)
     return min(requested, tile)
@@ -266,12 +272,15 @@ def sobel_pallas_rows_batch(
     copy_rows = _round_up(tile_rows + 2, 8)
     total_rows = hp - tile_rows + copy_rows
 
-    # Single register-aligned pad; the lane-replication junk only feeds
-    # border pixels that the kernel zeroes (module docstring).
+    # Single register-aligned CONSTANT pad: every pad element only feeds
+    # border pixels the kernel zeroes or junk lanes/rows the masked store
+    # drops, so no replication content is needed at all -- and the
+    # edge-mode row pad lowered to a 0.19 ms XLA concatenate on the served
+    # README trace (benchmarks/trace_tier_r02.jsonl) while a constant pad
+    # is a single cheap fusion.
     x = jnp.pad(
         rows_u8,
         ((0, 0), (1, total_rows - height - 1), (_LAND, w_t - _LAND - wf)),
-        mode="edge",
     )
 
     out = pl.pallas_call(
@@ -298,6 +307,8 @@ def sobel_pallas_rows_batch(
             pltpu.VMEM((tile_rows, channels + cs), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(x)
 
@@ -375,11 +386,12 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
             mode="edge",
         )
     else:
+        # Constant pad: pad content only feeds zeroed border pixels or
+        # masked junk (see the rows wrapper).
         x = jnp.pad(
             planar,
             ((0, 0), (0, 0), (1, total_rows - height - 1),
              (_LAND, w_t - _LAND - width)),
-            mode="edge",
         )
 
     out = pl.pallas_call(
@@ -406,6 +418,8 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
             pltpu.VMEM((copy_rows, w_t), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(x)
 
@@ -432,8 +446,8 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
     copy_rows = _round_up(tile_rows + 2, 8)
 
     bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
-    x = jnp.pad(planar, ((0, 0), (1, bottom), (_LAND, w_t - _LAND - width)),
-                mode="edge")
+    # Constant pad: content only feeds zeroed border / masked junk.
+    x = jnp.pad(planar, ((0, 0), (1, bottom), (_LAND, w_t - _LAND - width)))
 
     out = pl.pallas_call(
         functools.partial(
@@ -458,6 +472,8 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
             pltpu.VMEM((copy_rows, w_t), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(x)
 

@@ -205,16 +205,16 @@ def main() -> int:
 
     base = lambda x, w: nblur.gaussian_pallas_rows(x, w, RADIUS, C)
     variants = {
-        "rowfill": dict(rowfill=True, pipe=False),
-        "pipe": dict(rowfill=False, pipe=True),
-        "both": dict(rowfill=True, pipe=True),
-        # bigger tiles than the conservative VMEM model allows, by raising
-        # the scoped-vmem ceiling (v5e has far more physical VMEM than the
-        # default 16 MB scope)
-        "tile128_v64": dict(rowfill=False, pipe=False, tile_rows=128,
+        "rf_t128_v64": dict(rowfill=True, pipe=False, tile_rows=128,
                             vmem_limit_mb=64),
-        "both_t96_v64": dict(rowfill=True, pipe=True, tile_rows=96,
-                             vmem_limit_mb=64),
+        "rf_t192_v96": dict(rowfill=True, pipe=False, tile_rows=192,
+                            vmem_limit_mb=96),
+        "rf_t256_v110": dict(rowfill=True, pipe=False, tile_rows=256,
+                             vmem_limit_mb=110),
+        "t192_v96": dict(rowfill=False, pipe=False, tile_rows=192,
+                         vmem_limit_mb=96),
+        "rf_t64": dict(rowfill=True, pipe=False, tile_rows=64,
+                       vmem_limit_mb=32),
     }
     arms = [("base", base)]
     for name, kw in variants.items():

@@ -146,14 +146,16 @@ def test_tier_routing_threshold_zero_forces_pallas(rng, monkeypatch):
 
 
 def test_extreme_shape_uses_column_tiling():
-    # 8K-wide box at radius 15: a full-width Pallas tile exceeds the 16 MB
-    # VMEM budget (30 halo rows x 28k lanes after bucketing), so the kernel
-    # switches to column-tiled grid steps instead of dying in the Mosaic
-    # compiler.
+    # Shapes whose full-width working set exceeds even the raised 64 MB
+    # scoped-VMEM budget (ops/pallas/blur.py _VMEM_SCOPE_BYTES) switch to
+    # column-tiled grid steps instead of dying in the Mosaic compiler.
+    # (Round 1 chunked at 8K x r15 under the default 16 MB scope; the
+    # raised scope runs that full-width now -- measured faster.)
     from gpu_image_processing_tpu.ops.pallas.blur import blur_kernel_fits_vmem
 
-    # Serving buckets 7680 -> 9472; the fit check sees the bucketed width.
-    assert not blur_kernel_fits_vmem(_bucket(7680), 15, 3, True, interleaved=True)
+    assert not blur_kernel_fits_vmem(16384, 31, 3, True, interleaved=True)
+    assert not blur_kernel_fits_vmem(7680, 100, 3, True, interleaved=True)
+    assert blur_kernel_fits_vmem(_bucket(7680), 15, 3, True, interleaved=True)
     assert blur_kernel_fits_vmem(3239, 15, 3, True, interleaved=True)
 
 
@@ -174,8 +176,9 @@ def test_vmem_infeasible_radius_routes_to_xla_tier(rng):
     from gpu_image_processing_tpu.ops.pallas.blur import blur_pallas_feasible
     from gpu_image_processing_tpu.runtime.dispatch import RUNTIME, _rows_optimized
 
-    assert not blur_pallas_feasible(3239, 300, 3, True, interleaved=True)
-    fn = _rows_optimized("box", 2, 300, 2146, 3239, 3)
+    # (The raised 64 MB VMEM scope moved this threshold up from ~300.)
+    assert not blur_pallas_feasible(3239, 500, 3, True, interleaved=True)
+    fn = _rows_optimized("box", 2, 500, 2146, 3239, 3)
     names = fn.__code__.co_names + tuple(
         c.cell_contents.__name__ for c in (fn.__closure__ or ())
         if callable(getattr(c, "cell_contents", None))
@@ -184,5 +187,5 @@ def test_vmem_infeasible_radius_routes_to_xla_tier(rng):
 
     # End-to-end: the runtime serves it and matches the oracle.
     img = make_image(rng, 40, 60, 3)
-    out, _ = RUNTIME.box_blur(img, radius=300, level=2)
-    np.testing.assert_array_equal(out, oracle.box_blur(img, 300))
+    out, _ = RUNTIME.box_blur(img, radius=500, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 500))
