@@ -45,6 +45,7 @@ from .blur import (
     _quant,
     _round_up,
     _VMEM_HARD_LIMIT,
+    _VMEM_SCOPE_BYTES,
     _VMEM_TARGET,
     blur_kernel_fits_vmem,
 )
@@ -133,7 +134,8 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
                       radius: int, tile_rows: int, copy_rows: int,
                       tap_stride: int, col_step: int,
                       land: int, left_fills: tuple, right_fills: tuple,
-                      n_g: int, interp: bool, passes: str = "both"):
+                      n_g: int, interp: bool, passes: str = "both",
+                      row_fill: tuple | None = None):
     """One grid step.  bh/bl: (K, G) bf16 horizontal band (K = G + 2*halo);
     ah/al: (TH, CR) bf16 vertical band; layout/scratch as in
     blur.py::_blur_kernel with bf16 tiles."""
@@ -157,6 +159,21 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     # u8 -> bf16 (exact: integers <= 255) via i32/f32.
     x16[:, :] = tile_u8[:].astype(jnp.int32).astype(
         jnp.float32).astype(jnp.bfloat16)
+
+    # Constant-row-pad clamp fills (see blur.py::_blur_kernel row_fill:
+    # the edge-mode row pad cost a 0.19 ms XLA concatenate per request).
+    if row_fill is not None:
+        last_band, last_pos = row_fill
+
+        @pl.when(i == 0)
+        def _():
+            x16[0:radius, :] = jnp.broadcast_to(
+                x16[radius:radius + 1, :], (radius, x16.shape[1]))
+
+        @pl.when(i == last_band)
+        def _():
+            x16[last_pos + 1:last_pos + 1 + radius, :] = jnp.broadcast_to(
+                x16[last_pos:last_pos + 1, :], (radius, x16.shape[1]))
 
     for left, sites in ((True, left_fills), (False, right_fills)):
         for chunk, pos, fh in sites:
@@ -246,12 +263,22 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
     total_rows = hp - tile_rows + copy_rows
 
-    x = jnp.pad(
-        planar_or_rows,
-        ((0, 0), (radius, total_rows - height - radius),
-         (land, arr_width - land - dw)),
-        mode="edge",
-    )
+    row_fill = None
+    if radius <= tile_rows:
+        row_fill = ((height - 1) // tile_rows,
+                    radius + (height - 1) % tile_rows)
+        x = jnp.pad(
+            planar_or_rows,
+            ((0, 0), (radius, total_rows - height - radius), (0, 0)))
+        x = jnp.pad(x, ((0, 0), (0, 0), (land, arr_width - land - dw)),
+                    mode="edge")
+    else:
+        x = jnp.pad(
+            planar_or_rows,
+            ((0, 0), (radius, total_rows - height - radius),
+             (land, arr_width - land - dw)),
+            mode="edge",
+        )
 
     k_rows = _G + 2 * halo
     b_hi, b_lo = _band_matrices(weights, radius, tap_stride, k_rows, _G)
@@ -286,6 +313,7 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             n_g=n_g,
             interp=interpret,
             passes=passes,
+            row_fill=row_fill,
         ),
         grid=grid,
         in_specs=[
@@ -305,6 +333,8 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             pltpu.VMEM((tile_rows, cs), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
     )(b_hi, b_lo, a_hi, a_lo, x)
 
