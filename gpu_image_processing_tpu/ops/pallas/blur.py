@@ -405,12 +405,20 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         hbuf[:, :] = _quant(hbuf[:, :])
     else:
         hbuf[:, :] = xbuf[:, land : land + w_out]
+    # No range clip before the u8 store -- provably dead, and it measured
+    # a surprising 0.16 ms on the README image (scripts/exp_hpass_probe.py
+    # full_real 0.57 vs full_noclip 0.40, same process).  Proof: every
+    # pass value is sum_t w[t] * v_t with v_t in [0, 255] integers and
+    # sum(w) = 1 +- ~1e-7 (f32-normalized weights; box: taps * (1/taps)),
+    # so x <= 255.0003 << 255.5 and floor(x + 0.5) <= 255 always; values
+    # are never negative.  The reference's own (uchar)(sum + 0.5f) cast
+    # (image_filters.cu:102) has no clamp either.
     if passes == "horizontal":
         # The band's first `radius` rows are top halo; the tile's true
         # output rows start at `radius` (the "both" path reads them via the
         # vertical taps).
         out_ref[0] = (
-            jnp.clip(hbuf[radius : radius + tile_rows, :], 0.0, 255.0)
+            hbuf[radius : radius + tile_rows, :]
             .astype(jnp.int32).astype(jnp.uint8)
         )
         return
@@ -418,9 +426,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         box_rows_doubling(hbuf, sbuf, vbuf)
     else:
         conv(hbuf, vbuf, take_rows, tile_rows)
-    out_ref[0] = (
-        jnp.clip(_quant(vbuf[:, :]), 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
-    )
+    out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _landed_geometry(data_width: int, halo: int, chunked: bool):
