@@ -268,21 +268,24 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     # pads rows with CONSTANT zeros (a single cheap XLA pad fusion; the
     # edge-replicating row pad lowered to a concatenate that measured
     # 0.19 ms on the served README trace -- benchmarks/trace_tier_r02.jsonl)
-    # and the first/last real band rebuilds the clamp rows here with two
-    # sublane broadcasts.  Requires radius <= tile_rows so only band 0 /
-    # the last real band touch pad rows (the wrapper gates this).
+    # and the bands touching pad rows rebuild the clamp content here with
+    # sublane broadcasts.  Requires radius <= tile_rows so only band 0
+    # touches the TOP pad (the wrapper gates this); the BOTTOM junk can be
+    # visible to the 1-2 trailing real bands (any band whose tile reaches
+    # past the last real row), each with its own static fill site.
     if row_fill is not None:
-        last_band, last_pos = row_fill
+        bottom_fills = row_fill
 
         @pl.when(i == 0)
         def _():
             xbuf[0:radius, :] = jnp.broadcast_to(
                 xbuf[radius:radius + 1, :], (radius, xbuf.shape[1]))
 
-        @pl.when(i == last_band)
-        def _():
-            xbuf[last_pos + 1:last_pos + 1 + radius, :] = jnp.broadcast_to(
-                xbuf[last_pos:last_pos + 1, :], (radius, xbuf.shape[1]))
+        for band, pos, flen in bottom_fills:
+            @pl.when(i == band)
+            def _(pos=pos, flen=flen):
+                xbuf[pos + 1:pos + 1 + flen, :] = jnp.broadcast_to(
+                    xbuf[pos:pos + 1, :], (flen, xbuf.shape[1]))
 
     # Clamp-to-edge halo lanes, built in VMEM (see module docstring).
     for left, sites in ((True, left_fills), (False, right_fills)):
@@ -429,6 +432,26 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
 
 
+def _row_fill_sites(height: int, radius: int, tile_rows: int,
+                    n_tiles: int, copy_rows: int) -> tuple:
+    """Static (band, pos, fill_len) bottom clamp-fill sites for the
+    constant-row-pad scheme.
+
+    A band needs a fill when its DMA'd tile contains pad-junk rows that a
+    REAL output row's vertical taps can read -- that is the last real
+    band, and ALSO its predecessor when height lands within `radius` of a
+    band boundary (its tail outputs reach up to 2*radius rows past
+    themselves).  pos is the in-band index of the last real row."""
+    sites = []
+    for i in range(n_tiles):
+        if i * tile_rows >= height:
+            break
+        pos = radius + height - i * tile_rows - 1
+        if pos + 1 < copy_rows:
+            sites.append((i, pos, min(radius, copy_rows - pos - 1)))
+    return tuple(sites)
+
+
 def _landed_geometry(data_width: int, halo: int, chunked: bool):
     """(land, cs, n_cols, w_t, arr_width) for the landed-DMA lane layout.
     The single source of the geometry -- both the kernels' wrappers and the
@@ -539,8 +562,8 @@ def _separable_blur_planar(
         # Constant-zero row pad + in-kernel clamp fills (see the
         # interleaved wrapper; measured 0.87x alone, 0.745x with the
         # raised-VMEM 128-row tiles, scripts/exp_blur_v2.py).
-        row_fill = ((height - 1) // tile_rows,
-                    radius + (height - 1) % tile_rows)
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
         x = jnp.pad(
             planar_u8,
             ((0, 0), (radius, total_rows - height - radius), (0, 0)))
@@ -664,8 +687,8 @@ def _separable_blur_interleaved(
     # edge-replication concatenate); edge pad otherwise (huge box radii).
     row_fill = None
     if radius <= tile_rows:
-        row_fill = ((height - 1) // tile_rows,
-                    radius + (height - 1) % tile_rows)
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
         x = jnp.pad(
             rows_u8, ((0, 0), (radius, total_rows - height - radius), (0, 0)))
         x = jnp.pad(x, ((0, 0), (0, 0), (land, arr_width - land - wf)),

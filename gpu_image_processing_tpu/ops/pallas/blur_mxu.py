@@ -163,17 +163,16 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     # Constant-row-pad clamp fills (see blur.py::_blur_kernel row_fill:
     # the edge-mode row pad cost a 0.19 ms XLA concatenate per request).
     if row_fill is not None:
-        last_band, last_pos = row_fill
-
         @pl.when(i == 0)
         def _():
             x16[0:radius, :] = jnp.broadcast_to(
                 x16[radius:radius + 1, :], (radius, x16.shape[1]))
 
-        @pl.when(i == last_band)
-        def _():
-            x16[last_pos + 1:last_pos + 1 + radius, :] = jnp.broadcast_to(
-                x16[last_pos:last_pos + 1, :], (radius, x16.shape[1]))
+        for band, pos, flen in row_fill:
+            @pl.when(i == band)
+            def _(pos=pos, flen=flen):
+                x16[pos + 1:pos + 1 + flen, :] = jnp.broadcast_to(
+                    x16[pos:pos + 1, :], (flen, x16.shape[1]))
 
     for left, sites in ((True, left_fills), (False, right_fills)):
         for chunk, pos, fh in sites:
@@ -266,8 +265,10 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
 
     row_fill = None
     if radius <= tile_rows:
-        row_fill = ((height - 1) // tile_rows,
-                    radius + (height - 1) % tile_rows)
+        from .blur import _row_fill_sites
+
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
         x = jnp.pad(
             planar_or_rows,
             ((0, 0), (radius, total_rows - height - radius), (0, 0)))

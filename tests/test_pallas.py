@@ -178,3 +178,64 @@ def test_box_halo_spanning_column_chunks_exact(rng):
         interpret=True)[0])(rows))
     np.testing.assert_array_equal(
         got, oracle.box_blur(img, radius).reshape(h, w * c))
+
+
+@pytest.mark.parametrize("h,radius", [(2, 3), (5, 7), (1, 3), (9, 8)])
+def test_rowfill_height_smaller_than_radius(rng, h, radius):
+    """Round-2 constant-row-pad path: heights at or below the radius make
+    BOTH in-kernel clamp fills (top band 0 + bottom band) land in the same
+    band -- the fill order (top first) must still reproduce clamp-to-edge
+    exactly."""
+    from gpu_image_processing_tpu.ops.pallas.blur import (
+        box_pallas_rows,
+        gaussian_pallas_rows,
+    )
+
+    img = make_image(rng, h, 20, 3)
+    rows = img.reshape(h, 60)
+    w = gaussian_kernel_f32(radius, 2.5)
+    got = np.asarray(jax.jit(lambda x, ww: gaussian_pallas_rows(
+        x, ww, radius, 3, interpret=True))(rows, w))
+    np.testing.assert_array_equal(
+        got, oracle.gaussian_blur(img, w, radius).reshape(h, 60))
+
+    got = np.asarray(jax.jit(lambda x: box_pallas_rows(
+        x, radius, 3, interpret=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, radius).reshape(h, 60))
+
+
+def test_rowfill_last_band_boundary(rng):
+    """Heights straddling a tile boundary place the bottom clamp fill in a
+    band other than 0; the @pl.when(i == last_band) site must fire there."""
+    from gpu_image_processing_tpu.ops.pallas import blur as B
+
+    radius, c = 3, 1
+    # Force small tiles so multiple bands exist even at modest heights.
+    for h in (17, 24, 25):
+        img = make_image(rng, h, 24, c)
+        rows = img.reshape(h, 24)
+        w = gaussian_kernel_f32(radius, 2.0)
+        got = np.asarray(jax.jit(lambda x, ww: B._separable_blur_interleaved(
+            x[None], ww, radius, box_mode=False, channels=c,
+            interpret=True, tile_rows=8)[0])(rows, w))
+        np.testing.assert_array_equal(
+            got, oracle.gaussian_blur(img, w, radius).reshape(h, 24),
+            err_msg=f"h={h}")
+
+
+def test_rowfill_last_band_boundary_mxu(rng):
+    """MXU tier analog of the trailing-band clamp-fill sites."""
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+
+    radius, c = 5, 3
+    w = gaussian_kernel_f32(radius, 3.0)
+    for h in (17, 25):
+        img = make_image(rng, h, 12, c)
+        rows = img.reshape(h, 36)
+        got = np.asarray(jax.jit(lambda x, ww: M._gaussian_mxu(
+            x[None], ww, radius, tap_stride=c, interpret=True,
+            tile_rows=8)[0])(rows, w))
+        want = oracle.gaussian_blur(img, w, radius).reshape(h, 36)
+        diff = np.abs(got.astype(int) - want.astype(int))
+        assert diff.max() <= 1, f"h={h} maxdiff={diff.max()}"  # MXU gate
