@@ -456,7 +456,13 @@ def profile_filter(
     # than percentages against the wrong table.
     if peaks is not None:
         peak_hbm_gbps, peak_f32_tflops, _ = peaks
-        dram_pct = 100.0 * (achieved_hlo_gbps or achieved_io_gbps) / peak_hbm_gbps
+        # Percentages are computed from the IO FLOOR (image in + out), the
+        # bytes any implementation must move through HBM.  XLA's cost-model
+        # "bytes accessed" counts VMEM-internal fusion traffic and can
+        # exceed physical HBM peak several-fold (observed 384% on a served
+        # trace) -- it stays available as its own throughput row, never as
+        # a utilization percentage.
+        dram_pct = 100.0 * achieved_io_gbps / peak_hbm_gbps
         metrics["execution"]["Compute Throughput (% of peak f32)"] = (
             100.0 * achieved_tflops / peak_f32_tflops if achieved_tflops else 0.0
         )

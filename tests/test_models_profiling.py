@@ -153,6 +153,21 @@ def test_profile_omits_percentages_on_unknown_chip(rng, monkeypatch):
     assert common["time_ms"] > 0
 
 
+def test_utilization_pct_uses_io_floor(rng):
+    """Utilization percentages must come from the definitely-moved IO
+    bytes, not XLA's cost-model 'bytes accessed' (which counts
+    VMEM-internal fusion traffic and measured 384% of HBM peak on a
+    served trace)."""
+    img = make_image(rng, 16, 20, 3)
+    deep = profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    mem = deep["memory"]
+    if "DRAM Throughput (% of peak)" in mem:  # peaks known on this host
+        io_gbps = mem["IO Throughput (Gbyte/s)"]
+        peak = deep["config"]["Peak HBM Bandwidth (Gbyte/s)"]
+        assert mem["DRAM Throughput (% of peak)"] == pytest.approx(
+            100.0 * io_gbps / peak)
+
+
 def test_pass_fn_mirrors_vmem_feasibility_gate(rng):
     """For VMEM-infeasible blur radii (served from the XLA tier) the
     per-pass breakdown must measure the XLA passes, not trace a Pallas
