@@ -173,3 +173,31 @@ def test_gray_alpha_png_normalized(rng):
     data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
     out = decode_base64_image(data_url)
     assert out.shape == (7, 8, 3)
+
+
+@needs_native
+def test_jpeg_fuzz_interop(rng):
+    """Randomized sizes/qualities vs libjpeg, both directions."""
+    for _ in range(6):
+        h = int(rng.integers(8, 120))
+        w = int(rng.integers(8, 120))
+        q = int(rng.integers(55, 98))
+        img = _smooth_rgb(rng, h, w)
+        # ours -> PIL
+        jpg = native_codec.jpeg_encode(img, quality=q)
+        assert jpg is not None
+        pil = np.array(Image.open(io.BytesIO(jpg)).convert("RGB"))
+        ours = native_codec.jpeg_decode(jpg)
+        assert pil.shape == ours.shape == img.shape
+        assert int(np.abs(pil.astype(int) - ours.astype(int)).max()) <= 4
+        # PIL (4:2:0 default) -> ours
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="JPEG", quality=q)
+        ours2 = native_codec.jpeg_decode(buf.getvalue())
+        pil2 = np.array(Image.open(buf))
+        assert ours2 is not None
+        d = np.abs(ours2.astype(int) - pil2.astype(int))
+        # 4:2:0 chroma upsampling is not pinned by T.81: libjpeg uses
+        # triangular ("fancy") upsampling, this decoder uses box -- a few
+        # units near chroma edges is legitimate decoder variance.
+        assert int(d.max()) <= 8 and float(d.mean()) <= 1.0
