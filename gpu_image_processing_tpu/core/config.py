@@ -76,6 +76,12 @@ class TpuConfig:
     # bit-exact, so routing is invisible except in speed.  Override with
     # GIP_TPU_XLA_TIER_MAX_PIXELS (0 forces Pallas everywhere).
     xla_tier_max_pixels: int = 2_500_000
+    # Sobel's crossover sits LOWER: with the round-2 kernels (constant
+    # pad, 96-row tiles) the Pallas rows sobel wins from ~1.4 MP (measured
+    # 2026-08-17, scripts/exp_tuning.py: 2.2 MP pallas 0.18 vs xla 0.31;
+    # 1.3 MP a tie; 0.6 MP xla 2.4x faster).  Gaussian/box stay at the
+    # shared threshold (their tiers tie within drift noise at 2-4 MP).
+    sobel_xla_tier_max_pixels: int = 1_400_000
 
 
 TPU = TpuConfig()

@@ -115,7 +115,7 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     """
     from ..runtime.dispatch import _routed_to_xla
 
-    if (lvl >= 2 and not _routed_to_xla(lvl, h, w)
+    if (lvl >= 2 and not _routed_to_xla(lvl, h, w, filter_type)
             and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"):
         try:
             from ..ops.pallas.blur import (blur_pallas_feasible,
@@ -311,7 +311,7 @@ def profile_filter(
     kh, kw = height, width
     if _dispatch._bucketing_enabled():
         kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
-    routed = _dispatch._routed_to_xla(lvl, kh, kw)
+    routed = _dispatch._routed_to_xla(lvl, kh, kw, filter_type)
     key_map = {
         "gaussian": ("gaussian", lvl, kh, kw, channels, kwargs.get("radius"),
                      routed),

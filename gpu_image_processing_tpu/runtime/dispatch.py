@@ -52,20 +52,25 @@ from .device import default_device, warmup_transfers
 # ---------------------------------------------------------------------------
 
 
-def _routed_to_xla(level: int, h: int, w_: int) -> bool:
+def _routed_to_xla(level: int, h: int, w_: int,
+                   filter_name: str = "gaussian") -> bool:
     """Whether a level-2/4 single-image trace at this (bucketed) shape is
     served from the interleaved XLA tier instead of the Pallas kernels.
 
     Read at trace-build time AND folded into the executable cache key by
     callers -- the env var can change between requests, and a cached
-    executable must not mask the new routing.
+    executable must not mask the new routing.  The crossover is
+    per-filter: sobel's Pallas kernel wins from a lower pixel count than
+    the blurs' (config.TPU.sobel_xla_tier_max_pixels).
     """
     import os as _os
 
     if level < 2:
         return False
-    max_px = int(_os.environ.get(
-        "GIP_TPU_XLA_TIER_MAX_PIXELS", config.TPU.xla_tier_max_pixels))
+    default = (config.TPU.sobel_xla_tier_max_pixels if filter_name == "sobel"
+               else config.TPU.xla_tier_max_pixels)
+    env = _os.environ.get("GIP_TPU_XLA_TIER_MAX_PIXELS")
+    max_px = int(env) if env is not None else default
     return h * w_ <= max_px
 
 
@@ -94,7 +99,7 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
 
     # Small images serve faster from the XLA tier (measured crossover, see
     # config); both tiers are bit-exact so routing only changes speed.
-    if _routed_to_xla(level, h, w_):
+    if _routed_to_xla(level, h, w_, filter_name):
         return xla_tier()
 
     if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
@@ -475,7 +480,7 @@ class FilterRuntime:
             bucketed = image.shape[:2] != (true_h, true_w)
         height, width = image.shape[:2]
         key = ("sobel", lvl, height, width, channels,
-               _routed_to_xla(lvl, height, width))
+               _routed_to_xla(lvl, height, width, "sobel"))
         exe = self._get(
             key,
             lambda: FilterExecutable(
