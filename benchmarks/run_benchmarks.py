@@ -72,6 +72,20 @@ def main() -> int:
         ("gaussian r15 L4 (MXU, maxdiff<=1)",
          lambda x, w: l2impls["gaussian_adv"](x, w, 15)),
     ]
+
+    # Serving-scale batch path (beyond the reference: it processes one
+    # image per request).  Batch of 4 README images through the natively
+    # batched rows kernel; reported per image.
+    from gpu_image_processing_tpu.ops.pallas.blur import gaussian_pallas_rows_batch
+    from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32 as _gk
+
+    BATCH = 4
+    rows_b = jax.device_put(
+        np.stack([rng.integers(0, 256, (bench.H, bench.W * bench.C),
+                               dtype=np.uint8) for _ in range(BATCH)]),
+        default_device())
+    w3 = jax.device_put(_gk(3, 2.0), default_device())
+    batch_samples: list[float] = []
     # Arms interleaved WITHIN rounds (CLAUDE.md measurement discipline:
     # the shared chip drifts up to 2.7x between rounds, so sequential
     # per-arm measurement would corrupt exactly the L2-vs-L4 comparison
@@ -81,12 +95,23 @@ def main() -> int:
         for label, impl in ext_arms:
             ext_samples[label].append(
                 device_time_ms(impl, [img_dev, w15], iters=48))
+        batch_samples.append(device_time_ms(
+            lambda x, w: gaussian_pallas_rows_batch(x, w, 3, bench.C),
+            [rows_b, w3], iters=16))
     extended = []
     for label, _ in ext_arms:
         s = sorted(ext_samples[label])
         ms = s[len(s) // 2]
         extended.append({"case": label, "time_ms": round(ms, 4)})
         print(f"{label}: {ms:.3f} ms", flush=True)
+    bms = sorted(batch_samples)[len(batch_samples) // 2] / BATCH
+    extended.append({
+        "case": f"gaussian r3 L2 batch{BATCH} (per image)",
+        "time_ms": round(bms, 4),
+        "images_per_sec": round(1000.0 / bms, 1),
+    })
+    print(f"gaussian r3 L2 batch{BATCH}: {bms:.3f} ms/image "
+          f"({1000.0 / bms:.0f} img/s)", flush=True)
 
     payload = {
         "workload": f"{bench.W}x{bench.H} RGB",

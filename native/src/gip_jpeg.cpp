@@ -357,19 +357,43 @@ int gip_jpeg_decode(const uint8_t* data, size_t len,
     const Component& Cb = d.comp[1];
     const Component& Cr = d.comp[2];
     const int ys = Y.bw * 8, cbs = Cb.bw * 8, crs = Cr.bw * 8;
+
+    // Chroma upsample.  For ratio-2 axes use triangular ("fancy")
+    // interpolation like libjpeg's default upsampler -- box/nearest
+    // differs from it by up to ~5 code values at chroma edges; triangular
+    // tracks it within ~1-2.  Other ratios (1, 4) use box.  Logical
+    // chroma dims derive from the image dims, not the padded block grid.
+    auto chroma_at = [&](const Component& comp, int stride, int y, int x) -> int {
+      const int hr = d.hmax / comp.hs;  // 1, 2 or 4
+      const int vr = d.vmax / comp.vs;
+      const int cw = (w + hr - 1) / hr;
+      const int ch = (h + vr - 1) / vr;
+      const uint8_t* p = comp.pixels.data();
+      auto at = [&](int cy, int cx) -> int {
+        cy = cy < 0 ? 0 : (cy >= ch ? ch - 1 : cy);
+        cx = cx < 0 ? 0 : (cx >= cw ? cw - 1 : cx);
+        return p[(size_t)cy * stride + cx];
+      };
+      const bool h2 = hr == 2, v2 = vr == 2;
+      const int cx = x / hr, cy = y / vr;
+      if (!h2 && !v2) return at(cy, cx);
+      const int hn = h2 ? cx + ((x & 1) ? 1 : -1) : cx;
+      const int vn = v2 ? cy + ((y & 1) ? 1 : -1) : cy;
+      if (h2 && v2)  // 2-D triangular: 9:3:3:1
+        return (9 * at(cy, cx) + 3 * at(cy, hn) + 3 * at(vn, cx) +
+                at(vn, hn) + 8) >> 4;
+      if (h2)        // 1-D triangular: 3:1
+        return (3 * at(cy, cx) + at(cy, hn) + 2) >> 2;
+      return (3 * at(cy, cx) + at(vn, cx) + 2) >> 2;
+    };
+
     for (int r = 0; r < h; ++r) {
-      // Each component sampled at its own (possibly subsampled)
-      // coordinates; box upsample (nearest), matching T.81 A.1.1 mapping.
       const uint8_t* yrow = Y.pixels.data() + (size_t)(r * Y.vs / d.vmax) * ys;
-      const uint8_t* cbrow =
-          Cb.pixels.data() + (size_t)(r * Cb.vs / d.vmax) * cbs;
-      const uint8_t* crrow =
-          Cr.pixels.data() + (size_t)(r * Cr.vs / d.vmax) * crs;
       uint8_t* out = img + (size_t)r * w * 3;
       for (int x = 0; x < w; ++x) {
         int yy = yrow[(size_t)x * Y.hs / d.hmax];
-        int cb = cbrow[(size_t)x * Cb.hs / d.hmax] - 128;
-        int cr = crrow[(size_t)x * Cr.hs / d.hmax] - 128;
+        int cb = chroma_at(Cb, cbs, r, x) - 128;
+        int cr = chroma_at(Cr, crs, r, x) - 128;
         // ITU-R BT.601 (T.871) integer approximation, rounded.
         out[x * 3 + 0] = clamp_u8(yy + ((91881 * cr + 32768) >> 16));
         out[x * 3 + 1] =

@@ -197,7 +197,7 @@ def test_jpeg_fuzz_interop(rng):
         pil2 = np.array(Image.open(buf))
         assert ours2 is not None
         d = np.abs(ours2.astype(int) - pil2.astype(int))
-        # 4:2:0 chroma upsampling is not pinned by T.81: libjpeg uses
-        # triangular ("fancy") upsampling, this decoder uses box -- a few
-        # units near chroma edges is legitimate decoder variance.
-        assert int(d.max()) <= 8 and float(d.mean()) <= 1.0
+        # The decoder uses libjpeg-style triangular ("fancy") chroma
+        # upsampling for ratio-2 axes; residual differences are IDCT
+        # implementation variance T.81 permits.
+        assert int(d.max()) <= 4 and float(d.mean()) <= 0.5
