@@ -82,6 +82,12 @@ class TpuConfig:
     # 1.3 MP a tie; 0.6 MP xla 2.4x faster).  Gaussian/box stay at the
     # shared threshold (their tiers tie within drift noise at 2-4 MP).
     sobel_xla_tier_max_pixels: int = 1_400_000
+    # Box's Pallas kernel (doubling-window sums, 128-row tiles) beats the
+    # XLA tier at EVERY measured size (2026-08-17,
+    # scripts/exp_box_crossover.py: 1.3 MP 0.05 vs 0.09; 4.2 MP 0.35 vs
+    # 1.43 ms -- the XLA doubling tier scales badly).  Threshold kept at
+    # 1 MP only because smaller sizes measure below relay noise.
+    box_xla_tier_max_pixels: int = 1_000_000
 
 
 TPU = TpuConfig()

@@ -67,8 +67,11 @@ def _routed_to_xla(level: int, h: int, w_: int,
 
     if level < 2:
         return False
-    default = (config.TPU.sobel_xla_tier_max_pixels if filter_name == "sobel"
-               else config.TPU.xla_tier_max_pixels)
+    defaults = {
+        "sobel": config.TPU.sobel_xla_tier_max_pixels,
+        "box": config.TPU.box_xla_tier_max_pixels,
+    }
+    default = defaults.get(filter_name, config.TPU.xla_tier_max_pixels)
     env = _os.environ.get("GIP_TPU_XLA_TIER_MAX_PIXELS")
     max_px = int(env) if env is not None else default
     return h * w_ <= max_px
@@ -455,7 +458,7 @@ class FilterRuntime:
             image, _, _ = _pad_to_bucket(image)
         height, width = image.shape[:2]
         key = ("box", lvl, height, width, channels, radius,
-               _routed_to_xla(lvl, height, width))
+               _routed_to_xla(lvl, height, width, "box"))
         exe = self._get(
             key,
             lambda: FilterExecutable(
