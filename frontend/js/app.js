@@ -408,7 +408,9 @@ function renderMetricsTable(results) {
       const star = IMPORTANT.has(k) ? `<span class="star">★</span> ` : "";
       const label = LABELS[k] || dynLabels[k] ||
         (k.startsWith("other:") ? k.slice(6) : k);
-      html += `<tr><td>${star}${label}</td>`;
+      // labels can carry profiler-supplied strings (kernel names, device
+      // notes) -- escape them like the value cells
+      html += `<tr><td>${star}${escapeHtml(label)}</td>`;
       for (const lv of levels) {
         const v = metricsByLevel[lv][k];
         html += `<td class="num ${pctClass(k, v)}">${fmtVal(v)}</td>`;

@@ -273,19 +273,7 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     # touches the TOP pad (the wrapper gates this); the BOTTOM junk can be
     # visible to the 1-2 trailing real bands (any band whose tile reaches
     # past the last real row), each with its own static fill site.
-    if row_fill is not None:
-        bottom_fills = row_fill
-
-        @pl.when(i == 0)
-        def _():
-            xbuf[0:radius, :] = jnp.broadcast_to(
-                xbuf[radius:radius + 1, :], (radius, xbuf.shape[1]))
-
-        for band, pos, flen in bottom_fills:
-            @pl.when(i == band)
-            def _(pos=pos, flen=flen):
-                xbuf[pos + 1:pos + 1 + flen, :] = jnp.broadcast_to(
-                    xbuf[pos:pos + 1, :], (flen, xbuf.shape[1]))
+    _emit_row_fills(xbuf, i, radius, row_fill)
 
     # Clamp-to-edge halo lanes, built in VMEM (see module docstring).
     for left, sites in ((True, left_fills), (False, right_fills)):
@@ -430,6 +418,30 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     else:
         conv(hbuf, vbuf, take_rows, tile_rows)
     out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
+
+
+def _emit_row_fills(buf, i, radius: int, row_fill: tuple | None) -> None:
+    """Emit the constant-row-pad clamp fills into a kernel body.
+
+    buf: the (CR, W_T) working tile ref (f32 or bf16); i: the row-band
+    program id; row_fill: _row_fill_sites output (None = edge-pad path).
+    Shared by the VPU and MXU kernels so fixes cannot diverge.
+    """
+    if row_fill is None:
+        return
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as _pl
+
+    @_pl.when(i == 0)
+    def _():
+        buf[0:radius, :] = _jnp.broadcast_to(
+            buf[radius:radius + 1, :], (radius, buf.shape[1]))
+
+    for band, pos, flen in row_fill:
+        @_pl.when(i == band)
+        def _(pos=pos, flen=flen):
+            buf[pos + 1:pos + 1 + flen, :] = _jnp.broadcast_to(
+                buf[pos:pos + 1, :], (flen, buf.shape[1]))
 
 
 def _row_fill_sites(height: int, radius: int, tile_rows: int,

@@ -40,6 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ...core.config import TPU
 from .blur import (
     _edge_fill,
+    _emit_row_fills,
     _fill_sites,
     _landed_geometry,
     _quant,
@@ -162,17 +163,7 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
 
     # Constant-row-pad clamp fills (see blur.py::_blur_kernel row_fill:
     # the edge-mode row pad cost a 0.19 ms XLA concatenate per request).
-    if row_fill is not None:
-        @pl.when(i == 0)
-        def _():
-            x16[0:radius, :] = jnp.broadcast_to(
-                x16[radius:radius + 1, :], (radius, x16.shape[1]))
-
-        for band, pos, flen in row_fill:
-            @pl.when(i == band)
-            def _(pos=pos, flen=flen):
-                x16[pos + 1:pos + 1 + flen, :] = jnp.broadcast_to(
-                    x16[pos:pos + 1, :], (flen, x16.shape[1]))
+    _emit_row_fills(x16, i, radius, row_fill)
 
     for left, sites in ((True, left_fills), (False, right_fills)):
         for chunk, pos, fh in sites:

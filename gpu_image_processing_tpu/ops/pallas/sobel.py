@@ -50,10 +50,10 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Scoped-VMEM budget: raised beyond Mosaic's 16 MB default like the blur
-# kernels (ops/pallas/blur.py _VMEM_SCOPE_BYTES rationale; bigger tiles
-# measured faster on the v5e -- fewer DMA round-trips per image).
-_VMEM_SCOPE_BYTES = 64 * 1024 * 1024
+# Scoped-VMEM budget: shared with the blur kernels (see the rationale at
+# ops/pallas/blur.py::_VMEM_SCOPE_BYTES; bigger tiles measured faster on
+# the v5e -- fewer DMA round-trips per image).
+from .blur import _VMEM_SCOPE_BYTES  # noqa: E402
 
 
 def _pick_tile_rows(requested: int, wp: int) -> int:

@@ -324,11 +324,23 @@ class FilterExecutable:
 # amortizes them across processes).  1.15 costs 30 buckets in [64, 16384]
 # (vs 22 at the round-1 ratio 1.25) and cuts the README image's serving
 # inflation from 1.34x to 1.06x pixels, ~1.27x -> ~1.17x on random sizes.
-_BUCKET_RATIO = float(os.environ.get("GIP_TPU_BUCKET_RATIO", "1.15"))
+def _bucket_ratio() -> float:
+    """Env-supplied grid ratio, validated: a ratio <= 1.0 would make the
+    grid loop below spin forever (int(64*1.0) never grows), and garbage
+    must not crash import."""
+    try:
+        r = float(os.environ.get("GIP_TPU_BUCKET_RATIO", "1.15"))
+    except ValueError:
+        return 1.15
+    return r if 1.01 <= r <= 4.0 else 1.15
+
+
+_BUCKET_RATIO = _bucket_ratio()
 
 _BUCKETS: list[int] = [64]
 while _BUCKETS[-1] < 16384:
-    _BUCKETS.append(((int(_BUCKETS[-1] * _BUCKET_RATIO) + 63) // 64) * 64)
+    nxt = ((int(_BUCKETS[-1] * _BUCKET_RATIO) + 63) // 64) * 64
+    _BUCKETS.append(max(nxt, _BUCKETS[-1] + 64))
 
 
 def _bucket(n: int) -> int:

@@ -116,8 +116,11 @@ struct Decoder {
     for (int l = 1; l <= 16; ++l) {
       code = (code << 1) | next_bit();
       if (err || hit_marker) return 0;
-      if (t.maxcode[l] >= 0 && code <= t.maxcode[l])
-        return t.values[t.valptr[l] + code - t.mincode[l]];
+      if (t.maxcode[l] >= 0 && code >= t.mincode[l] && code <= t.maxcode[l]) {
+        int idx = t.valptr[l] + code - t.mincode[l];
+        if (idx < 0 || idx > 255) { err = 3; return 0; }
+        return t.values[idx];
+      }
     }
     err = 3;
     return 0;
@@ -179,7 +182,8 @@ struct Decoder {
 
   bool parse_dqt(int len) {
     int end = (int)pos + len - 2;
-    while ((int)pos < end) {
+    if (end > (int)n) return false;  // truncated segment
+    while ((int)pos < end && !err) {
       int pq_tq = u8();
       int prec = pq_tq >> 4, id = pq_tq & 15;
       if (id > 3) return false;
@@ -191,7 +195,8 @@ struct Decoder {
 
   bool parse_dht(int len) {
     int end = (int)pos + len - 2;
-    while ((int)pos < end) {
+    if (end > (int)n) return false;  // truncated segment
+    while ((int)pos < end && !err) {
       int tc_th = u8();
       int cls = tc_th >> 4, id = tc_th & 15;
       if (id > 3 || cls > 1) return false;
@@ -229,8 +234,13 @@ struct Decoder {
       comp[i].hs = hv >> 4;
       comp[i].vs = hv & 15;
       comp[i].tq = u8();
+      if (comp[i].tq > 3) return false;  // stream-supplied index: validate
       if (comp[i].hs < 1 || comp[i].hs > 4 || comp[i].vs < 1 || comp[i].vs > 4)
         return false;
+      // T.81: a single-component (necessarily non-interleaved) scan uses
+      // one data unit per MCU regardless of declared sampling factors --
+      // normalizing to 1x1 is equivalent and keeps one decode path.
+      if (ncomp == 1) comp[i].hs = comp[i].vs = 1;
       hmax = comp[i].hs > hmax ? comp[i].hs : hmax;
       vmax = comp[i].vs > vmax ? comp[i].vs : vmax;
     }
@@ -249,12 +259,17 @@ struct Decoder {
     if (ns != ncomp) return false;
     for (int i = 0; i < ns; ++i) {
       int id = u8(), tbl = u8();
+      int dc = tbl >> 4, ac = tbl & 15;
+      if (dc > 3 || ac > 3) return false;  // stream-supplied indices
       for (int j = 0; j < ncomp; ++j)
         if (comp[j].id == id) {
-          comp[j].dc_tbl = tbl >> 4;
-          comp[j].ac_tbl = tbl & 15;
+          comp[j].dc_tbl = dc;
+          comp[j].ac_tbl = ac;
         }
     }
+    for (int j = 0; j < ncomp; ++j)
+      if (!hdc[comp[j].dc_tbl].present || !hac[comp[j].ac_tbl].present)
+        return false;  // scan references an undefined Huffman table
     u8(); u8(); u8();  // Ss, Se, Ah/Al (fixed for baseline)
     return !err;
   }
@@ -542,8 +557,8 @@ void fdct8x8(const float* in, int32_t* out, const uint16_t* q) {
     for (int v = 0; v < 8; ++v) {
       float s = 0;
       for (int y = 0; y < 8; ++y) s += cs[v][y] * tmp[y * 8 + u];
-      // quantize in zigzag order later; store natural order here
-      out[v * 8 + u] = (int32_t)std::lrintf(s / q[kZigzag_nat(v, u)]);
+      // q is in natural (raster) order like Annex K prints it
+      out[v * 8 + u] = (int32_t)std::lrintf(s / q[v * 8 + u]);
     }
 }
 
@@ -628,11 +643,12 @@ int gip_jpeg_encode(const uint8_t* img, int h, int w, int c, int quality,
 
   {  // DQT
     std::vector<uint8_t> pl;
+    // DQT lists entries in zigzag order; tables are raster-ordered.
     pl.push_back(0x00);
-    for (int i = 0; i < 64; ++i) pl.push_back((uint8_t)qluma[i]);
+    for (int i = 0; i < 64; ++i) pl.push_back((uint8_t)qluma[kZigzag[i]]);
     if (c == 3) {
       pl.push_back(0x01);
-      for (int i = 0; i < 64; ++i) pl.push_back((uint8_t)qchroma[i]);
+      for (int i = 0; i < 64; ++i) pl.push_back((uint8_t)qchroma[kZigzag[i]]);
     }
     emit_marker_seg(out, 0xDB, pl);
   }

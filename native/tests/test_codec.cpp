@@ -135,8 +135,8 @@ int main() {
         if (d > maxdiff) maxdiff = d;
       }
     char msg[64];
-    std::snprintf(msg, sizeof msg, "jpeg rgb roundtrip maxdiff=%d <= 12", maxdiff);
-    CHECK(rc == 0 && maxdiff <= 12, msg);
+    std::snprintf(msg, sizeof msg, "jpeg rgb roundtrip maxdiff=%d <= 16", maxdiff);
+    CHECK(rc == 0 && maxdiff <= 16, msg);
     gip_free(jpg);
     gip_free(out);
   }

@@ -201,3 +201,55 @@ def test_jpeg_fuzz_interop(rng):
         # upsampling for ratio-2 axes; residual differences are IDCT
         # implementation variance T.81 permits.
         assert int(d.max()) <= 4 and float(d.mean()) <= 0.5
+
+
+@needs_native
+def test_jpeg_malformed_inputs_rejected(rng):
+    """Stream-supplied table indices and truncations must return None
+    (decode error), never crash the process (a crafted upload previously
+    segfaulted the server through decode_base64_image)."""
+    # tq = 200 in SOF
+    bad_tq = bytes([0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 16, 0, 16, 1,
+                    1, 0x11, 200, 0xFF, 0xD9])
+    assert native_codec.jpeg_decode(bad_tq) is None
+    # SOS references undefined Huffman table 15
+    bad_tbl = bytes([0xFF, 0xD8, 0xFF, 0xC0, 0, 11, 8, 0, 16, 0, 16, 1,
+                     1, 0x11, 0,
+                     0xFF, 0xDA, 0, 8, 1, 1, 0xFF, 0, 63, 0,
+                     0x00, 0xFF, 0xD9])
+    assert native_codec.jpeg_decode(bad_tbl) is None
+    # random truncations of a valid stream
+    img = _smooth_rgb(rng, 24, 32)
+    jpg = native_codec.jpeg_encode(img, 85)
+    for cut in (10, len(jpg) // 3, len(jpg) - 3):
+        native_codec.jpeg_decode(jpg[:cut])  # must not crash (None or junk)
+    # random byte corruption (headers region)
+    for _ in range(8):
+        b = bytearray(jpg)
+        i = int(rng.integers(2, min(len(b), 200)))
+        b[i] = int(rng.integers(0, 256))
+        native_codec.jpeg_decode(bytes(b))  # must not crash
+
+
+@needs_native
+def test_jpeg_annex_k_table_order():
+    """The DQT segment must carry the Annex-K table in zigzag order (entry
+    i = natural position kZigzag[i]); a raster-ordered emission quantizes
+    the wrong frequencies (caught in review)."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    jpg = native_codec.jpeg_encode(img, 50)  # scale 100 -> table as-is
+    # parse first DQT segment
+    i = jpg.index(b"\xff\xdb")
+    table = list(jpg[i + 5 : i + 5 + 64])  # skip len(2)+pq_tq(1)
+    zigzag = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+              12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+              35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+              58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    annex_k = [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+               14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+               18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+               49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+    natural = [0] * 64
+    for idx, z in enumerate(zigzag):
+        natural[z] = table[idx]
+    assert natural == annex_k
