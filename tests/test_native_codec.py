@@ -253,3 +253,23 @@ def test_jpeg_annex_k_table_order():
     for idx, z in enumerate(zigzag):
         natural[z] = table[idx]
     assert natural == annex_k
+
+
+@needs_native
+def test_jpeg_single_component_sampling_factors(rng):
+    """T.81: a single-component scan is non-interleaved (one data unit per
+    MCU) regardless of declared sampling factors.  Some encoders emit gray
+    JPEGs with hs=vs=2; decoding them with interleaved-MCU geometry
+    garbles the image (caught in review).  Craft one by patching the SOF
+    sampling byte of our own gray output -- the entropy data layout is
+    identical either way."""
+    img = (np.linspace(0, 255, 24 * 32).reshape(24, 32)).astype(np.uint8)
+    jpg = bytearray(native_codec.jpeg_encode(img, 90))
+    i = jpg.index(b"\xff\xc0")
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1
+    assert jpg[hv_off] == 0x11
+    jpg[hv_off] = 0x22
+    out = native_codec.jpeg_decode(bytes(jpg))
+    ref = native_codec.jpeg_decode(bytes(native_codec.jpeg_encode(img, 90)))
+    assert out is not None and out.shape == (24, 32, 1)
+    np.testing.assert_array_equal(out, ref)
