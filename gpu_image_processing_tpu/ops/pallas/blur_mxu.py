@@ -55,13 +55,15 @@ from .blur import (
 # larger matmuls (better MXU utilization) at (1 + 2*halo/G) FLOP inflation.
 _G = 512
 
-# ADVANCED-tier routing: the MXU cost is nearly radius-flat (0.71 ms at
-# r=3 -> 0.89 ms at r=15 on the README planar workload) while the VPU
-# folded tier scales with taps (0.59 -> 2.34 ms).  Measured mxu/vpu ratios
-# (v5e, scripts/exp_mxu_gauss.py + exp_mxu_crossover.py, 2026-08-17):
-#   r=3: 1.20x planar / 1.13x rows (slower); r=5: 0.98 / 0.78;
-#   r=8: 0.61 / 0.57; r=15: 0.38 / 0.30.
-GAUSS_MXU_MIN_RADIUS = 5
+# ADVANCED-tier routing: the MXU cost is nearly radius-flat while the VPU
+# folded tier scales with taps.  Round-1 crossover was r=5; with the
+# round-2 kernel changes (constant-row-pad fills + 64 MB scope on BOTH
+# tiers) the serving-rows crossover moved down
+# (scripts/exp_mxu_threshold_r2.py, 2026-08-17, interleaved A/B with an
+# r=3 control validating the window): mxu/vpu r=4: 0.54/0.61 = 0.89x,
+# r=5: 0.62/0.78, r=6: 0.58/1.10, r=8: 0.62/1.24.  r=3 measured ~1.15x
+# slower in round 1 and stays on the VPU tier.
+GAUSS_MXU_MIN_RADIUS = 4
 
 
 def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
