@@ -144,6 +144,62 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
     return xla_tier()
 
 
+def _mesh_batch_devices() -> int:
+    """Device count for the multi-chip batch serving path, or 0.
+
+    Opt-in (GIP_TPU_MESH_BATCH=1): when several chips are attached, the
+    batch endpoint shards the image batch over all of them (pure data
+    parallelism -- zero collectives, the per-shard work is the SAME
+    batched Pallas/XLA trace the single-chip path uses).  Off by default
+    so single-chip serving behavior is unchanged.
+    """
+    if os.environ.get("GIP_TPU_MESH_BATCH", "0") != "1":
+        return 0
+    n = len(jax.devices())
+    return n if n > 1 else 0
+
+
+def _trace_batch_mesh(filter_name: str, level: int, radius: int,
+                      h: int, w_: int, c: int, n_dev: int) -> Callable:
+    """Batch trace fn sharded over `n_dev` devices on the batch axis.
+
+    shard_map around the local batched trace fn: each chip filters its
+    contiguous slice of the batch with the very same kernels, XLA inserts
+    no collectives.  Batches that don't divide the device count are
+    padded with copies of the last image and cropped after (pad images
+    cannot affect real outputs -- data parallelism is per-image).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    local_fn = _trace_batch(filter_name, level, radius, h, w_, c)
+    mesh = make_mesh(n_dev, dp=n_dev, sp=1)
+    spec = P("dp", None, None)
+    n_extra = 1 if filter_name == "gaussian" else 0
+    shard_fn = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(spec,) + (P(),) * n_extra,
+        out_specs=spec,
+        check_vma=False,  # pallas_call outputs carry no vma metadata
+    )
+    sharding = NamedSharding(mesh, spec)
+
+    def fn(rows_b, *rest):
+        b = rows_b.shape[0]
+        pad_b = -b % n_dev
+        if pad_b:
+            import jax.numpy as jnp
+
+            rows_b = jnp.pad(rows_b, ((0, pad_b), (0, 0), (0, 0)),
+                             mode="edge")
+        rows_b = jax.lax.with_sharding_constraint(rows_b, sharding)
+        out = shard_fn(rows_b, *rest)
+        return out[:b] if pad_b else out
+
+    return fn
+
+
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
@@ -579,19 +635,33 @@ class FilterRuntime:
         elif filter_name == "box":
             validate_box_params(radius)
 
+        mesh_n = _mesh_batch_devices()
         key = ("batch", filter_name, lvl, batch, height, width, channels,
-               radius if filter_name != "sobel" else None)
+               radius if filter_name != "sobel" else None, mesh_n)
 
         def build() -> FilterExecutable:
-            fn = _trace_batch(filter_name, lvl, radius, height, width, channels)
+            if mesh_n:
+                fn = _trace_batch_mesh(filter_name, lvl, radius, height,
+                                       width, channels, mesh_n)
+            else:
+                fn = _trace_batch(filter_name, lvl, radius, height, width,
+                                  channels)
             return FilterExecutable(fn, n_args=2 if filter_name == "gaussian" else 1)
 
         exe = self._get(key, build)
-        dev = default_device()
-        args = [jax.device_put(images.reshape(batch, height, -1), dev)]
-        if weights is not None:
-            args.append(jax.device_put(weights, dev))
-        jax.block_until_ready(args)
+        if mesh_n:
+            # Leave inputs uncommitted: the sharding constraint inside the
+            # jitted program places them across the mesh (device_put to
+            # device 0 would conflict with the 8-device sharding).
+            args = [images.reshape(batch, height, -1)]
+            if weights is not None:
+                args.append(weights)
+        else:
+            dev = default_device()
+            args = [jax.device_put(images.reshape(batch, height, -1), dev)]
+            if weights is not None:
+                args.append(jax.device_put(weights, dev))
+            jax.block_until_ready(args)
         out, ms = exe(*args)
         out = out.reshape(batch, height, width, channels)[:, :true_h, :true_w]
         if bucketed and filter_name == "sobel":

@@ -101,3 +101,29 @@ def test_batch_level4_mxu_radius_within_gate(rng):
     l2, _ = RUNTIME.run_batch("gaussian", imgs, level=2, sigma=3.0, radius=8)
     l4, _ = RUNTIME.run_batch("gaussian", imgs, level=4, sigma=3.0, radius=8)
     assert np.abs(l2.astype(int) - l4.astype(int)).max() <= 1
+
+
+def test_batch_mesh_serving(rng, monkeypatch):
+    """GIP_TPU_MESH_BATCH=1: run_batch shards the batch over every attached
+    device (pure dp via shard_map around the same batched kernels) --
+    bit-identical to the single-chip path, any batch size (pad-and-crop)."""
+    import jax
+
+    from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
+
+    assert len(jax.devices()) >= 8
+    monkeypatch.setenv("GIP_TPU_MESH_BATCH", "1")
+    imgs = np.stack([make_image(rng, 40, 56, 3) for _ in range(6)])  # 6 % 8 != 0
+    out, metrics = RUNTIME.run_batch("gaussian", imgs, level=2,
+                                     sigma=2.0, radius=3)
+    w = gaussian_kernel_f32(3, 2.0)
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], oracle.gaussian_blur(imgs[i], w, 3))
+    assert metrics.time_ms > 0
+    # the mesh executable is cached under its own key (device count baked in)
+    assert any(k[0] == "batch" and k[-1] == len(jax.devices())
+               for k in RUNTIME._cache)
+
+    out, _ = RUNTIME.run_batch("box", imgs, level=2, radius=4)
+    for i in range(6):
+        np.testing.assert_array_equal(out[i], oracle.box_blur(imgs[i], 4))
