@@ -301,45 +301,30 @@ class FilterExecutable:
     kernel, and the min filters it out.
     """
 
-    def __init__(self, fn: Callable, n_args: int, pin_layouts: bool = True):
+    # NOTE (measured dead end, 2026-08-17): the served xplane trace shows two
+    # ~0.06 ms u8 relayout copies bracketing every serving program -- XLA:TPU
+    # assigns u8 2-D ENTRY/EXIT parameters a {0,1} (column-major) layout and
+    # copies to the {1,0} row-major the kernels consume.  Pinning row-major
+    # entry layouts via jit in_shardings=Format(Layout((0,1))) does NOT work
+    # on this stack: jax.device_put IGNORES a requested u8 Format (the array
+    # comes back {0,1} regardless, /tmp/putlayout.log) and the pinned
+    # executable then REJECTS every device_put'd operand with a layout-
+    # mismatch ValueError.  The only way to materialize a row-major u8 device
+    # array is a jitted identity uploader, which contains the same %copy
+    # internally AND measures ~1.7x slower H2D (627 -> 1084 ms on the README
+    # image through the relay, /tmp/uploader.log).  The two in-program copies
+    # run at ~750 GB/s (near HBM speed of light) and are the floor cost of
+    # the u8 rows boundary; do not retry layout pinning here.
+
+    def __init__(self, fn: Callable, n_args: int):
         import threading
 
         self._raw_fn = fn
         self.fn = jax.jit(fn)
         self.n_args = n_args
-        self._pin_layouts = pin_layouts
         self._compiled = None
         self._kernel_ms: float | None = None
         self._compile_lock = threading.Lock()
-
-    def _pin_entry_layouts(self, args) -> None:
-        """Re-jit with ROW-MAJOR entry/exit layouts pinned.
-
-        Left to its own heuristics, XLA:TPU chose a COLUMN-major entry
-        layout for the round-2 serving programs and then immediately
-        copied the 22 MB operand back to row-major inside the program --
-        two transpose copies costing 0.117 ms per served request on the
-        README image (seen in the served xplane trace; invisible to
-        loop-delta kernel timing, which amortizes program entry).  Pinning
-        the layouts our device_put'd row-major buffers already have
-        removes both copies (verified: optimized HLO has zero big copies
-        and the entry layout reads {1,0}; outputs bit-equal).  Skipped for
-        mesh executables (their sharding lives inside the program).
-        """
-        try:
-            from jax.experimental.layout import Format, Layout
-            from jax.sharding import SingleDeviceSharding
-
-            sh = SingleDeviceSharding(default_device())
-            informats = tuple(
-                Format(Layout(tuple(range(np.ndim(a)))), sh) for a in args
-            )
-            out_aval = jax.eval_shape(self._raw_fn, *args)
-            outformat = Format(Layout(tuple(range(out_aval.ndim))), sh)
-            self.fn = jax.jit(self._raw_fn, in_shardings=informats,
-                              out_shardings=outformat)
-        except Exception:  # pragma: no cover - older jax without layouts
-            pass
 
     def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
         """Run and return (output u8 HWC, kernel time in ms)."""
@@ -352,8 +337,6 @@ class FilterExecutable:
             # Lock: concurrent first requests would each pay the XLA compile.
             with self._compile_lock:
                 if self._compiled is None:
-                    if self._pin_layouts:
-                        self._pin_entry_layouts(args)
                     compiled = self.fn.lower(*args).compile()
                     # Untimed warmup execution: PJRT loads the program onto
                     # the device at first run (~60 ms on v5e via the tunnel).
@@ -678,8 +661,7 @@ class FilterRuntime:
             else:
                 fn = _trace_batch(filter_name, lvl, radius, height, width,
                                   channels)
-            return FilterExecutable(fn, n_args=2 if filter_name == "gaussian" else 1,
-                                    pin_layouts=not mesh_n)
+            return FilterExecutable(fn, n_args=2 if filter_name == "gaussian" else 1)
 
         exe = self._get(key, build)
         if mesh_n:
