@@ -31,7 +31,7 @@ def main() -> int:
     kwargs = {"gaussian": dict(sigma=2.0, radius=3),
               "box": dict(radius=5), "sobel": {}}[filt]
     deep = profile_filter(img, filt, 2, **kwargs)
-    common = get_common_metrics(deep, ncu_data=deep)
+    common = get_common_metrics(deep)
 
     print(f"filter: {filt} L2 on {img.shape}")
     print(f"duration_source: {deep.get('duration_source')}")

@@ -44,8 +44,8 @@ def level2_impls() -> dict[str, Callable]:
 
 def _gaussian_adv(img, w, radius: int, interpret: bool):
     """ADVANCED gaussian: MXU banded-matmul kernel at radius >=
-    GAUSS_MXU_MIN_RADIUS (nearly radius-flat cost; up to 2x the VPU at r=6-8,
-    r=15), symmetric-folded VPU taps below it."""
+    GAUSS_MXU_MIN_RADIUS (nearly radius-flat cost; ~2x the VPU at r=6-8,
+    2.6-3.4x at r=15), symmetric-folded VPU taps below it."""
     from .blur import gaussian_pallas
     from .blur_mxu import gaussian_mxu, use_mxu_gaussian
 

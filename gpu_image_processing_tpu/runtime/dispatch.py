@@ -159,45 +159,40 @@ def _mesh_batch_devices() -> int:
     return n if n > 1 else 0
 
 
+def _mesh_batch_shardings(n_dev: int):
+    """(batch sharding, replicated sharding) for the dp-only serving mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_dev, dp=n_dev, sp=1)
+    return NamedSharding(mesh, P("dp", None, None)), NamedSharding(mesh, P())
+
+
 def _trace_batch_mesh(filter_name: str, level: int, radius: int,
                       h: int, w_: int, c: int, n_dev: int) -> Callable:
     """Batch trace fn sharded over `n_dev` devices on the batch axis.
 
     shard_map around the local batched trace fn: each chip filters its
     contiguous slice of the batch with the very same kernels, XLA inserts
-    no collectives.  Batches that don't divide the device count are
-    padded with copies of the last image and cropped after (pad images
-    cannot affect real outputs -- data parallelism is per-image).
+    no collectives.  The caller pads the batch on the HOST to a multiple
+    of the device count (edge-replicated images; data parallelism is
+    per-image so pad images cannot affect real outputs) and device_puts
+    the operands with the dp sharding BEFORE the timed call -- keeping
+    the kernels-only timing contract (no H2D inside the timed region)
+    that the single-chip path honors.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from ..parallel.mesh import make_mesh
+    from jax.sharding import PartitionSpec as P
 
     local_fn = _trace_batch(filter_name, level, radius, h, w_, c)
-    mesh = make_mesh(n_dev, dp=n_dev, sp=1)
-    spec = P("dp", None, None)
+    batch_sh, _ = _mesh_batch_shardings(n_dev)
     n_extra = 1 if filter_name == "gaussian" else 0
-    shard_fn = jax.shard_map(
-        local_fn, mesh=mesh,
-        in_specs=(spec,) + (P(),) * n_extra,
-        out_specs=spec,
+    return jax.shard_map(
+        local_fn, mesh=batch_sh.mesh,
+        in_specs=(P("dp", None, None),) + (P(),) * n_extra,
+        out_specs=P("dp", None, None),
         check_vma=False,  # pallas_call outputs carry no vma metadata
     )
-    sharding = NamedSharding(mesh, spec)
-
-    def fn(rows_b, *rest):
-        b = rows_b.shape[0]
-        pad_b = -b % n_dev
-        if pad_b:
-            import jax.numpy as jnp
-
-            rows_b = jnp.pad(rows_b, ((0, pad_b), (0, 0), (0, 0)),
-                             mode="edge")
-        rows_b = jax.lax.with_sharding_constraint(rows_b, sharding)
-        out = shard_fn(rows_b, *rest)
-        return out[:b] if pad_b else out
-
-    return fn
 
 
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
@@ -665,20 +660,27 @@ class FilterRuntime:
 
         exe = self._get(key, build)
         if mesh_n:
-            # Leave inputs uncommitted: the sharding constraint inside the
-            # jitted program places them across the mesh (device_put to
-            # device 0 would conflict with the 8-device sharding).
-            args = [images.reshape(batch, height, -1)]
+            # Pad the batch axis on the host (edge = repeat the last image)
+            # so it divides the mesh, then commit operands with the dp
+            # sharding BEFORE the timed call: H2D stays outside the timed
+            # region, matching the single-chip kernels-only contract.
+            pad_b = -batch % mesh_n
+            rows_b = images.reshape(batch, height, -1)
+            if pad_b:
+                rows_b = np.concatenate(
+                    [rows_b, np.repeat(rows_b[-1:], pad_b, axis=0)], axis=0)
+            batch_sh, repl_sh = _mesh_batch_shardings(mesh_n)
+            args = [jax.device_put(rows_b, batch_sh)]
             if weights is not None:
-                args.append(weights)
+                args.append(jax.device_put(weights, repl_sh))
         else:
             dev = default_device()
             args = [jax.device_put(images.reshape(batch, height, -1), dev)]
             if weights is not None:
                 args.append(jax.device_put(weights, dev))
-            jax.block_until_ready(args)
+        jax.block_until_ready(args)
         out, ms = exe(*args)
-        out = out.reshape(batch, height, width, channels)[:, :true_h, :true_w]
+        out = out.reshape(-1, height, width, channels)[:batch, :true_h, :true_w]
         if bucketed and filter_name == "sobel":
             out = np.ascontiguousarray(out)
             if not out.flags.writeable:

@@ -45,27 +45,33 @@ for trial in range(N):
     img = rng.integers(0, 256, (h, w, c), np.uint8)
     kind = int(rng.integers(0, 3))
     lvl = int(rng.choice([1, 2, 4]))
+    r = 0
     try:
         if kind == 0:
             r = int(rng.integers(1, 16))
-            out, _ = RUNTIME.gaussian_blur(img, sigma=float(rng.uniform(0.5, 8)), radius=r, level=lvl)
-            want = oracle.gaussian_blur(img, gaussian_kernel_f32(r, 2.0), r)
-            # recompute oracle with the actual sigma
+            sigma = float(rng.uniform(0.5, 8))
+            out, _ = RUNTIME.gaussian_blur(img, sigma=sigma, radius=r, level=lvl)
+            want = oracle.gaussian_blur(img, gaussian_kernel_f32(r, sigma), r)
         elif kind == 1:
             r = int(rng.integers(1, 30))
             out, _ = RUNTIME.box_blur(img, radius=r, level=lvl)
             want = oracle.box_blur(img, r)
         else:
-            out, _ = RUNTIME.sobel_edge_detection(img, level=2 if lvl == 4 else lvl)
-            want = oracle.sobel(img, 2 if lvl == 4 else lvl)
+            # level 4 sobel serves the LEVEL-1 numerics (float gray, no
+            # u8 quantization) through the optimized route -- exercise it
+            # as level 4 and compare against the L1 oracle.
+            out, _ = RUNTIME.sobel_edge_detection(img, level=lvl)
+            want = oracle.sobel(img, 1 if lvl == 4 else lvl)
     except Exception as exc:
         print(f"[{trial}] EXC h={h} w={w} c={c} kind={kind} lvl={lvl}: {exc}")
         fails += 1
         continue
     if kind == 0:
-        # gaussian: need oracle at the same sigma; redo via runtime metrics? just redo properly
-        continue  # checked separately below
-    if kind == 1:
+        d = int(np.abs(out.astype(int) - want.astype(int)).max())
+        if d > 1:  # FMA tie-break envelope; see module docstring
+            print(f"[{trial}] GAUSS MISMATCH h={h} w={w} c={c} r={r} lvl={lvl} maxdiff={d}")
+            fails += 1
+    elif kind == 1:
         if lvl == 4:
             d = np.abs(out.astype(int) - want.astype(int)).max()
             ok = d <= 1
@@ -75,11 +81,17 @@ for trial in range(N):
             print(f"[{trial}] BOX MISMATCH h={h} w={w} c={c} r={r} lvl={lvl}")
             fails += 1
     else:
-        # maxdiff gate only: the suite's 0.1% diff-fraction gate is
-        # calibrated for full-size images and binomially noisy on the tiny
-        # random shapes here (e.g. w=15: 12 FMA-tie pixels = 1.3e-3).
         d = int(np.abs(out.astype(int) - want.astype(int)).max())
-        if d > 6:
+        if c == 1:
+            # grayscale has no FMA-contractible multiply chain: exact
+            # (tests/sobel_tolerance.py contract).
+            ok = d == 0
+        else:
+            # maxdiff gate only: the suite's 0.1% diff-fraction gate is
+            # calibrated for full-size images and binomially noisy on the
+            # tiny random shapes here (e.g. w=15: 12 FMA-tie px = 1.3e-3).
+            ok = d <= 6
+        if not ok:
             print(f"[{trial}] SOBEL MISMATCH h={h} w={w} c={c} lvl={lvl} maxdiff={d}")
             fails += 1
 
@@ -93,7 +105,12 @@ for trial in range(N // 2):
     sigma = float(rng.uniform(0.5, 8))
     lvl = int(rng.choice([1, 2, 4]))
     img = rng.integers(0, 256, (h, w, c), np.uint8)
-    out, _ = RUNTIME.gaussian_blur(img, sigma=sigma, radius=r, level=lvl)
+    try:
+        out, _ = RUNTIME.gaussian_blur(img, sigma=sigma, radius=r, level=lvl)
+    except Exception as exc:
+        print(f"[g{trial}] EXC h={h} w={w} c={c} r={r} s={sigma:.2f} lvl={lvl}: {exc}")
+        fails += 1
+        continue
     want = oracle.gaussian_blur(img, gaussian_kernel_f32(r, sigma), r)
     d = int(np.abs(out.astype(int) - want.astype(int)).max())
     if d > 1:  # FMA tie-break envelope; see module docstring

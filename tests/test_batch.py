@@ -111,7 +111,8 @@ def test_batch_mesh_serving(rng, monkeypatch):
 
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
 
-    assert len(jax.devices()) >= 8
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh (conftest forces 8 CPU devices)")
     monkeypatch.setenv("GIP_TPU_MESH_BATCH", "1")
     imgs = np.stack([make_image(rng, 40, 56, 3) for _ in range(6)])  # 6 % 8 != 0
     out, metrics = RUNTIME.run_batch("gaussian", imgs, level=2,
