@@ -17,6 +17,8 @@
 #include <vector>
 #include <zlib.h>
 
+#include "gip_limits.h"
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -110,9 +112,8 @@ static void png_chunk(std::vector<uint8_t>& out, const char type[4],
   put_be32(out, (uint32_t)crc);
 }
 
-// img: HWC uint8, c in {1,3,4}. Returns 0 on success.
-int gip_png_encode(const uint8_t* img, int h, int w, int c, int level,
-                   uint8_t** out_buf, size_t* out_len) {
+static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
+                           uint8_t** out_buf, size_t* out_len) {
   if (!img || h <= 0 || w <= 0 || (c != 1 && c != 3 && c != 4)) return 1;
   const uint8_t color_type = c == 1 ? 0 : (c == 3 ? 2 : 6);
   const size_t stride = (size_t)w * c;
@@ -154,6 +155,18 @@ int gip_png_encode(const uint8_t* img, int h, int w, int c, int level,
   return 0;
 }
 
+// img: HWC uint8, c in {1,3,4}. Returns 0 on success.
+int gip_png_encode(const uint8_t* img, int h, int w, int c, int level,
+                   uint8_t** out_buf, size_t* out_len) {
+  // C ABI boundary: an exception (e.g. bad_alloc) must not unwind into the
+  // ctypes caller frame -- that is UB and typically aborts the process.
+  try {
+    return png_encode_impl(img, h, w, c, level, out_buf, out_len);
+  } catch (...) {
+    return 9;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // PNG decode (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
 // ---------------------------------------------------------------------------
@@ -171,9 +184,9 @@ static uint8_t paeth(int a, int b, int cc) {
   return (uint8_t)cc;
 }
 
-// Returns 0 on success; out is HWC uint8 with channels = PNG channels.
-int gip_png_decode(const uint8_t* png, size_t len,
-                   uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
+static int png_decode_impl(const uint8_t* png, size_t len,
+                           uint8_t** out_buf, int* out_h, int* out_w,
+                           int* out_c) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (!png || len < 45 || std::memcmp(png, sig, 8) != 0) return 1;
 
@@ -188,8 +201,13 @@ int gip_png_decode(const uint8_t* png, size_t len,
     if (pos + 12 + clen > len) return 1;
     if (!std::memcmp(type, "IHDR", 4)) {
       if (clen != 13) return 1;
-      w = (int)get_be32(data);
-      h = (int)get_be32(data + 4);
+      uint32_t w32 = get_be32(data);
+      uint32_t h32 = get_be32(data + 4);
+      // Header-declared dims bound every allocation below; cap them before
+      // trusting them (each dim < 2^31 follows from the product cap).
+      if (!w32 || !h32 || (uint64_t)w32 * h32 > kGipMaxDecodePixels) return 8;
+      w = (int)w32;
+      h = (int)h32;
       bit_depth = data[8];
       int color = data[9];
       if (bit_depth != 8) return 2;          // 8-bit only
@@ -248,6 +266,17 @@ int gip_png_decode(const uint8_t* png, size_t len,
   return 0;
 }
 
+// Returns 0 on success; out is HWC uint8 with channels = PNG channels.
+int gip_png_decode(const uint8_t* png, size_t len,
+                   uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
+  // C ABI boundary: never let an exception unwind into the ctypes caller.
+  try {
+    return png_decode_impl(png, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
 // ---------------------------------------------------------------------------
 // PPM (P6) / PGM (P5)
 // ---------------------------------------------------------------------------
@@ -281,7 +310,8 @@ int gip_ppm_read(const char* path, uint8_t** out, int* h, int* w, int* c) {
     return std::fscanf(f, "%d", out_val) == 1;
   };
   if (!next_int(&width) || !next_int(&height) || !next_int(&maxval) ||
-      maxval != 255) {
+      maxval != 255 || width <= 0 || height <= 0 ||
+      (uint64_t)width * height > kGipMaxDecodePixels) {
     std::fclose(f);
     return 3;
   }

@@ -18,6 +18,8 @@
 #include <cstring>
 #include <vector>
 
+#include "gip_limits.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -101,9 +103,11 @@ struct Decoder {
   }
 
   int receive(int s) {
-    int v = 0;
-    for (int i = 0; i < s; ++i) v = (v << 1) | next_bit();
-    return v;
+    // Callers validate s <= 16 (corrupt Huffman tables can deliver symbols
+    // up to 255, which would overflow the shift).
+    uint32_t v = 0;
+    for (int i = 0; i < s; ++i) v = (v << 1) | (uint32_t)next_bit();
+    return (int)v;
   }
 
   static int extend(int v, int s) {
@@ -159,9 +163,12 @@ struct Decoder {
     const HuffTable& act = hac[c.ac_tbl];
     int s = decode_huff(dct);
     if (err || hit_marker) return false;
+    if (s > 15) { err = 5; return false; }  // baseline DC category <= 11
     int diff = s ? extend(receive(s), s) : 0;
-    c.dc_pred += diff;
-    coef[0] = c.dc_pred * qt[c.tq][0];
+    // Wrapping accumulate: a hostile stream can push the predictor past
+    // INT_MAX over enough blocks; signed overflow is UB, unsigned wraps.
+    c.dc_pred = (int32_t)((uint32_t)c.dc_pred + (uint32_t)diff);
+    coef[0] = (int32_t)((int64_t)c.dc_pred * qt[c.tq][0]);
     for (int k = 1; k < 64;) {
       int rs = decode_huff(act);
       if (err || hit_marker) return false;
@@ -228,6 +235,9 @@ struct Decoder {
     ncomp = u8();
     if (prec != 8 || (ncomp != 1 && ncomp != 3)) return false;
     if (width <= 0 || height <= 0) return false;
+    // Header-declared dims drive the plane allocations below (65535^2 x 3
+    // components ~= 13 GB); bound them like the PNG/PIL tiers do.
+    if ((uint64_t)width * height > kGipMaxDecodePixels) return false;
     for (int i = 0; i < ncomp; ++i) {
       comp[i].id = u8();
       int hv = u8();
@@ -302,13 +312,10 @@ struct Decoder {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Decode a baseline JPEG.  out_buf: HWC uint8 (c = 1 gray or 3 RGB),
-// malloc'd (free with gip_free).  Returns 0 on success; >0 error codes:
-// 1 malformed, 2 unsupported coding (e.g. progressive), 3 decode error.
-int gip_jpeg_decode(const uint8_t* data, size_t len,
-                    uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
+int jpeg_decode_impl(const uint8_t* data, size_t len,
+                     uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
   if (!data || len < 4 || data[0] != 0xFF || data[1] != 0xD8) return 1;
   Decoder d;
   d.p = data;
@@ -422,6 +429,23 @@ int gip_jpeg_decode(const uint8_t* data, size_t len,
   *out_w = w;
   *out_c = oc;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode a baseline JPEG.  out_buf: HWC uint8 (c = 1 gray or 3 RGB),
+// malloc'd (free with gip_free).  Returns 0 on success; >0 error codes:
+// 1 malformed, 2 unsupported coding (e.g. progressive), 3 decode error.
+int gip_jpeg_decode(const uint8_t* data, size_t len,
+                    uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
+  // C ABI boundary: never let an exception unwind into the ctypes caller.
+  try {
+    return jpeg_decode_impl(data, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
 }
 
 }  // extern "C"
@@ -610,13 +634,10 @@ void emit_marker_seg(std::vector<uint8_t>& out, uint8_t marker,
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Encode HWC uint8 (c in {1, 3}; 3 = RGB) as baseline JPEG, 4:4:4.
-// quality in [1, 100] (libjpeg-style scaling of the Annex-K tables).
-// Returns 0 on success; out buffer malloc'd (free with gip_free).
-int gip_jpeg_encode(const uint8_t* img, int h, int w, int c, int quality,
-                    uint8_t** out_buf, size_t* out_len) {
+int jpeg_encode_impl(const uint8_t* img, int h, int w, int c, int quality,
+                     uint8_t** out_buf, size_t* out_len) {
   if (!img || h <= 0 || w <= 0 || (c != 1 && c != 3)) return 1;
   if (quality < 1) quality = 1;
   if (quality > 100) quality = 100;
@@ -741,6 +762,23 @@ int gip_jpeg_encode(const uint8_t* img, int h, int w, int c, int quality,
   std::memcpy(*out_buf, out.data(), out.size());
   *out_len = out.size();
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Encode HWC uint8 (c in {1, 3}; 3 = RGB) as baseline JPEG, 4:4:4.
+// quality in [1, 100] (libjpeg-style scaling of the Annex-K tables).
+// Returns 0 on success; out buffer malloc'd (free with gip_free).
+int gip_jpeg_encode(const uint8_t* img, int h, int w, int c, int quality,
+                    uint8_t** out_buf, size_t* out_len) {
+  // C ABI boundary: never let an exception unwind into the ctypes caller.
+  try {
+    return jpeg_encode_impl(img, h, w, c, quality, out_buf, out_len);
+  } catch (...) {
+    return 9;
+  }
 }
 
 }  // extern "C"

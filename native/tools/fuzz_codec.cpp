@@ -1,0 +1,218 @@
+// Mutational fuzzer for the native decoders (PNG, JPEG, base64).
+//
+// The decoders parse UNTRUSTED uploads on the serving path
+// (server/app.py -> utils/image.py -> utils/native_codec.py), so memory
+// safety here is a product requirement, not a nicety.  The reference gets
+// this hardening for free from battle-tested stb/PIL; a from-scratch codec
+// has to earn it.  This driver is deterministic: the same (seed, iterations)
+// pair replays the same inputs, so a sanitizer report is reproducible by
+// re-running with `--at <iter>` (which also dumps the offending input to
+// /tmp/gip_fuzz_case.bin for standalone triage).
+//
+// Build (sanitized) via the `fuzz_codec` CMake target; run:
+//   ./fuzz_codec [iterations=200000] [seed=1] [--at K]
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+extern "C" {
+void gip_free(void*);
+long long gip_base64_decode(const char*, size_t, uint8_t*);
+int gip_png_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
+int gip_png_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_jpeg_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
+int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+}
+
+namespace {
+
+uint64_t g_state = 0x9E3779B97F4A7C15ULL;
+uint64_t rnd64() {  // xorshift64*
+  uint64_t x = g_state;
+  x ^= x >> 12;
+  x ^= x << 25;
+  x ^= x >> 27;
+  g_state = x;
+  return x * 0x2545F4914F6CDD1DULL;
+}
+uint32_t rnd(uint32_t bound) { return bound ? (uint32_t)(rnd64() % bound) : 0; }
+
+std::vector<uint8_t> synth_image(int h, int w, int c, uint32_t tweak) {
+  std::vector<uint8_t> img((size_t)h * w * c);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x)
+      for (int k = 0; k < c; ++k)
+        img[((size_t)y * w + x) * c + k] =
+            (uint8_t)(x * 5 + y * 11 + k * 37 + tweak);
+  return img;
+}
+
+std::vector<uint8_t> enc_png(int h, int w, int c) {
+  auto img = synth_image(h, w, c, 3);
+  uint8_t* buf = nullptr;
+  size_t len = 0;
+  if (gip_png_encode(img.data(), h, w, c, 6, &buf, &len) != 0) return {};
+  std::vector<uint8_t> out(buf, buf + len);
+  gip_free(buf);
+  return out;
+}
+
+std::vector<uint8_t> enc_jpeg(int h, int w, int c, int q) {
+  auto img = synth_image(h, w, c, 7);
+  uint8_t* buf = nullptr;
+  size_t len = 0;
+  if (gip_jpeg_encode(img.data(), h, w, c, q, &buf, &len) != 0) return {};
+  std::vector<uint8_t> out(buf, buf + len);
+  gip_free(buf);
+  return out;
+}
+
+// One mutation of a corpus entry.  Mix of generic byte smashes and
+// format-aware dirt (marker bytes, huge big-endian lengths).
+void mutate(std::vector<uint8_t>& d) {
+  if (d.empty()) return;
+  switch (rnd(8)) {
+    case 0: {  // bit flips
+      int k = 1 + rnd(32);
+      for (int i = 0; i < k; ++i) d[rnd((uint32_t)d.size())] ^= 1u << rnd(8);
+      break;
+    }
+    case 1:  // random byte
+      d[rnd((uint32_t)d.size())] = (uint8_t)rnd(256);
+      break;
+    case 2: {  // truncate
+      size_t keep = 1 + rnd((uint32_t)d.size());
+      d.resize(keep);
+      break;
+    }
+    case 3: {  // insert random run
+      size_t at = rnd((uint32_t)d.size());
+      int k = 1 + rnd(16);
+      std::vector<uint8_t> ins(k);
+      for (auto& b : ins) b = (uint8_t)rnd(256);
+      d.insert(d.begin() + at, ins.begin(), ins.end());
+      break;
+    }
+    case 4: {  // delete span
+      size_t at = rnd((uint32_t)d.size());
+      size_t k = 1 + rnd(16);
+      if (at + k > d.size()) k = d.size() - at;
+      d.erase(d.begin() + at, d.begin() + at + k);
+      break;
+    }
+    case 5: {  // duplicate span (chunk/segment duplication)
+      size_t at = rnd((uint32_t)d.size());
+      size_t k = 1 + rnd(24);
+      if (at + k > d.size()) k = d.size() - at;
+      std::vector<uint8_t> span(d.begin() + at, d.begin() + at + k);
+      d.insert(d.begin() + rnd((uint32_t)d.size()), span.begin(), span.end());
+      break;
+    }
+    case 6: {  // marker dirt: 0xFF + random marker byte
+      size_t at = rnd((uint32_t)d.size());
+      d[at] = 0xFF;
+      if (at + 1 < d.size()) d[at + 1] = (uint8_t)rnd(256);
+      break;
+    }
+    default: {  // big-endian magic value (huge length / dimension)
+      if (d.size() < 4) break;
+      size_t at = rnd((uint32_t)(d.size() - 3));
+      static const uint32_t magics[] = {0xFFFFFFFFu, 0x7FFFFFFFu, 0x80000000u,
+                                        0x0000FFFFu, 0x00010000u, 65535u, 1u, 0u};
+      uint32_t m = magics[rnd(sizeof(magics) / sizeof(magics[0]))];
+      d[at] = (uint8_t)(m >> 24);
+      d[at + 1] = (uint8_t)(m >> 16);
+      d[at + 2] = (uint8_t)(m >> 8);
+      d[at + 3] = (uint8_t)m;
+      break;
+    }
+  }
+}
+
+void run_decoders(const std::vector<uint8_t>& d) {
+  uint8_t* out = nullptr;
+  int h = 0, w = 0, c = 0;
+  if (gip_png_decode(d.data(), d.size(), &out, &h, &w, &c) == 0) {
+    if (h <= 0 || w <= 0 || (c != 1 && c != 2 && c != 3 && c != 4)) {
+      std::fprintf(stderr, "png_decode returned bad dims %dx%dx%d\n", h, w, c);
+      std::abort();
+    }
+    gip_free(out);
+  }
+  out = nullptr;
+  if (gip_jpeg_decode(d.data(), d.size(), &out, &h, &w, &c) == 0) {
+    if (h <= 0 || w <= 0 || (c != 1 && c != 3)) {
+      std::fprintf(stderr, "jpeg_decode returned bad dims %dx%dx%d\n", h, w, c);
+      std::abort();
+    }
+    gip_free(out);
+  }
+  // base64: caller contract is an output buffer sized (n/4 + 1) * 3
+  // (utils/native_codec.py::b64_decode) -- fuzz against exactly that.
+  std::vector<uint8_t> b64out((d.size() / 4 + 1) * 3);
+  gip_base64_decode((const char*)d.data(), d.size(), b64out.data());
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  long iterations = 200000;
+  uint64_t seed = 1;
+  long only_at = -1;
+  if (argc > 1) iterations = std::atol(argv[1]);
+  if (argc > 2) seed = (uint64_t)std::strtoull(argv[2], nullptr, 10);
+  for (int i = 1; i + 1 < argc; ++i)
+    if (!std::strcmp(argv[i], "--at")) only_at = std::atol(argv[i + 1]);
+
+  // Seed corpus: real outputs of our own encoders (several geometries /
+  // channel counts / subsampling-free qualities) plus raw header stubs.
+  std::vector<std::vector<uint8_t>> corpus;
+  for (int c : {1, 3, 4}) corpus.push_back(enc_png(29, 37, c));
+  corpus.push_back(enc_png(1, 1, 1));
+  corpus.push_back(enc_png(8, 128, 3));
+  for (int q : {30, 90}) {
+    corpus.push_back(enc_jpeg(24, 31, 1, q));
+    corpus.push_back(enc_jpeg(17, 40, 3, q));
+  }
+  corpus.push_back(enc_jpeg(8, 8, 3, 95));
+  corpus.push_back({0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A});
+  corpus.push_back({0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00});
+  // A base64-looking text seed.
+  {
+    const char* t = "aGVsbG8gd29ybGQ=\nQUJDRA==";
+    corpus.push_back(std::vector<uint8_t>(t, t + std::strlen(t)));
+  }
+  size_t live = 0;
+  for (auto& s : corpus) live += !s.empty();
+  std::printf("corpus: %zu seeds (%zu live)\n", corpus.size(), live);
+
+  g_state = seed * 0x9E3779B97F4A7C15ULL + 0xBF58476D1CE4E5B9ULL;
+  for (long it = 0; it < iterations; ++it) {
+    std::vector<uint8_t> d = corpus[rnd((uint32_t)corpus.size())];
+    int nmut = 1 + rnd(8);
+    for (int m = 0; m < nmut; ++m) mutate(d);
+    if (only_at >= 0) {
+      if (it != only_at) continue;
+      FILE* f = std::fopen("/tmp/gip_fuzz_case.bin", "wb");
+      if (f) {
+        std::fwrite(d.data(), 1, d.size(), f);
+        std::fclose(f);
+      }
+      std::printf("iteration %ld: %zu bytes dumped to /tmp/gip_fuzz_case.bin\n",
+                  it, d.size());
+      run_decoders(d);
+      std::printf("iteration %ld survived\n", it);
+      return 0;
+    }
+    run_decoders(d);
+    if ((it + 1) % 20000 == 0)
+      std::printf("  %ld/%ld iterations\n", it + 1, iterations);
+  }
+  std::printf("fuzz OK: %ld iterations, seed %llu\n", iterations,
+              (unsigned long long)seed);
+  return 0;
+}

@@ -273,3 +273,45 @@ def test_jpeg_single_component_sampling_factors(rng):
     ref = native_codec.jpeg_decode(bytes(native_codec.jpeg_encode(img, 90)))
     assert out is not None and out.shape == (24, 32, 1)
     np.testing.assert_array_equal(out, ref)
+
+
+@needs_native
+def test_png_header_bomb_rejected():
+    """A ~60-byte PNG declaring 2^30 x 2^30 pixels must be rejected by the
+    dimension cap, not drive a multi-GB allocation whose bad_alloc would
+    unwind through the C ABI and abort the serving process."""
+    import struct
+    import zlib as _zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 30, 1 << 30, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 16))
+        + chunk(b"IEND", b"")
+    )
+    assert native_codec.png_decode(bomb) is None
+    # Same guard for a zero-dimension header.
+    ihdr0 = struct.pack(">IIBBBBB", 0, 5, 8, 2, 0, 0, 0)
+    bomb0 = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr0)
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 16)) + chunk(b"IEND", b"")
+    )
+    assert native_codec.png_decode(bomb0) is None
+
+
+@needs_native
+def test_jpeg_header_bomb_rejected():
+    """A tiny JPEG whose SOF declares 65535 x 65535 x 3 (~13 GB of planes)
+    must be rejected by the pixel cap before any plane allocation."""
+    sof = bytes(
+        [0xFF, 0xD8, 0xFF, 0xC0, 0, 17, 8, 0xFF, 0xFF, 0xFF, 0xFF, 3,
+         1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 0xFF, 0xD9]
+    )
+    assert native_codec.jpeg_decode(sof) is None
