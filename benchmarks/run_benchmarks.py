@@ -113,6 +113,43 @@ def main() -> int:
     print(f"gaussian r3 L2 batch{BATCH}: {bms:.3f} ms/image "
           f"({1000.0 / bms:.0f} img/s)", flush=True)
 
+    # The reference's only other published number: its example /api/process
+    # response (/root/reference/README.md:204-215) -- gaussian L2 on
+    # 1024x1023 RGB: 0.293 ms / 3415.67 fps.  Measured single-image and
+    # batch-16 (small images underfill the chip alone; batch rides the
+    # Pallas grid dim, so throughput is the serving-relevant number).
+    REF_EX_MS, REF_EX_FPS = 0.293, 3415.67
+    img_small = rng.integers(0, 256, size=(1023, 1024, 3), dtype=np.uint8)
+    ms_small = bench.measure_ms("gaussian", 2, img_small)
+    extended.append({
+        "case": "gaussian r3 L2 1024x1023 (reference example-API workload)",
+        "time_ms": round(ms_small, 4),
+        "fps": round(1000.0 / ms_small, 1),
+        "reference_ms": REF_EX_MS,
+        "speedup_vs_reference": round(REF_EX_MS / ms_small, 3),
+    })
+    print(f"gaussian r3 L2 1024x1023: {ms_small:.3f} ms "
+          f"(ref {REF_EX_MS} ms, {REF_EX_MS / ms_small:.2f}x)", flush=True)
+    SMALL_BATCH = 16
+    rows_small = jax.device_put(
+        np.stack([rng.integers(0, 256, (1023, 1024 * 3), dtype=np.uint8)
+                  for _ in range(SMALL_BATCH)]), default_device())
+    small_samples = sorted(
+        device_time_ms(
+            lambda x, w: gaussian_pallas_rows_batch(x, w, 3, 3),
+            [rows_small, w3], iters=16)
+        for _ in range(3))
+    sms = small_samples[len(small_samples) // 2] / SMALL_BATCH
+    extended.append({
+        "case": f"gaussian r3 L2 1024x1023 batch{SMALL_BATCH} (per image)",
+        "time_ms": round(sms, 4),
+        "images_per_sec": round(1000.0 / sms, 1),
+        "reference_fps": REF_EX_FPS,
+        "throughput_vs_reference": round((1000.0 / sms) / REF_EX_FPS, 3),
+    })
+    print(f"gaussian r3 L2 1024x1023 batch{SMALL_BATCH}: {sms:.3f} ms/image "
+          f"({1000.0 / sms:.0f} img/s vs ref {REF_EX_FPS} fps)", flush=True)
+
     payload = {
         "workload": f"{bench.W}x{bench.H} RGB",
         "device": str(default_device()),
