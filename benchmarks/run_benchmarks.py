@@ -79,11 +79,18 @@ def main() -> int:
     from gpu_image_processing_tpu.ops.pallas.blur import gaussian_pallas_rows_batch
     from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32 as _gk
 
+    def rows_batch_operands(h_, w_, batch):
+        return jax.device_put(
+            np.stack([rng.integers(0, 256, (h_, w_ * bench.C), dtype=np.uint8)
+                      for _ in range(batch)]), default_device())
+
+    def rows_batch_ms(rows_in, w_dev, iters=16):
+        return device_time_ms(
+            lambda x, w: gaussian_pallas_rows_batch(x, w, 3, bench.C),
+            [rows_in, w_dev], iters=iters)
+
     BATCH = 4
-    rows_b = jax.device_put(
-        np.stack([rng.integers(0, 256, (bench.H, bench.W * bench.C),
-                               dtype=np.uint8) for _ in range(BATCH)]),
-        default_device())
+    rows_b = rows_batch_operands(bench.H, bench.W, BATCH)
     w3 = jax.device_put(_gk(3, 2.0), default_device())
     batch_samples: list[float] = []
     # Arms interleaved WITHIN rounds (CLAUDE.md measurement discipline:
@@ -95,9 +102,7 @@ def main() -> int:
         for label, impl in ext_arms:
             ext_samples[label].append(
                 device_time_ms(impl, [img_dev, w15], iters=48))
-        batch_samples.append(device_time_ms(
-            lambda x, w: gaussian_pallas_rows_batch(x, w, 3, bench.C),
-            [rows_b, w3], iters=16))
+        batch_samples.append(rows_batch_ms(rows_b, w3))
     extended = []
     for label, _ in ext_arms:
         s = sorted(ext_samples[label])
@@ -131,14 +136,8 @@ def main() -> int:
     print(f"gaussian r3 L2 1024x1023: {ms_small:.3f} ms "
           f"(ref {REF_EX_MS} ms, {REF_EX_MS / ms_small:.2f}x)", flush=True)
     SMALL_BATCH = 16
-    rows_small = jax.device_put(
-        np.stack([rng.integers(0, 256, (1023, 1024 * 3), dtype=np.uint8)
-                  for _ in range(SMALL_BATCH)]), default_device())
-    small_samples = sorted(
-        device_time_ms(
-            lambda x, w: gaussian_pallas_rows_batch(x, w, 3, 3),
-            [rows_small, w3], iters=16)
-        for _ in range(3))
+    rows_small = rows_batch_operands(1023, 1024, SMALL_BATCH)
+    small_samples = sorted(rows_batch_ms(rows_small, w3) for _ in range(3))
     sms = small_samples[len(small_samples) // 2] / SMALL_BATCH
     extended.append({
         "case": f"gaussian r3 L2 1024x1023 batch{SMALL_BATCH} (per image)",

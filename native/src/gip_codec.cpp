@@ -148,12 +148,26 @@ static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
     z_stream zs;
     std::memset(&zs, 0, sizeof(zs));
     if (deflateInit2(&zs, 1, Z_DEFLATED, 15, 8, Z_RLE) != Z_OK) return 2;
-    zs.next_in = raw.data();
-    zs.avail_in = (uInt)raw.size();
-    zs.next_out = zbuf.data();
-    zs.avail_out = (uInt)zcap;
-    int zrc = deflate(&zs, Z_FINISH);
-    zcap = zs.total_out;
+    // avail_in/avail_out are 32-bit; feed in bounded chunks so gigapixel
+    // inputs aren't silently truncated through the uInt cast.
+    const size_t kChunk = 1u << 30;
+    size_t in_off = 0, out_off = 0;
+    int zrc = Z_OK;
+    do {
+      size_t in_left = raw.size() - in_off;
+      zs.next_in = raw.data() + in_off;
+      zs.avail_in = (uInt)(in_left < kChunk ? in_left : kChunk);
+      size_t out_left = (size_t)zcap - out_off;
+      zs.next_out = zbuf.data() + out_off;
+      zs.avail_out = (uInt)(out_left < kChunk ? out_left : kChunk);
+      uInt fed_in = zs.avail_in, fed_out = zs.avail_out;
+      bool last = in_off + fed_in == raw.size();
+      zrc = deflate(&zs, last ? Z_FINISH : Z_NO_FLUSH);
+      if (zrc == Z_STREAM_ERROR) break;
+      in_off += fed_in - zs.avail_in;
+      out_off += fed_out - zs.avail_out;
+    } while (zrc != Z_STREAM_END);
+    zcap = (uLongf)out_off;
     deflateEnd(&zs);
     if (zrc != Z_STREAM_END) return 2;
   } else if (compress2(zbuf.data(), &zcap, raw.data(), (uLong)raw.size(),

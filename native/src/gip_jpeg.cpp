@@ -229,6 +229,11 @@ struct Decoder {
 
   bool parse_sof(int len) {
     (void)len;
+    // Defensive re-init: these accumulate via max() below, so a second SOF
+    // (rejected by the caller, but belt-and-braces) must not inherit stale
+    // sampling factors -- plane sizes derive from them and a mismatch is a
+    // heap overflow in the output loops.
+    hmax = vmax = 1;
     int prec = u8();
     height = u16();
     width = u16();
@@ -321,7 +326,7 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
   d.p = data;
   d.n = len;
   d.pos = 2;
-  bool sof_seen = false, eoi = false;
+  bool sof_seen = false, eoi = false, scan_done = false;
   while (!eoi && d.need(2)) {
     if (d.p[d.pos] != 0xFF) return 1;
     int marker = d.p[d.pos + 1];
@@ -340,7 +345,11 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
         break;
       case 0xC0:
       case 0xC1:
-        if (!d.parse_sof(len16)) return 1;
+        // A second SOF is malformed (T.81: one frame per image) and would
+        // desync the declared geometry from the allocated planes -- found
+        // as a heap-OOB read by review: stale hmax/vmax from frame 1
+        // sized the planes while frame 2's dims drove the output copy.
+        if (sof_seen || !d.parse_sof(len16)) return 1;
         sof_seen = true;
         break;
       case 0xC2:
@@ -354,6 +363,7 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
       case 0xDA: {
         if (!sof_seen || !d.parse_sos()) return 1;
         if (!d.decode_scan()) return 3;
+        scan_done = true;
         eoi = true;  // baseline: single scan carries the whole image
         break;
       }
@@ -363,7 +373,9 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
     }
     if (d.err) return 1;
   }
-  if (!sof_seen || d.ncomp == 0) return 1;
+  // Without a decoded scan the planes are just parse_sof's zero fill -- a
+  // truncated upload must be an error, not a silently all-black image.
+  if (!sof_seen || d.ncomp == 0 || !scan_done) return 1;
 
   const int w = d.width, h = d.height;
   const int oc = d.ncomp == 1 ? 1 : 3;

@@ -163,10 +163,20 @@ int main(int argc, char** argv) {
   long iterations = 200000;
   uint64_t seed = 1;
   long only_at = -1;
-  if (argc > 1) iterations = std::atol(argv[1]);
-  if (argc > 2) seed = (uint64_t)std::strtoull(argv[2], nullptr, 10);
-  for (int i = 1; i + 1 < argc; ++i)
-    if (!std::strcmp(argv[i], "--at")) only_at = std::atol(argv[i + 1]);
+  // Strip --at <K> first so it is never consumed as a positional (else
+  // `fuzz_codec 200000 --at K` would replay under seed 0, defeating the
+  // deterministic-replay guarantee).
+  std::vector<const char*> pos;
+  for (int i = 1; i < argc; ++i) {
+    if (!std::strcmp(argv[i], "--at") && i + 1 < argc) {
+      only_at = std::atol(argv[++i]);
+    } else {
+      pos.push_back(argv[i]);
+    }
+  }
+  if (pos.size() > 0) iterations = std::atol(pos[0]);
+  if (pos.size() > 1) seed = (uint64_t)std::strtoull(pos[1], nullptr, 10);
+  if (only_at >= iterations) iterations = only_at + 1;
 
   // Seed corpus: real outputs of our own encoders (several geometries /
   // channel counts / subsampling-free qualities) plus raw header stubs.

@@ -315,3 +315,38 @@ def test_jpeg_header_bomb_rejected():
          1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1, 0xFF, 0xD9]
     )
     assert native_codec.jpeg_decode(sof) is None
+
+
+@needs_native
+def test_jpeg_double_sof_rejected():
+    """Two SOF markers desync declared geometry from allocated planes
+    (stale hmax/vmax sized the planes while the second frame's dims drove
+    the output copy -- a heap-OOB read found by review, ASan-confirmed).
+    A second SOF must reject the stream."""
+    def seg(marker, payload):
+        ln = len(payload) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + bytes(payload)
+
+    dqt = seg(0xDB, [0x00] + [1] * 64)
+    sof1 = seg(0xC0, [8, 0, 8, 0, 8, 3,
+                      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    sof2 = seg(0xC0, [8, 0, 32, 0, 32, 1, 1, 0x11, 0])
+    dht = seg(0xC4, [0x00, 1] + [0] * 15 + [0])       # 1 code of len 1 -> sym 0
+    dht += seg(0xC4, [0x10, 1] + [0] * 15 + [0])
+    sos = seg(0xDA, [1, 1, 0x00, 0, 63, 0])
+    stream = b"\xff\xd8" + dqt + sof1 + sof2 + dht + sos + b"\x00" + b"\xff\xd9"
+    assert native_codec.jpeg_decode(stream) is None
+
+
+@needs_native
+def test_jpeg_missing_scan_rejected():
+    """SOF but no SOS (truncated upload): previously returned rc=0 with an
+    all-black image (the zero-filled planes); must be a decode error."""
+    def seg(marker, payload):
+        ln = len(payload) + 2
+        return bytes([0xFF, marker, ln >> 8, ln & 0xFF]) + bytes(payload)
+
+    dqt = seg(0xDB, [0x00] + [1] * 64)
+    sof = seg(0xC0, [8, 0, 16, 0, 16, 1, 1, 0x11, 0])
+    stream = b"\xff\xd8" + dqt + sof + b"\xff\xd9"
+    assert native_codec.jpeg_decode(stream) is None
