@@ -29,12 +29,26 @@ class ImageCodecError(ValueError):
     pass
 
 
+def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
+    """Normalize a native-decoded (H, W, C) u8 array to RGB (app.py:80-83)."""
+    if arr.shape[2] == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif arr.shape[2] == 2:     # gray+alpha
+        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+    elif arr.shape[2] == 4:
+        arr = arr[:, :, :3].copy()
+    return arr
+
+
 def decode_base64_image(base64_str: str) -> np.ndarray:
     """Decode a (possibly data-URL-prefixed) base64 string to (H, W, 3) u8.
 
-    Fast path: the native C++ codec (base64 + PNG inflate/unfilter); falls
-    back to PIL for formats the native tier doesn't cover (JPEG, palette or
-    16-bit PNG, interlaced, ...).
+    Fast path: the native C++ codec (base64 + PNG inflate/unfilter, at parity
+    with PIL: 78 vs 73 ms on a 2048x1536 photo); PIL handles formats outside
+    the native subset (palette/16-bit/interlaced PNG, ...).  JPEG goes to PIL
+    FIRST when available — libjpeg-turbo's SIMD decode measured ~8x faster
+    than the native scalar baseline decoder (22 vs 174 ms on the same photo)
+    — with the native tier as the no-PIL / PIL-failure fallback.
     """
     try:
         if "," in base64_str:
@@ -48,19 +62,14 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
         raise ImageCodecError("Failed to decode image: empty payload")
 
     arr = native_codec.png_decode(raw)
-    if arr is None and len(raw) > 3 and raw[:2] == b"\xff\xd8":
-        # Baseline JPEG decodes in the native tier too (the browser's most
-        # common upload format); progressive/CMYK fall through to PIL.
+    is_jpeg = arr is None and len(raw) > 3 and raw[:2] == b"\xff\xd8"
+    if is_jpeg and not PIL_AVAILABLE:
+        # Baseline JPEG decodes in the native tier too (gray + YCbCr,
+        # 4:4:4/4:2:2/4:2:0/4:1:1, restart markers) — used standalone when
+        # PIL is absent; with PIL present libjpeg-turbo is ~8x faster.
         arr = native_codec.jpeg_decode(raw)
     if arr is not None:
-        # Normalize to RGB like the reference server (app.py:80-83).
-        if arr.shape[2] == 1:
-            arr = np.repeat(arr, 3, axis=2)
-        elif arr.shape[2] == 2:     # gray+alpha
-            arr = np.repeat(arr[:, :, :1], 3, axis=2)
-        elif arr.shape[2] == 4:
-            arr = arr[:, :, :3].copy()
-        return arr
+        return _normalize_rgb(arr)
 
     try:
         image = Image.open(io.BytesIO(raw))
@@ -75,6 +84,10 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
             image = image.convert("RGB")
         arr = np.array(image)
     except Exception as exc:
+        if is_jpeg:
+            fallback = native_codec.jpeg_decode(raw)
+            if fallback is not None:
+                return _normalize_rgb(fallback)
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
