@@ -30,7 +30,13 @@ import numpy as np
 
 from ..core import config
 from ..core.params import FILTERS, ValidationError, filters_catalog
-from ..utils.image import ImageCodecError, decode_base64_image, encode_image_to_base64, load_image_file
+from ..utils.image import (
+    ImageCodecError,
+    decode_base64_image,
+    decode_base64_image_ex,
+    encode_image_to_base64,
+    load_image_file,
+)
 from .http import HTTPError, Request, Router
 from .schemas import AllLevelsResponse, FilterRequest, FilterResponse
 
@@ -257,11 +263,14 @@ def create_app() -> Router:
                 f"Invalid filter: {req.filter}. Must be 'gaussian', 'box', or 'sobel'",
             )
         try:
-            img = decode_base64_image(req.image)
+            img, original_passthrough = decode_base64_image_ex(req.image)
         except ImageCodecError as exc:
             raise HTTPError(400, str(exc)) from None
         height, width, channels = img.shape
-        original_b64 = encode_image_to_base64(img)
+        # The reference re-encodes the original (app.py:305-309); when the
+        # upload was already an RGB PNG the source bytes pass straight
+        # through instead of paying a full PNG encode (~21 ms at 600x800).
+        original_b64 = original_passthrough or encode_image_to_base64(img)
 
         profiling_available = False
         if req.enable_profiling:
@@ -273,6 +282,8 @@ def create_app() -> Router:
                 logger.warning("Profiling module not available")
 
         results: dict[str, Any] = {}
+        prev_out: Any = None
+        prev_encoded: str | None = None
         for level in config.VALID_LEVELS:
             try:
                 out, metrics = _run_filter(req, img, level)
@@ -308,8 +319,16 @@ def create_app() -> Router:
                         logger.warning("Profiling failed for level %s: %s", level, exc)
                         base_metrics["profiling_error"] = str(exc)
 
+                # Gaussian/box levels are bit-identical by invariant — when
+                # the arrays match, reuse the previous level's PNG instead
+                # of encoding the same pixels twice (~21 ms at 600x800).
+                if prev_encoded is not None and np.array_equal(out, prev_out):
+                    encoded = prev_encoded
+                else:
+                    encoded = encode_image_to_base64(out)
+                    prev_out, prev_encoded = out, encoded
                 results[f"level_{level}"] = FilterResponse(
-                    processed_image=encode_image_to_base64(out),
+                    processed_image=encoded,
                     metrics=base_metrics,
                     info=_info_dict(
                         req, level, height, width, channels, include_level_number=True

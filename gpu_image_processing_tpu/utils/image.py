@@ -11,6 +11,7 @@ from __future__ import annotations
 import base64
 import binascii
 import io
+from typing import Optional
 
 import numpy as np
 
@@ -50,6 +51,20 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
     than the native scalar baseline decoder (22 vs 174 ms on the same photo)
     — with the native tier as the no-PIL / PIL-failure fallback.
     """
+    return decode_base64_image_ex(base64_str)[0]
+
+
+def decode_base64_image_ex(base64_str: str) -> tuple[np.ndarray, Optional[str]]:
+    """``decode_base64_image`` plus an original-image passthrough data URL.
+
+    The second element is a ready-made ``data:image/png;base64,`` URL for the
+    UNMODIFIED source bytes, returned only when the payload was already an
+    8-bit RGB PNG (decoded natively, no RGBA/gray normalization applied) so
+    re-encoding the decoded array would reproduce the same pixels.  The
+    serving ``/api/process-all`` handler re-encodes the original for its
+    response (reference backend/app.py:305-309); the passthrough replaces
+    that full PNG encode (~21 ms on 600x800) with a ~1 ms base64 encode.
+    """
     try:
         if "," in base64_str:
             base64_str = base64_str.split(",", 1)[1]
@@ -69,7 +84,12 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
         # PIL is absent; with PIL present libjpeg-turbo is ~8x faster.
         arr = native_codec.jpeg_decode(raw)
     if arr is not None:
-        return _normalize_rgb(arr)
+        passthrough = None
+        if arr.shape[2] == 3 and raw[:4] == b"\x89PNG":
+            b64 = native_codec.b64_encode(raw)
+            payload = (b64 if b64 is not None else base64.b64encode(raw))
+            passthrough = "data:image/png;base64," + payload.decode("ascii")
+        return _normalize_rgb(arr), passthrough
 
     try:
         image = Image.open(io.BytesIO(raw))
@@ -87,13 +107,13 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
         if is_jpeg:
             fallback = native_codec.jpeg_decode(raw)
             if fallback is not None:
-                return _normalize_rgb(fallback)
+                return _normalize_rgb(fallback), None
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.dtype != np.uint8:
         raise ImageCodecError(f"Failed to decode image: unsupported pixel type {arr.dtype}")
-    return arr
+    return arr, None
 
 
 def encode_image_to_base64(img_array: np.ndarray) -> str:

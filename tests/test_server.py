@@ -147,6 +147,41 @@ def test_process_all_profiling_source_tag(app):
         assert "ncu_profiled_time_ms" in m
 
 
+def test_process_all_original_passthrough_and_encode_reuse(app):
+    # RGB PNG uploads: the original_image is the SOURCE bytes passed through
+    # (no lossy re-encode detour, same pixels), and the bit-identical
+    # gaussian L1/L2 outputs share one encoded PNG instead of paying two.
+    img = _small_image()
+    data_url = _png_b64(img)
+    status, body = _post(app, "/api/process-all", {
+        "image": data_url, "filter": "gaussian", "sigma": 2.0, "radius": 3,
+    })
+    assert status == 200
+    assert body["original_image"] == data_url
+    r1 = body["results"]["level_1"]["processed_image"]
+    r2 = body["results"]["level_2"]["processed_image"]
+    assert r1 == r2  # encode reuse is only valid because outputs are equal
+    out1 = np.array(Image.open(io.BytesIO(base64.b64decode(r1.split(",", 1)[1]))))
+    assert out1.shape == img.shape
+
+
+def test_process_all_rgba_no_passthrough(app):
+    # RGBA input is normalized to RGB; the original must be the re-encoded
+    # normalized image, NOT the source bytes (whose alpha the pipeline drops).
+    rng = np.random.default_rng(11)
+    rgba = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    data_url = _png_b64(rgba)
+    status, body = _post(app, "/api/process-all", {
+        "image": data_url, "filter": "gaussian",
+    })
+    assert status == 200
+    assert body["original_image"] != data_url
+    orig = np.array(Image.open(io.BytesIO(
+        base64.b64decode(body["original_image"].split(",", 1)[1]))))
+    assert orig.shape == (10, 12, 3)
+    assert np.array_equal(orig, rgba[:, :, :3])
+
+
 def test_process_all_grayscale_normalized(app):
     # L-mode input is normalized to RGB by the codec (app.py:80-83).
     gray = np.random.default_rng(3).integers(0, 256, (12, 14), dtype=np.uint8)
