@@ -41,6 +41,38 @@ def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _png_data_url(png_bytes: bytes) -> str:
+    """Wrap ready PNG bytes as a data URL (native b64 tier preferred)."""
+    b64 = native_codec.b64_encode(png_bytes)
+    payload = b64 if b64 is not None else base64.b64encode(png_bytes)
+    return "data:image/png;base64," + payload.decode("ascii")
+
+
+# PNG chunk types that cannot change how decoded pixels RENDER.  Anything
+# else (tRNS transparency, gAMA/cHRM/sRGB/iCCP color management, APNG
+# acTL/fcTL/fdAT, bKGD, sBIT, ...) means the source bytes may display
+# differently from the raw RGB the native decoder extracted, so the
+# original must be re-encoded from the decoded array, not passed through.
+_PNG_NEUTRAL_CHUNKS = frozenset(
+    [b"IHDR", b"IDAT", b"IEND", b"tEXt", b"zTXt", b"iTXt", b"tIME", b"pHYs"]
+)
+
+
+def _png_chunks_neutral(raw: bytes) -> bool:
+    """True iff every chunk of ``raw`` (a PNG) is rendering-neutral."""
+    pos = 8  # past signature
+    n = len(raw)
+    while pos + 8 <= n:
+        length = int.from_bytes(raw[pos : pos + 4], "big")
+        ctype = raw[pos + 4 : pos + 8]
+        if ctype not in _PNG_NEUTRAL_CHUNKS:
+            return False
+        if ctype == b"IEND":
+            return True
+        pos += 12 + length  # len + type + data + crc
+    return False  # truncated / no IEND — don't pass through
+
+
 def decode_base64_image(base64_str: str) -> np.ndarray:
     """Decode a (possibly data-URL-prefixed) base64 string to (H, W, 3) u8.
 
@@ -51,19 +83,24 @@ def decode_base64_image(base64_str: str) -> np.ndarray:
     than the native scalar baseline decoder (22 vs 174 ms on the same photo)
     — with the native tier as the no-PIL / PIL-failure fallback.
     """
-    return decode_base64_image_ex(base64_str)[0]
+    return decode_base64_image_ex(base64_str, want_passthrough=False)[0]
 
 
-def decode_base64_image_ex(base64_str: str) -> tuple[np.ndarray, Optional[str]]:
+def decode_base64_image_ex(
+    base64_str: str, want_passthrough: bool = True
+) -> tuple[np.ndarray, Optional[str]]:
     """``decode_base64_image`` plus an original-image passthrough data URL.
 
     The second element is a ready-made ``data:image/png;base64,`` URL for the
     UNMODIFIED source bytes, returned only when the payload was already an
-    8-bit RGB PNG (decoded natively, no RGBA/gray normalization applied) so
-    re-encoding the decoded array would reproduce the same pixels.  The
-    serving ``/api/process-all`` handler re-encodes the original for its
-    response (reference backend/app.py:305-309); the passthrough replaces
-    that full PNG encode (~21 ms on 600x800) with a ~1 ms base64 encode.
+    8-bit RGB PNG (decoded natively, no RGBA/gray normalization applied)
+    whose every chunk is rendering-neutral, so the source bytes display
+    exactly the pixels the pipeline processed.  The serving
+    ``/api/process-all`` handler re-encodes the original for its response
+    (reference backend/app.py:305-309); the passthrough replaces that full
+    PNG encode (~21 ms on 600x800) with a ~1 ms base64 encode.  Callers that
+    never consume the passthrough pass ``want_passthrough=False`` to skip
+    building it.
     """
     try:
         if "," in base64_str:
@@ -85,10 +122,13 @@ def decode_base64_image_ex(base64_str: str) -> tuple[np.ndarray, Optional[str]]:
         arr = native_codec.jpeg_decode(raw)
     if arr is not None:
         passthrough = None
-        if arr.shape[2] == 3 and raw[:4] == b"\x89PNG":
-            b64 = native_codec.b64_encode(raw)
-            payload = (b64 if b64 is not None else base64.b64encode(raw))
-            passthrough = "data:image/png;base64," + payload.decode("ascii")
+        if (
+            want_passthrough
+            and arr.shape[2] == 3
+            and raw[:4] == b"\x89PNG"
+            and _png_chunks_neutral(raw)
+        ):
+            passthrough = _png_data_url(raw)
         return _normalize_rgb(arr), passthrough
 
     try:
@@ -104,7 +144,9 @@ def decode_base64_image_ex(base64_str: str) -> tuple[np.ndarray, Optional[str]]:
             image = image.convert("RGB")
         arr = np.array(image)
     except Exception as exc:
-        if is_jpeg:
+        # Only meaningful when PIL was actually tried: without PIL the
+        # native decoder already ran (and returned None) above.
+        if is_jpeg and PIL_AVAILABLE:
             fallback = native_codec.jpeg_decode(raw)
             if fallback is not None:
                 return _normalize_rgb(fallback), None
@@ -123,9 +165,7 @@ def encode_image_to_base64(img_array: np.ndarray) -> str:
 
     png = native_codec.png_encode(img_array)
     if png is not None:
-        b64 = native_codec.b64_encode(png)
-        payload = (b64 if b64 is not None else base64.b64encode(png)).decode("ascii")
-        return f"data:image/png;base64,{payload}"
+        return _png_data_url(png)
 
     if img_array.ndim == 3 and img_array.shape[2] == 1:
         img_array = img_array[:, :, 0]

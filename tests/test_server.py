@@ -165,6 +165,27 @@ def test_process_all_original_passthrough_and_encode_reuse(app):
     assert out1.shape == img.shape
 
 
+def test_process_all_trns_png_no_passthrough(app):
+    # An RGB PNG carrying a tRNS chunk renders with transparency, but the
+    # native decoder extracts opaque RGB — the source bytes must NOT pass
+    # through as original_image (they would display differently from the
+    # pixels the pipeline processed).
+    img = _small_image()
+    pil = Image.fromarray(img)
+    buf = io.BytesIO()
+    pil.save(buf, format="PNG", transparency=(255, 0, 0))
+    assert b"tRNS" in buf.getvalue()
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    status, body = _post(app, "/api/process-all", {
+        "image": data_url, "filter": "gaussian",
+    })
+    assert status == 200
+    assert body["original_image"] != data_url
+    orig = np.array(Image.open(io.BytesIO(
+        base64.b64decode(body["original_image"].split(",", 1)[1]))))
+    assert np.array_equal(orig, img)
+
+
 def test_process_all_rgba_no_passthrough(app):
     # RGBA input is normalized to RGB; the original must be the re-encoded
     # normalized image, NOT the source bytes (whose alpha the pipeline drops).
