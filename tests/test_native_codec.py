@@ -144,6 +144,39 @@ def test_jpeg_serving_path_native(rng):
     assert int(np.abs(arr_native.astype(int) - img.astype(int)).max()) <= 20
 
 
+def test_png_chunk_neutrality_scanner(rng):
+    # The original-image passthrough gate: rendering-neutral chunks pass,
+    # anything affecting display (tRNS, gAMA, APNG, ...) or a malformed
+    # chunk stream refuses the passthrough.
+    from gpu_image_processing_tpu.utils.image import _png_chunks_neutral
+    import struct, zlib as _zlib
+
+    img = make_image(rng, 8, 9, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+    plain = buf.getvalue()
+    assert _png_chunks_neutral(plain)
+
+    def insert_chunk(png: bytes, ctype: bytes, data: bytes) -> bytes:
+        # splice a chunk right after IHDR (signature 8 + IHDR 12+13 bytes)
+        cut = 8 + 12 + 13
+        chunk = struct.pack(">I", len(data)) + ctype + data
+        chunk += struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        return png[:cut] + chunk + png[cut:]
+
+    assert not _png_chunks_neutral(insert_chunk(plain, b"gAMA", b"\x00\x00\xb1\x8f"))
+    assert not _png_chunks_neutral(insert_chunk(plain, b"tRNS", b"\x00\xff\x00\x00\x00\x00"))
+    assert not _png_chunks_neutral(insert_chunk(plain, b"acTL", b"\x00\x00\x00\x01\x00\x00\x00\x00"))
+    # neutral metadata chunks keep the passthrough
+    assert _png_chunks_neutral(insert_chunk(plain, b"tEXt", b"Comment\x00hi"))
+    # truncated stream (no IEND reached) refuses
+    assert not _png_chunks_neutral(plain[:-20])
+    # declared chunk length running past the buffer refuses (no IEND seen)
+    bogus = insert_chunk(plain, b"tEXt", b"x" * 4)
+    bogus = bogus[:8 + 12 + 13] + struct.pack(">I", 1 << 30) + bogus[8 + 12 + 17:]
+    assert not _png_chunks_neutral(bogus)
+
+
 def test_codec_pipeline_jpeg_progressive_falls_back(rng):
     # Progressive JPEG is outside the native baseline decoder; the PIL
     # fallback must kick in transparently.
