@@ -53,15 +53,23 @@ LOOP_ITERS = 64
 ROUNDS = 5
 
 
-def _apply_fn(filter_name: str, level: int):
-    """(img_u8, *rest) -> img_u8 pure filter function for the given level."""
-    from gpu_image_processing_tpu.ops import fused, ref
+def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C):
+    """(img_u8, *rest) -> img_u8 pure filter function for the given level.
+
+    Level 1 is timed through the implementation serving actually uses: the
+    interleaved rows tier (ops/interleaved.py) on the (H, W*C) serving
+    boundary -- same bytes as HWC, bit-exact naive numerics, and 1.8-2.9x
+    faster than timing the planar oracle whose HWC<->planar transposes are
+    relayout cost the served path never pays (scripts/exp_l1_rows.py,
+    A/B'd on silicon).  Levels 2/4 time the planar fused kernels.
+    """
+    from gpu_image_processing_tpu.ops import fused, interleaved as il
 
     if level == 1:
         impls = {
-            "gaussian": lambda x, w: ref.gaussian_blur(x, w, GAUSS_RADIUS),
-            "box": lambda x: ref.box_blur(x, BOX_RADIUS),
-            "sobel": lambda x: ref.sobel(x, 1),
+            "gaussian": lambda x, w: il.gaussian_rows(x, w, GAUSS_RADIUS, channels),
+            "box": lambda x: il.box_rows(x, BOX_RADIUS, channels),
+            "sobel": lambda x: il.sobel_rows(x, 1, width, channels),
         }
         return impls[filter_name]
     l2: dict = {}
@@ -83,14 +91,24 @@ def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float
     from gpu_image_processing_tpu.runtime.device import default_device
     from gpu_image_processing_tpu.runtime.timing import device_time_ms
 
-    args = [jax.device_put(img, default_device())]
+    import numpy as np
+
+    h, w_, c = img.shape
+    if level == 1:
+        # serving boundary: (H, W*C) rows -- a free host-side reshape of
+        # the same HWC bytes (runtime/dispatch.py header)
+        dev_img = jax.device_put(
+            np.ascontiguousarray(img).reshape(h, w_ * c), default_device())
+    else:
+        dev_img = jax.device_put(img, default_device())
+    args = [dev_img]
     if filter_name == "gaussian":
         args.append(
             jax.device_put(
                 gaussian_kernel_f32(GAUSS_RADIUS, GAUSS_SIGMA), default_device()
             )
         )
-    fn = _apply_fn(filter_name, level)
+    fn = _apply_fn(filter_name, level, width=w_, channels=c)
     samples = sorted(
         device_time_ms(fn, args, iters=LOOP_ITERS) for _ in range(rounds)
     )

@@ -15,7 +15,7 @@ import jax
 import numpy as np
 import pytest
 
-from gpu_image_processing_tpu.ops import fused, ref
+from gpu_image_processing_tpu.ops import fused, interleaved as il, ref
 from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
 
 from .conftest import make_image
@@ -143,3 +143,52 @@ def test_synthetic_square_smoke():
     assert out[32, 32, 0] > 200
     assert 0 < out[16, 16, 0] < 255
     assert out[0, 0, 0] == 0
+
+
+# ---------------------------------------------------------------------------
+# Interleaved rows tier (ops/interleaved.py): the serving level-1 path and
+# what bench.py times for level 1 -- locked directly against the oracle.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _gaussian_rows(rows, w, radius, channels):
+    return il.gaussian_rows(rows, w, radius, channels)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _box_rows(rows, radius, channels, doubling):
+    return il.box_rows(rows, radius, channels, doubling=doubling)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _sobel_rows(rows, level, width, channels):
+    return il.sobel_rows(rows, level, width, channels)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_gaussian_rows_exact(rng, shape):
+    img = make_image(rng, *shape)
+    h, w_, c = img.shape
+    w = gaussian_kernel_f32(3, 2.0)
+    got = np.asarray(_gaussian_rows(img.reshape(h, w_ * c), w, 3, c))
+    np.testing.assert_array_equal(
+        got.reshape(h, w_, c), oracle.gaussian_blur(img, w, 3))
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("doubling", [False, True])
+def test_box_rows_exact(rng, shape, doubling):
+    img = make_image(rng, *shape)
+    h, w_, c = img.shape
+    got = np.asarray(_box_rows(img.reshape(h, w_ * c), 5, c, doubling))
+    np.testing.assert_array_equal(got.reshape(h, w_, c), oracle.box_blur(img, 5))
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_rows_matches_oracle(rng, shape, level):
+    img = make_image(rng, *shape)
+    h, w_, c = img.shape
+    got = np.asarray(_sobel_rows(img.reshape(h, w_ * c), level, w_, c))
+    assert_sobel_close(got.reshape(h, w_, c), oracle.sobel(img, level))
