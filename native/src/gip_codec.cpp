@@ -14,6 +14,7 @@
 #include <cstring>
 #include <cstdio>
 #include <string>
+#include <utility>
 #include <vector>
 #include <zlib.h>
 
@@ -478,6 +479,120 @@ int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
     std::fwrite(line.data(), 1, row, f);
   }
   std::fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// TGA -- the fourth output format of the reference CLI (test_real_image.cu
+// :220-240 picks png/jpg/bmp/tga by extension via stb_image_write).  Write is
+// uncompressed top-down type 2 (BGR/BGRA) or type 3 (gray); read also covers
+// the RLE types (9 excluded: color-mapped) and both row orders.
+// ---------------------------------------------------------------------------
+
+int gip_tga_write(const char* path, const uint8_t* img, int h, int w, int c) {
+  if (c != 1 && c != 3 && c != 4) return 1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 2;
+  uint8_t header[18] = {0};
+  header[2] = c == 1 ? 3 : 2;
+  header[12] = (uint8_t)(w & 0xff);
+  header[13] = (uint8_t)((w >> 8) & 0xff);
+  header[14] = (uint8_t)(h & 0xff);
+  header[15] = (uint8_t)((h >> 8) & 0xff);
+  header[16] = (uint8_t)(8 * c);
+  header[17] = (uint8_t)(0x20 | (c == 4 ? 8 : 0));  // top-down; alpha bits
+  std::fwrite(header, 1, 18, f);
+  std::vector<uint8_t> line((size_t)w * c);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* src = img + (size_t)y * w * c;
+    if (c == 1) {
+      std::memcpy(line.data(), src, (size_t)w);
+    } else {
+      for (int x = 0; x < w; ++x) {
+        line[(size_t)x * c + 0] = src[x * c + 2];  // B
+        line[(size_t)x * c + 1] = src[x * c + 1];  // G
+        line[(size_t)x * c + 2] = src[x * c + 0];  // R
+        if (c == 4) line[(size_t)x * c + 3] = src[x * c + 3];
+      }
+    }
+    if (std::fwrite(line.data(), 1, line.size(), f) != line.size()) {
+      std::fclose(f);
+      return 3;
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
+int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
+                 int* out_c) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return 1;
+  uint8_t header[18];
+  if (std::fread(header, 1, 18, f) != 18) { std::fclose(f); return 2; }
+  int id_len = header[0], cmap = header[1], type = header[2];
+  int w = header[12] | (header[13] << 8);
+  int h = header[14] | (header[15] << 8);
+  int bpp = header[16];
+  bool top_down = (header[17] & 0x20) != 0;
+  bool rle = type == 10 || type == 11;
+  if (cmap != 0 || (type != 2 && type != 3 && !rle) ||
+      (bpp != 8 && bpp != 24 && bpp != 32) || w <= 0 || h <= 0 ||
+      (uint64_t)w * h > kGipMaxDecodePixels ||
+      ((type == 3 || type == 11) != (bpp == 8))) {
+    std::fclose(f);
+    return 3;
+  }
+  if (id_len && std::fseek(f, id_len, SEEK_CUR) != 0) { std::fclose(f); return 2; }
+  int c = bpp / 8;
+  size_t n = (size_t)w * h * c;
+  uint8_t* buf = (uint8_t*)std::malloc(n);
+  if (!buf) { std::fclose(f); return 4; }
+  if (rle) {
+    size_t filled = 0;
+    uint8_t px[4];
+    while (filled < n) {
+      int hdr = std::fgetc(f);
+      if (hdr == EOF) { std::free(buf); std::fclose(f); return 5; }
+      size_t count = (size_t)(hdr & 0x7f) + 1;
+      if (count * c > n - filled) { std::free(buf); std::fclose(f); return 5; }
+      if (hdr & 0x80) {  // run packet: one pixel repeated `count` times
+        if (std::fread(px, 1, c, f) != (size_t)c) {
+          std::free(buf); std::fclose(f); return 5;
+        }
+        for (size_t i = 0; i < count; ++i, filled += c)
+          std::memcpy(buf + filled, px, c);
+      } else {  // raw packet: `count` literal pixels
+        if (std::fread(buf + filled, 1, count * c, f) != count * c) {
+          std::free(buf); std::fclose(f); return 5;
+        }
+        filled += count * c;
+      }
+    }
+  } else if (std::fread(buf, 1, n, f) != n) {
+    std::free(buf);
+    std::fclose(f);
+    return 5;
+  }
+  std::fclose(f);
+  if (c >= 3) {  // BGR(A) -> RGB(A)
+    for (size_t i = 0; i < n; i += c) std::swap(buf[i], buf[i + 2]);
+  }
+  if (!top_down) {  // bottom-up -> top-down
+    size_t row = (size_t)w * c;
+    std::vector<uint8_t> tmp(row);
+    for (int y = 0; y < h / 2; ++y) {
+      uint8_t* a = buf + (size_t)y * row;
+      uint8_t* b = buf + (size_t)(h - 1 - y) * row;
+      std::memcpy(tmp.data(), a, row);
+      std::memcpy(a, b, row);
+      std::memcpy(b, tmp.data(), row);
+    }
+  }
+  *out = buf;
+  *out_h = h;
+  *out_w = w;
+  *out_c = c;
   return 0;
 }
 

@@ -19,6 +19,8 @@ int gip_ppm_read(const char*, uint8_t**, int*, int*, int*);
 int gip_bmp_write(const char*, const uint8_t*, int, int, int);
 int gip_jpeg_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
 int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_tga_write(const char*, const uint8_t*, int, int, int);
+int gip_tga_read(const char*, uint8_t**, int*, int*, int*);
 }
 
 static int failures = 0;
@@ -105,6 +107,46 @@ int main() {
       std::fclose(f);
     }
     CHECK(hdr[0] == 'B' && hdr[1] == 'M', "bmp header");
+  }
+
+  // TGA roundtrip for 1/3/4 channels (uncompressed top-down write path)
+  for (int c : {1, 3, 4}) {
+    auto img = make_image(19, 27, c);
+    char msg[64];
+    std::snprintf(msg, sizeof msg, "tga write c=%d", c);
+    CHECK(gip_tga_write("/tmp/gip_test.tga", img.data(), 19, 27, c) == 0, msg);
+    uint8_t* out = nullptr;
+    int h = 0, w = 0, oc = 0;
+    int rc = gip_tga_read("/tmp/gip_test.tga", &out, &h, &w, &oc);
+    std::snprintf(msg, sizeof msg, "tga roundtrip c=%d", c);
+    CHECK(rc == 0 && h == 19 && w == 27 && oc == c &&
+              !std::memcmp(out, img.data(), img.size()),
+          msg);
+    gip_free(out);
+  }
+
+  // TGA RLE + bottom-up decode (the stb-written variant): hand-built 2x2
+  // BGR image -- row packets [run of 2 red] (bottom row) then [2 raw pixels
+  // green, blue] (top row), origin bottom-left.
+  {
+    const uint8_t rle_tga[] = {
+        0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0,  // header: type 10 (RLE BGR)
+        2, 0, 2, 0, 24, 0,                     // 2x2, 24bpp, bottom-up
+        0x81, 0, 0, 255,                       // run(2): red (BGR)
+        0x01, 0, 255, 0, 255, 0, 0,            // raw(2): green, blue
+    };
+    FILE* f = std::fopen("/tmp/gip_rle.tga", "wb");
+    std::fwrite(rle_tga, 1, sizeof rle_tga, f);
+    std::fclose(f);
+    uint8_t* out = nullptr;
+    int h = 0, w = 0, oc = 0;
+    int rc = gip_tga_read("/tmp/gip_rle.tga", &out, &h, &w, &oc);
+    const uint8_t want[] = {0, 255, 0, 0, 0, 255,    // top row: green, blue
+                            255, 0, 0, 255, 0, 0};   // bottom row: red, red
+    CHECK(rc == 0 && h == 2 && w == 2 && oc == 3 &&
+              !std::memcmp(out, want, sizeof want),
+          "tga rle bottom-up decode");
+    gip_free(out);
   }
 
   // JPEG roundtrip: smooth gradient, quality 95 -> small reconstruction

@@ -4,8 +4,8 @@
 The analog of the reference's `tests/test_real_image.cu` CLI (stb load ->
 validate sigma/radius -> gaussianBlur -> write in the format chosen by the
 output extension -> print metrics + 30/60 FPS verdicts, :59-281), extended
-to all three filters.  Output format by extension: .png/.ppm/.pgm/.bmp via
-the native codec, anything else via PIL.
+to all three filters.  Output format by extension: .png/.ppm/.pgm/.bmp/.tga
+via the native codec (the reference CLI's full set), anything else via PIL.
 
 Usage:
     python scripts/filter_image.py INPUT [OUTPUT] [--filter gaussian|box|sobel]
@@ -29,26 +29,29 @@ def load_image(path: str) -> np.ndarray:
     from gpu_image_processing_tpu.utils import native_codec
 
     ext = os.path.splitext(path)[1].lower()
-    if ext in (".ppm", ".pgm") and native_codec.available():
-        import ctypes  # noqa: F401
-
-        lib = native_codec.load()
+    if ext in (".ppm", ".pgm", ".tga") and native_codec.available():
         import ctypes as ct
 
+        lib = native_codec.load()
+        reader = lib.gip_ppm_read if ext in (".ppm", ".pgm") else lib.gip_tga_read
         buf = ct.c_void_p()
         h = ct.c_int()
         w = ct.c_int()
         c = ct.c_int()
-        lib.gip_ppm_read.restype = ct.c_int
-        lib.gip_ppm_read.argtypes = [ct.c_char_p, ct.POINTER(ct.c_void_p),
-                                     ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
-                                     ct.POINTER(ct.c_int)]
-        rc = lib.gip_ppm_read(path.encode(), ct.byref(buf), ct.byref(h),
-                              ct.byref(w), ct.byref(c))
+        reader.restype = ct.c_int
+        reader.argtypes = [ct.c_char_p, ct.POINTER(ct.c_void_p),
+                           ct.POINTER(ct.c_int), ct.POINTER(ct.c_int),
+                           ct.POINTER(ct.c_int)]
+        rc = reader(path.encode(), ct.byref(buf), ct.byref(h),
+                    ct.byref(w), ct.byref(c))
         if rc == 0:
             raw = ct.string_at(buf, h.value * w.value * c.value)
             lib.gip_free(buf)
-            return np.frombuffer(raw, np.uint8).reshape(h.value, w.value, c.value)
+            arr = np.frombuffer(raw, np.uint8).reshape(h.value, w.value, c.value)
+            if arr.shape[2] == 4:
+                # Strip alpha like the reference CLI (test_real_image.cu:122-125).
+                arr = np.ascontiguousarray(arr[:, :, :3])
+            return arr
     from PIL import Image
 
     img = Image.open(path)
@@ -89,6 +92,12 @@ def save_image(path: str, arr: np.ndarray) -> None:
             lib.gip_bmp_write.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int,
                                           ct.c_int, ct.c_int]
             if lib.gip_bmp_write(path.encode(),
+                                 flat.ctypes.data_as(ct.c_char_p), h, w, c) == 0:
+                return
+        elif ext == ".tga":
+            lib.gip_tga_write.argtypes = [ct.c_char_p, ct.c_char_p, ct.c_int,
+                                          ct.c_int, ct.c_int]
+            if lib.gip_tga_write(path.encode(),
                                  flat.ctypes.data_as(ct.c_char_p), h, w, c) == 0:
                 return
     from PIL import Image

@@ -396,3 +396,56 @@ def test_jpeg_missing_scan_rejected():
     sof = seg(0xC0, [8, 0, 16, 0, 16, 1, 1, 0x11, 0])
     stream = b"\xff\xd8" + dqt + sof + b"\xff\xd9"
     assert native_codec.jpeg_decode(stream) is None
+
+
+@needs_native
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_tga_native_roundtrip(rng, c, tmp_path):
+    """gip_tga_write/read roundtrip through the CLI's load/save helpers."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "filter_image", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "filter_image.py"))
+    fi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fi)
+
+    img = make_image(rng, 21, 17, c)
+    path = str(tmp_path / "native.tga")
+    fi.save_image(path, img)
+    with open(path, "rb") as f:
+        hdr = f.read(3)
+    assert hdr[2] == (3 if c == 1 else 2)  # native uncompressed types
+    back = fi.load_image(path)
+    # load_image strips alpha like the reference CLI (test_real_image.cu:122).
+    want = img[:, :, :3] if c == 4 else img
+    np.testing.assert_array_equal(back, want)
+    # PIL must agree on the file's pixels (interop with the wider world).
+    pil = np.array(Image.open(path))
+    if pil.ndim == 2:
+        pil = pil[:, :, None]
+    np.testing.assert_array_equal(pil[:, :, : img.shape[2]], img)
+
+
+@needs_native
+def test_tga_reads_pil_rle(rng, tmp_path):
+    """PIL's RLE-compressed bottom-up TGA decodes through gip_tga_read."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "filter_image", os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts", "filter_image.py"))
+    fi = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fi)
+
+    img = make_image(rng, 15, 23, 3)
+    img[4:9, :] = 77  # constant band so RLE produces run packets
+    path = str(tmp_path / "pil_rle.tga")
+    Image.fromarray(img).save(path, rle=True)
+    with open(path, "rb") as f:
+        assert f.read(3)[2] == 10  # RLE truecolor
+    np.testing.assert_array_equal(fi.load_image(path), img)
