@@ -26,6 +26,8 @@ int gip_png_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
 int gip_png_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_jpeg_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
 int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_tga_write(const char*, const uint8_t*, int, int, int);
+int gip_tga_read(const char*, uint8_t**, int*, int*, int*);
 }
 
 namespace {
@@ -68,6 +70,21 @@ std::vector<uint8_t> enc_jpeg(int h, int w, int c, int q) {
   if (gip_jpeg_encode(img.data(), h, w, c, q, &buf, &len) != 0) return {};
   std::vector<uint8_t> out(buf, buf + len);
   gip_free(buf);
+  return out;
+}
+
+std::vector<uint8_t> enc_tga(int h, int w, int c) {
+  auto img = synth_image(h, w, c, 11);
+  const char* path = "/tmp/gip_fuzz_seed.tga";
+  if (gip_tga_write(path, img.data(), h, w, c) != 0) return {};
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return {};
+  std::vector<uint8_t> out;
+  uint8_t chunk[4096];
+  size_t got;
+  while ((got = std::fread(chunk, 1, sizeof chunk, f)) > 0)
+    out.insert(out.end(), chunk, chunk + got);
+  std::fclose(f);
   return out;
 }
 
@@ -155,6 +172,21 @@ void run_decoders(const std::vector<uint8_t>& d) {
   // (utils/native_codec.py::b64_decode) -- fuzz against exactly that.
   std::vector<uint8_t> b64out((d.size() / 4 + 1) * 3);
   gip_base64_decode((const char*)d.data(), d.size(), b64out.data());
+  // TGA reads from a path (the CLI's untrusted-file surface): round the
+  // mutated bytes through a temp file.
+  FILE* f = std::fopen("/tmp/gip_fuzz_in.tga", "wb");
+  if (f) {
+    std::fwrite(d.data(), 1, d.size(), f);
+    std::fclose(f);
+    out = nullptr;
+    if (gip_tga_read("/tmp/gip_fuzz_in.tga", &out, &h, &w, &c) == 0) {
+      if (h <= 0 || w <= 0 || (c != 1 && c != 3 && c != 4)) {
+        std::fprintf(stderr, "tga_read returned bad dims %dx%dx%d\n", h, w, c);
+        std::abort();
+      }
+      gip_free(out);
+    }
+  }
 }
 
 }  // namespace
@@ -192,6 +224,10 @@ int main(int argc, char** argv) {
   corpus.push_back(enc_jpeg(8, 8, 3, 95));
   corpus.push_back({0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A});
   corpus.push_back({0xFF, 0xD8, 0xFF, 0xDB, 0x00, 0x43, 0x00});
+  for (int c : {1, 3, 4}) corpus.push_back(enc_tga(21, 27, c));
+  // RLE bottom-up TGA (the variant our writer never emits).
+  corpus.push_back({0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 2, 0, 24, 0,
+                    0x81, 0, 0, 255, 0x01, 0, 255, 0, 255, 0, 0});
   // A base64-looking text seed.
   {
     const char* t = "aGVsbG8gd29ybGQ=\nQUJDRA==";
