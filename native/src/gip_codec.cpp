@@ -491,6 +491,7 @@ int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
 
 int gip_tga_write(const char* path, const uint8_t* img, int h, int w, int c) {
   if (c != 1 && c != 3 && c != 4) return 1;
+  if (w <= 0 || h <= 0 || w > 0xffff || h > 0xffff) return 1;  // 16-bit dims
   FILE* f = std::fopen(path, "wb");
   if (!f) return 2;
   uint8_t header[18] = {0};

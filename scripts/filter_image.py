@@ -71,7 +71,7 @@ def save_image(path: str, arr: np.ndarray) -> None:
 
     ext = os.path.splitext(path)[1].lower()
     lib = native_codec.load()
-    if lib is not None and ext in (".png", ".ppm", ".pgm", ".bmp"):
+    if lib is not None and ext in (".png", ".ppm", ".pgm", ".bmp", ".tga"):
         h, w, c = arr.shape
         flat = np.ascontiguousarray(arr, np.uint8)
         import ctypes as ct

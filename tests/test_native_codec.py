@@ -416,8 +416,11 @@ def test_tga_native_roundtrip(rng, c, tmp_path):
     path = str(tmp_path / "native.tga")
     fi.save_image(path, img)
     with open(path, "rb") as f:
-        hdr = f.read(3)
-    assert hdr[2] == (3 if c == 1 else 2)  # native uncompressed types
+        hdr = f.read(18)
+    assert hdr[2] == (3 if c == 1 else 2)  # uncompressed types
+    # Top-down origin bit: gip_tga_write always sets it, PIL's fallback
+    # writes bottom-up -- this catches save_image routing to PIL.
+    assert hdr[17] & 0x20
     back = fi.load_image(path)
     # load_image strips alpha like the reference CLI (test_real_image.cu:122).
     want = img[:, :, :3] if c == 4 else img
@@ -449,3 +452,38 @@ def test_tga_reads_pil_rle(rng, tmp_path):
     with open(path, "rb") as f:
         assert f.read(3)[2] == 10  # RLE truecolor
     np.testing.assert_array_equal(fi.load_image(path), img)
+
+
+def test_jpeg_header_neutrality_scanner(rng):
+    from gpu_image_processing_tpu.utils.image import _jpeg_headers_neutral
+
+    img = _smooth_rgb(rng, 16, 16)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    plain = buf.getvalue()
+    assert _jpeg_headers_neutral(plain)
+
+    # EXIF (APP1) must disqualify: orientation could rotate the display.
+    buf = io.BytesIO()
+    exif = Image.Exif()
+    exif[274] = 6  # Orientation: rotate 90
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, exif=exif)
+    with_exif = buf.getvalue()
+    assert b"Exif" in with_exif
+    assert not _jpeg_headers_neutral(with_exif)
+
+    # Progressive (SOF2) must disqualify: multiple scans can carry markers.
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90, progressive=True)
+    assert not _jpeg_headers_neutral(buf.getvalue())
+
+    # ICC profile (APP2) must disqualify.
+    app2 = b"\xff\xe2" + (14).to_bytes(2, "big") + b"ICC_PROFILE\x00"
+    spliced = plain[:2] + app2 + plain[2:]
+    assert not _jpeg_headers_neutral(spliced)
+
+    # Degenerates: truncation before SOS, bad magic, zero-length segment.
+    sos = plain.find(b"\xff\xda")
+    assert not _jpeg_headers_neutral(plain[:sos])
+    assert not _jpeg_headers_neutral(b"\x89PNG")
+    assert not _jpeg_headers_neutral(plain[:2] + b"\xff\xdb\x00\x01" + plain[2:])
