@@ -73,6 +73,56 @@ def _png_chunks_neutral(raw: bytes) -> bool:
     return False  # truncated / no IEND — don't pass through
 
 
+# JPEG marker segments that cannot change how decoded pixels RENDER.
+# APP0/JFIF carries only density/thumbnail info; DQT/DHT/DRI/COM/SOF0 are
+# pure encoding structure.  Anything else — APP1 EXIF (orientation!), APP2
+# ICC profiles, APP14 Adobe color transforms, progressive/arithmetic SOFs,
+# unknown APPn — may make a browser display the source bytes differently
+# from the RGB array the pipeline processed, so the original must be
+# re-encoded rather than passed through.
+_JPEG_NEUTRAL_MARKERS = frozenset([0xE0, 0xDB, 0xC4, 0xC0, 0xDD, 0xFE])
+
+
+def _jpeg_headers_neutral(raw: bytes) -> bool:
+    """True iff ``raw`` is a baseline JPEG whose every header segment up to
+    the (single) scan is rendering-neutral.
+
+    Baseline (SOF0) files have exactly one SOS; everything after it is
+    entropy data + RST markers + EOI, which cannot carry metadata, so the
+    scan stops there.  Progressive files (multiple scans, markers allowed
+    between them) are rejected wholesale by the SOF0 requirement.
+    """
+    n = len(raw)
+    if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
+        return False
+    pos = 2
+    saw_sof0 = False
+    while pos + 4 <= n:
+        if raw[pos] != 0xFF:
+            return False
+        marker = raw[pos + 1]
+        if marker == 0xFF:  # fill byte
+            pos += 1
+            continue
+        if marker == 0xDA:  # SOS: headers done
+            return saw_sof0
+        if marker not in _JPEG_NEUTRAL_MARKERS:
+            return False
+        if marker == 0xC0:
+            saw_sof0 = True
+        seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+        if seg_len < 2:
+            return False
+        pos += 2 + seg_len
+    return False  # truncated before SOS
+
+
+def _jpeg_data_url(jpeg_bytes: bytes) -> str:
+    b64 = native_codec.b64_encode(jpeg_bytes)
+    payload = b64 if b64 is not None else base64.b64encode(jpeg_bytes)
+    return "data:image/jpeg;base64," + payload.decode("ascii")
+
+
 def decode_base64_image(base64_str: str) -> np.ndarray:
     """Decode a (possibly data-URL-prefixed) base64 string to (H, W, 3) u8.
 
@@ -91,16 +141,19 @@ def decode_base64_image_ex(
 ) -> tuple[np.ndarray, Optional[str]]:
     """``decode_base64_image`` plus an original-image passthrough data URL.
 
-    The second element is a ready-made ``data:image/png;base64,`` URL for the
-    UNMODIFIED source bytes, returned only when the payload was already an
-    8-bit RGB PNG (decoded natively, no RGBA/gray normalization applied)
-    whose every chunk is rendering-neutral, so the source bytes display
-    exactly the pixels the pipeline processed.  The serving
-    ``/api/process-all`` handler re-encodes the original for its response
-    (reference backend/app.py:305-309); the passthrough replaces that full
-    PNG encode (~21 ms on 600x800) with a ~1 ms base64 encode.  Callers that
-    never consume the passthrough pass ``want_passthrough=False`` to skip
-    building it.
+    The second element is a ready-made data URL for the UNMODIFIED source
+    bytes, returned only when those bytes are guaranteed to display exactly
+    the pixels the pipeline processed: an 8-bit RGB PNG (decoded natively,
+    no RGBA/gray normalization applied) whose every chunk is
+    rendering-neutral, or a baseline RGB JPEG whose every header segment is
+    rendering-neutral (no EXIF orientation, ICC, Adobe transform, ...; for
+    JPEG the display is the browser's decode of the same bytes, which may
+    differ from our decode by IDCT rounding ±1 — it is literally the
+    uploaded original).  The serving ``/api/process-all`` handler re-encodes
+    the original for its response (reference backend/app.py:305-309); the
+    passthrough replaces that full PNG encode (~21 ms on 600x800) with a
+    ~1 ms base64 encode.  Callers that never consume the passthrough pass
+    ``want_passthrough=False`` to skip building it.
     """
     try:
         if "," in base64_str:
@@ -122,17 +175,23 @@ def decode_base64_image_ex(
         arr = native_codec.jpeg_decode(raw)
     if arr is not None:
         passthrough = None
-        if (
-            want_passthrough
-            and arr.shape[2] == 3
-            and raw[:4] == b"\x89PNG"
-            and _png_chunks_neutral(raw)
-        ):
-            passthrough = _png_data_url(raw)
+        if want_passthrough and arr.shape[2] == 3:
+            if raw[:4] == b"\x89PNG" and _png_chunks_neutral(raw):
+                passthrough = _png_data_url(raw)
+            elif is_jpeg and _jpeg_headers_neutral(raw):
+                passthrough = _jpeg_data_url(raw)
         return _normalize_rgb(arr), passthrough
 
     try:
         image = Image.open(io.BytesIO(raw))
+        passthrough = None
+        if (
+            want_passthrough
+            and is_jpeg
+            and image.mode == "RGB"
+            and _jpeg_headers_neutral(raw)
+        ):
+            passthrough = _jpeg_data_url(raw)
         if image.mode != "RGB":
             # RGBA/L normalization as in the reference (app.py:80-83),
             # extended to every other mode (palette, 16-bit, float) so the
@@ -155,7 +214,7 @@ def decode_base64_image_ex(
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.dtype != np.uint8:
         raise ImageCodecError(f"Failed to decode image: unsupported pixel type {arr.dtype}")
-    return arr, None
+    return arr, passthrough
 
 
 def encode_image_to_base64(img_array: np.ndarray) -> str:

@@ -342,3 +342,37 @@ def test_docs_endpoint(app):
     assert status == 200
     assert "POST /api/process" in body["endpoints"]
     assert "POST /api/process-batch" in body["endpoints"]
+
+
+def test_process_all_jpeg_original_passthrough(app):
+    # Baseline RGB JPEG uploads: the original_image is the SOURCE bytes
+    # passed through as data:image/jpeg (no PNG re-encode detour) -- the
+    # browser displays the literal upload.
+    rng = np.random.default_rng(21)
+    img = rng.integers(100, 140, (12, 14, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
+    status, body = _post(app, "/api/process-all", {
+        "image": data_url, "filter": "gaussian",
+    })
+    assert status == 200
+    assert body["original_image"] == data_url
+
+
+def test_process_all_exif_jpeg_no_passthrough(app):
+    # EXIF orientation would rotate the browser's display of the source
+    # bytes away from the pixels the pipeline processed: re-encode instead.
+    rng = np.random.default_rng(22)
+    img = rng.integers(100, 140, (12, 14, 3), dtype=np.uint8)
+    exif = Image.Exif()
+    exif[274] = 6
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92, exif=exif)
+    data_url = "data:image/jpeg;base64," + base64.b64encode(buf.getvalue()).decode()
+    status, body = _post(app, "/api/process-all", {
+        "image": data_url, "filter": "gaussian",
+    })
+    assert status == 200
+    assert body["original_image"] != data_url
+    assert body["original_image"].startswith("data:image/png;base64,")
