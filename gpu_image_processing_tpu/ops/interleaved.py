@@ -158,13 +158,52 @@ def box_rows(rows_u8: jnp.ndarray, radius: int, channels: int,
     return quantize_u8(_sum_rows(h, radius) * inv)
 
 
+def _gray_phase_aligned(x: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Per-pixel gray at EVERY lane of an interleaved (..., H, W*C) plane.
+
+    Step 1 is the same every-lane 3-term chain the phase-0 scheme used
+    (g[l] = .299 x[l] + .587 x[l+1] + .114 x[l+2]; true gray at phase-0
+    lanes, phase-garbage elsewhere) so the f32 bits at phase-0 lanes are
+    unchanged.  Step 2 replicates each pixel's phase-0 value to all its
+    lanes with ONE 3-way phase select (lane l copies g[l - l mod C]).
+    Replicating gray at the INPUT instead of magnitude at the output is
+    what the old scheme's pad+concat+select epilogue cost, minus the
+    concat -- and every downstream op (quantize/taps/mag) then computes
+    each pixel's true value at every lane, so within-pixel channel
+    equality and oracle agreement are bit-for-bit those of the phase-0
+    scheme.  (Two rejected alternatives, measured: lane-periodic zero
+    weights and per-channel gathers both change which multiply-adds XLA
+    contracts to FMAs, flipping level-2 quantization ties ~8e-3 vs the
+    tolerance gate's 1e-3.)
+    """
+    wf = x.shape[-1]
+    c = channels
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 2)], mode="edge")
+    g = (
+        _GRAY_R * xp[..., :wf]
+        + _GRAY_G * xp[..., 1 : wf + 1]
+        + _GRAY_B * xp[..., 2 : wf + 2]
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape[-2:], 1)
+    phase = lane % c
+    # pad left so shifting right by p never reads out of bounds; padded
+    # values are only selected where phase == p <= lane, i.e. never.
+    gp = jnp.pad(g, [(0, 0)] * (x.ndim - 1) + [(c - 1, 0)])
+    out = None
+    for p in range(c):
+        sl = gp[..., c - 1 - p : c - 1 - p + wf]
+        out = sl if out is None else jnp.where(phase == p, sl, out)
+    return out
+
+
 def sobel_rows(rows_u8: jnp.ndarray, level: int, width: int,
                channels: int) -> jnp.ndarray:
     """(..., H, W*C) u8 -> u8 Sobel edge map, zeroed 1-px border.
 
     level 1 keeps gray in f32; level 2 quantizes gray first
     (image_filters.cu:1444).  Gray/taps/magnitude run at every lane; the
-    final select keeps each pixel's phase-0 magnitude on all its channels.
+    phase-aligned gray makes every lane compute its OWN pixel's value, so
+    the output needs no phase-select replication.
     """
     x = rows_u8.astype(jnp.float32)
     wf = x.shape[-1]
@@ -173,12 +212,7 @@ def sobel_rows(rows_u8: jnp.ndarray, level: int, width: int,
     if channels == 1:
         gray = x
     else:
-        xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, 2)], mode="edge")
-        gray = (
-            _GRAY_R * xp[..., :wf]
-            + _GRAY_G * xp[..., 1 : wf + 1]
-            + _GRAY_B * xp[..., 2 : wf + 2]
-        )
+        gray = _gray_phase_aligned(x, channels)
     if level == 2:
         gray = quantize_u8_f32(gray)
 
@@ -208,16 +242,6 @@ def sobel_rows(rows_u8: jnp.ndarray, level: int, width: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (height, wf), 0)
     inside = (pix >= 1) & (pix <= width - 2) & (row >= 1) & (row <= height - 2)
 
-    if channels == 1:
-        out = jnp.where(inside, mag, 0.0)
-    else:
-        phase = lane - pix * channels
-        mp = jnp.concatenate(
-            [jnp.zeros(mag.shape[:-1] + (channels,), jnp.float32), mag],
-            axis=-1,
-        )
-        out = jnp.zeros_like(mag)
-        for j in range(channels):
-            shifted = mp[..., channels - j : channels - j + wf]
-            out = out + jnp.where((phase == j) & inside, shifted, 0.0)
-    return out.astype(jnp.uint8)
+    # Every lane holds its own pixel's magnitude (phase-aligned gray), so
+    # the border zeroing is the only masking left.
+    return jnp.where(inside, mag, 0.0).astype(jnp.uint8)
