@@ -38,12 +38,29 @@ import bench  # noqa: E402  (repo-root bench.py)
 # 2 = level 1 timed through the interleaved rows tier (was planar oracle).
 _IMPL_REV = 2
 
+# Per-row revision overrides: when ONE timed path changes, bump only its
+# row so the other rows keep their least-contended minima across sessions.
+# A row's rev is _IMPL_REV unless overridden here; rows whose stored rev
+# differs from the current rev never merge.  History:
+# ("sobel", 1) rev 3 = input-replicated phase-0 gray (1.38x, 2026-08-17).
+_ROW_REV_OVERRIDES = {("sobel", 1): 3}
+
+
+def _row_rev(key) -> int:
+    return _ROW_REV_OVERRIDES.get(key, _IMPL_REV)
+
 
 def _merge_rows(rows, prev_rows, key_fields):
-    """Per-entry min-time merge of `prev_rows` into `rows` (in place)."""
+    """Per-entry min-time merge of `prev_rows` into `rows` (in place).
+
+    Rows merge only when their impl revs match (a stored row without a
+    `rev` field predates per-row revs and carries the file's global
+    impl_rev, which the caller has already checked equals _IMPL_REV)."""
     prev = {tuple(r.get(k) for k in key_fields): r for r in prev_rows}
     for r in rows:
         p = prev.get(tuple(r.get(k) for k in key_fields))
+        if p and p.get("rev", _IMPL_REV) != r.get("rev", _IMPL_REV):
+            continue
         if p and p.get("time_ms", float("inf")) < r["time_ms"]:
             keep_wall = r.get("wall_s")
             r.update({k: v for k, v in p.items() if k != "wall_s"})
@@ -73,6 +90,7 @@ def main() -> int:
         rows.append({
             "filter": fname,
             "level": level,
+            "rev": _row_rev((fname, level)),
             "time_ms": round(ms, 4),
             "reference_ms": ref_ms,
             "speedup_vs_reference": round(ref_ms / ms, 3),
