@@ -192,3 +192,18 @@ def test_sobel_rows_matches_oracle(rng, shape, level):
     h, w_, c = img.shape
     got = np.asarray(_sobel_rows(img.reshape(h, w_ * c), level, w_, c))
     assert_sobel_close(got.reshape(h, w_, c), oracle.sobel(img, level))
+
+
+@pytest.mark.parametrize("shape", [(24, 31, 3), (17, 29, 4), (16, 43, 3)])
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_rows_channel_equality(rng, shape, level):
+    """Every channel of a pixel carries the same magnitude (cu:1311-1313).
+
+    Regression for the input-replicated phase-0 gray: a gray scheme whose
+    per-lane FMA contraction differs by phase breaks this invariant at
+    level 2 (quantization tie flips between a pixel's own lanes)."""
+    img = make_image(rng, *shape)
+    h, w_, c = img.shape
+    got = np.asarray(_sobel_rows(img.reshape(h, w_ * c), level, w_, c))
+    g3 = got.reshape(h, w_, c)
+    np.testing.assert_array_equal(g3, np.repeat(g3[:, :, :1], c, axis=2))
