@@ -268,8 +268,9 @@ def create_app() -> Router:
             raise HTTPError(400, str(exc)) from None
         height, width, channels = img.shape
         # The reference re-encodes the original (app.py:305-309); when the
-        # upload was already an RGB PNG the source bytes pass straight
-        # through instead of paying a full PNG encode (~21 ms at 600x800).
+        # upload was already a rendering-neutral RGB PNG or single-scan
+        # baseline RGB JPEG, the source bytes pass straight through instead
+        # of paying a full PNG encode (~21 ms at 600x800).
         original_b64 = original_passthrough or encode_image_to_base64(img)
 
         profiling_available = False

@@ -41,11 +41,15 @@ def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
     return arr
 
 
+def _data_url(mime: str, payload_bytes: bytes) -> str:
+    """Wrap ready image bytes as a data URL (native b64 tier preferred)."""
+    b64 = native_codec.b64_encode(payload_bytes)
+    payload = b64 if b64 is not None else base64.b64encode(payload_bytes)
+    return f"data:{mime};base64," + payload.decode("ascii")
+
+
 def _png_data_url(png_bytes: bytes) -> str:
-    """Wrap ready PNG bytes as a data URL (native b64 tier preferred)."""
-    b64 = native_codec.b64_encode(png_bytes)
-    payload = b64 if b64 is not None else base64.b64encode(png_bytes)
-    return "data:image/png;base64," + payload.decode("ascii")
+    return _data_url("image/png", png_bytes)
 
 
 # PNG chunk types that cannot change how decoded pixels RENDER.  Anything
@@ -84,13 +88,16 @@ _JPEG_NEUTRAL_MARKERS = frozenset([0xE0, 0xDB, 0xC4, 0xC0, 0xDD, 0xFE])
 
 
 def _jpeg_headers_neutral(raw: bytes) -> bool:
-    """True iff ``raw`` is a baseline JPEG whose every header segment up to
-    the (single) scan is rendering-neutral.
+    """True iff ``raw`` is a single-scan baseline JPEG whose every header
+    segment is rendering-neutral.
 
-    Baseline (SOF0) files have exactly one SOS; everything after it is
-    entropy data + RST markers + EOI, which cannot carry metadata, so the
-    scan stops there.  Progressive files (multiple scans, markers allowed
-    between them) are rejected wholesale by the SOF0 requirement.
+    Headers up to the first SOS must be from the neutral set; the tail
+    after SOS must be pure entropy data (0xFF00 stuffing + RST markers)
+    ending in exactly one EOI with nothing after it.  Baseline files MAY
+    legally carry multiple scans (non-interleaved sequential) with APPn/COM
+    segments between them, so the tail is verified rather than assumed —
+    any marker in the tail other than RST/EOI (a second scan's DHT/SOS, a
+    late APP1, ...) rejects the passthrough.
     """
     n = len(raw)
     if n < 4 or raw[0] != 0xFF or raw[1] != 0xD8:
@@ -104,8 +111,25 @@ def _jpeg_headers_neutral(raw: bytes) -> bool:
         if marker == 0xFF:  # fill byte
             pos += 1
             continue
-        if marker == 0xDA:  # SOS: headers done
-            return saw_sof0
+        if marker == 0xDA:  # SOS: verify the entropy tail
+            if not saw_sof0:
+                return False
+            seg_len = int.from_bytes(raw[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                return False
+            pos += 2 + seg_len
+            while pos + 1 < n:
+                if raw[pos] != 0xFF:
+                    pos += 1
+                    continue
+                m = raw[pos + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffing / RSTn
+                    pos += 2
+                    continue
+                if m == 0xD9:  # EOI: must be the final bytes
+                    return pos + 2 == n
+                return False  # second scan / late metadata segment
+            return False  # no EOI
         if marker not in _JPEG_NEUTRAL_MARKERS:
             return False
         if marker == 0xC0:
@@ -118,9 +142,7 @@ def _jpeg_headers_neutral(raw: bytes) -> bool:
 
 
 def _jpeg_data_url(jpeg_bytes: bytes) -> str:
-    b64 = native_codec.b64_encode(jpeg_bytes)
-    payload = b64 if b64 is not None else base64.b64encode(jpeg_bytes)
-    return "data:image/jpeg;base64," + payload.decode("ascii")
+    return _data_url("image/jpeg", jpeg_bytes)
 
 
 def decode_base64_image(base64_str: str) -> np.ndarray:

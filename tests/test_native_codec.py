@@ -487,3 +487,15 @@ def test_jpeg_header_neutrality_scanner(rng):
     assert not _jpeg_headers_neutral(plain[:sos])
     assert not _jpeg_headers_neutral(b"\x89PNG")
     assert not _jpeg_headers_neutral(plain[:2] + b"\xff\xdb\x00\x01" + plain[2:])
+
+    # The entropy TAIL is verified, not assumed: baseline files may legally
+    # hold several scans with APPn/COM between them, so a marker after the
+    # first SOS other than RST/EOI (late EXIF, a second scan's SOS/DHT)
+    # disqualifies, as do bytes after EOI and a missing EOI.
+    assert plain.endswith(b"\xff\xd9")
+    body = plain[:-2]
+    late_exif = body + b"\xff\xe1" + (8).to_bytes(2, "big") + b"Exif\x00\x00" \
+        + b"\xff\xd9"
+    assert not _jpeg_headers_neutral(late_exif)
+    assert not _jpeg_headers_neutral(plain + b"junk")   # trailing garbage
+    assert not _jpeg_headers_neutral(body)              # EOI missing
