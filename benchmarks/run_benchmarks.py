@@ -45,6 +45,13 @@ _IMPL_REV = 2
 # ("sobel", 1) rev 3 = input-replicated phase-0 gray (1.38x, 2026-08-17).
 _ROW_REV_OVERRIDES = {("sobel", 1): 3}
 
+# When bumping _IMPL_REV (all rows re-measure), DELETE the overrides whose
+# value the new global would collide with -- a stale override equal to the
+# new _IMPL_REV would merge minima measured on different code.
+assert all(v > _IMPL_REV for v in _ROW_REV_OVERRIDES.values()), (
+    "_ROW_REV_OVERRIDES must stay ahead of _IMPL_REV; clear stale overrides "
+    "when bumping the global rev")
+
 
 def _row_rev(key) -> int:
     return _ROW_REV_OVERRIDES.get(key, _IMPL_REV)

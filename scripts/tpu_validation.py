@@ -82,6 +82,13 @@ def main() -> int:
                 ok = diff.max() <= 6 and (diff > 0).mean() <= 1e-3
                 check(f"sobel c{c} L{level} (FMA gate)", ok,
                       f"max={diff.max()} frac={(diff > 0).mean():.1e}")
+                # Within-pixel channel equality (cu:1311-1313) must hold
+                # INDEPENDENTLY of the oracle gate: a per-phase
+                # quantization-tie flip (one channel off by 1) would hide
+                # inside maxdiff<=6/0.1%.  Guards the input-replicated
+                # gray scheme against TPU-lowering contraction changes.
+                check(f"sobel c{c} L{level} channels-equal",
+                      bool((out == out[:, :, :1]).all()))
             else:
                 check(f"sobel c{c} L{level}", diff.max() == 0, f"max={diff.max()}")
 
