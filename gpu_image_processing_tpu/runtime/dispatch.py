@@ -371,6 +371,60 @@ class FilterExecutable:
         return np.asarray(out), best
 
 
+class FusedLevelsExecutable:
+    """Several tier variants of ONE filter compiled into ONE program.
+
+    The serving /api/process-all path runs every level of a filter on the
+    same image; as separate executables each level pays the full
+    host<->device boundary (H2D upload + execute RPC + D2H fetch -- through
+    a remote-attached device that boundary dwarfs the kernels).  Fusing the
+    levels into a single program uploads the image ONCE, executes ONCE, and
+    fetches one stacked (n_levels, H, W*C) result.
+
+    Timing semantics are unchanged: each level's time_ms is the loop-delta
+    measurement of that level's OWN tier fn (exactly what the per-level
+    executables report), taken once at build time.  The fusion changes how
+    outputs are produced per request, never what is timed.
+    """
+
+    def __init__(self, fns: list[Callable], n_args: int):
+        import threading
+
+        import jax.numpy as jnp
+
+        self._fns = list(fns)
+        self._raw_fused = lambda *args: jnp.stack([f(*args) for f in self._fns])
+        self.fn = jax.jit(self._raw_fused)
+        self.n_args = n_args
+        self._compiled = None
+        self._kernel_ms: list[float] | None = None
+        self._compile_lock = threading.Lock()
+
+    def __call__(self, *args) -> tuple[np.ndarray, list[float]]:
+        """Run and return (stacked u8 outputs, per-level kernel ms).
+
+        Raises RuntimeError when per-level loop-delta timing is
+        unavailable (loop timing disabled, or the measurement failed):
+        a fused wall time cannot be split honestly across levels, so the
+        caller must serve those requests through the per-level path.
+        """
+        if not _loop_timing_enabled():
+            raise RuntimeError("fused levels need loop-delta timing")
+        if self._compiled is None:
+            with self._compile_lock:
+                if self._compiled is None:
+                    compiled = self.fn.lower(*args).compile()
+                    compiled(*args).block_until_ready()
+                    from .timing import device_time_ms_auto
+
+                    ms = [device_time_ms_auto(f, list(args)) for f in self._fns]
+                    self._kernel_ms = ms
+                    self._compiled = compiled
+        out = self._compiled(*args)
+        out.block_until_ready()
+        return np.asarray(out), list(self._kernel_ms)
+
+
 # ---------------------------------------------------------------------------
 # Shape bucketing
 #
@@ -596,6 +650,84 @@ class FilterRuntime:
         raise ValidationError(
             f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
         )
+
+    def run_all_levels(
+        self,
+        filter_name: str,
+        image: np.ndarray,
+        sigma: float = config.DEFAULT_SIGMA,
+        radius: int = config.DEFAULT_RADIUS,
+        levels: tuple[int, ...] = config.VALID_LEVELS,
+    ) -> dict[int, tuple[np.ndarray, PerformanceMetrics]]:
+        """Every requested level of one filter in ONE device program.
+
+        The /api/process-all serving path: one H2D upload, one execute, one
+        stacked D2H instead of a full boundary round trip per level (the
+        per-request boundary dominates the kernels through a remote-attached
+        device).  Outputs and per-level time_ms are identical to the
+        per-level path by construction -- the same tier trace fns are
+        compiled together, and each level's time_ms is its own tier's
+        loop-delta measurement (see FusedLevelsExecutable).
+
+        Raises (any exception) when fusion cannot serve -- loop-delta
+        timing disabled (CPU wall timing cannot be split per level), trace
+        or compile failure -- and the caller falls back to the per-level
+        methods, preserving the per-level error-swallow contract.
+        """
+        if filter_name not in FILTERS:
+            raise ValidationError(
+                f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"
+            )
+        true_h, true_w, channels = validate_image_shape(image.shape)
+        lvls = tuple(normalize_level(filter_name, lv) for lv in levels)
+        weights = None
+        if filter_name == "gaussian":
+            validate_gaussian_params(sigma, radius)
+            weights = gaussian_kernel_f32(radius, float(sigma))
+        elif filter_name == "box":
+            validate_box_params(radius)
+        image = np.ascontiguousarray(image, dtype=np.uint8)
+        bucketed = False
+        if _bucketing_enabled():
+            image, _, _ = _pad_to_bucket(image)
+            bucketed = image.shape[:2] != (true_h, true_w)
+        height, width = image.shape[:2]
+
+        routing = tuple(
+            _routed_to_xla(lv, height, width, filter_name) for lv in lvls
+        )
+        key = ("all_levels", filter_name, lvls, height, width, channels,
+               radius if filter_name != "sobel" else None, routing)
+
+        def trace_fn(lv: int) -> Callable:
+            if filter_name == "gaussian":
+                return _trace_gaussian(lv, radius, height, width, channels)
+            if filter_name == "box":
+                return _trace_box(lv, radius, height, width, channels)
+            return _trace_sobel(lv, height, width, channels)
+
+        n_args = 2 if filter_name == "gaussian" else 1
+        exe = self._get(
+            key,
+            lambda: FusedLevelsExecutable([trace_fn(lv) for lv in lvls], n_args),
+        )
+        dev = default_device()
+        args = [jax.device_put(image.reshape(height, -1), dev)]
+        if weights is not None:
+            args.append(jax.device_put(weights, dev))
+        jax.block_until_ready(args)
+        stacked, ms_list = exe(*args)
+        results: dict[int, tuple[np.ndarray, PerformanceMetrics]] = {}
+        bf = FILTERS[filter_name].bytes_factor
+        for i, (lv, orig) in enumerate(zip(lvls, levels)):
+            out = stacked[i].reshape(height, width, channels)[:true_h, :true_w]
+            if filter_name == "sobel" and bucketed:
+                out = _zero_true_border(np.ascontiguousarray(out))
+            results[orig] = (
+                out,
+                compute_metrics(ms_list[i], true_w, true_h, channels, bf),
+            )
+        return results
 
     # -- batched serving path (TPU extension; the reference is strictly
     #    one-image-per-request, backend/app.py:332) ------------------------

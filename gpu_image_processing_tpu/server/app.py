@@ -282,12 +282,30 @@ def create_app() -> Router:
             except ImportError:
                 logger.warning("Profiling module not available")
 
+        # Fused fast path: every level in ONE device program (one upload,
+        # one execute, one stacked fetch -- runtime/dispatch.py::
+        # run_all_levels).  Outputs and per-level time_ms are identical to
+        # the per-level path by construction; any failure (CPU wall-timing
+        # mode, trace/compile error) falls back to the per-level loop,
+        # preserving the per-level error-swallow contract.
+        fused: dict[int, Any] = {}
+        try:
+            fused = RUNTIME.run_all_levels(
+                req.filter, img, sigma=req.sigma, radius=req.radius,
+                levels=config.VALID_LEVELS,
+            )
+        except Exception as exc:
+            logger.debug("Fused all-levels path unavailable: %s", exc)
+
         results: dict[str, Any] = {}
         prev_out: Any = None
         prev_encoded: str | None = None
         for level in config.VALID_LEVELS:
             try:
-                out, metrics = _run_filter(req, img, level)
+                if level in fused:
+                    out, metrics = fused[level]
+                else:
+                    out, metrics = _run_filter(req, img, level)
                 base_metrics: dict[str, Any] = metrics.as_dict()
 
                 if req.enable_profiling and profiling_available:
