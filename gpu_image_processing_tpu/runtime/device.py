@@ -50,20 +50,62 @@ def _setup_compilation_cache() -> None:
 _setup_compilation_cache()
 
 
+# Set by demote_to_cpu() when the accelerator is declared dead for this
+# process; consulted by default_device() ahead of the cached pick.
+_DEVICE_OVERRIDE: jax.Device | None = None
+_DEMOTION_REASON: str | None = None
+
+
 @functools.lru_cache(maxsize=1)
-def default_device() -> jax.Device:
-    """The device all single-image filtering runs on (device 0, the analog of
-    the reference pinning CUDA device 0, ncu_profiler.py:147)."""
+def _default_device_cached() -> jax.Device:
     return jax.devices()[0]
 
 
-@functools.lru_cache(maxsize=1)
+def default_device() -> jax.Device:
+    """The device all single-image filtering runs on (device 0, the analog of
+    the reference pinning CUDA device 0, ncu_profiler.py:147) — unless the
+    runtime demoted the process to CPU after repeated device failures."""
+    if _DEVICE_OVERRIDE is not None:
+        return _DEVICE_OVERRIDE
+    return _default_device_cached()
+
+
 def platform() -> str:
     return default_device().platform
 
 
 def is_tpu() -> bool:
     return platform() == "tpu"
+
+
+def demote_to_cpu(reason: str = "") -> bool:
+    """Permanently (for this process) route filtering to the CPU backend.
+
+    Elastic-recovery escape hatch for a mid-session accelerator loss: on
+    this host the axon relay lease can die while the server is up (observed
+    2026-08-17: every later device call fails UNAVAILABLE until the lease
+    clears, tens of minutes).  A CPU-served filter beats a 500.  Returns
+    True if a demotion happened; False when already on CPU (or no CPU
+    backend exists, which cannot happen on a stock jax install).
+
+    The caller owns invalidating anything compiled for the old device
+    (FilterRuntime clears its executable cache).
+    """
+    global _DEVICE_OVERRIDE, _DEMOTION_REASON
+    if default_device().platform == "cpu":
+        return False
+    try:
+        cpu = jax.devices("cpu")[0]
+    except Exception:  # pragma: no cover - cpu backend always exists
+        return False
+    _DEVICE_OVERRIDE = cpu
+    _DEMOTION_REASON = reason or "accelerator failure"
+    return True
+
+
+def demotion_reason() -> str | None:
+    """Why this process left the accelerator (None = never demoted)."""
+    return _DEMOTION_REASON
 
 
 @functools.lru_cache(maxsize=1)

@@ -371,6 +371,15 @@ class FilterExecutable:
         return np.asarray(out), best
 
 
+class FusionUnavailable(RuntimeError):
+    """Fused all-levels serving cannot run here (loop-delta timing off).
+
+    A deliberate routing signal, NOT a device failure: it must never count
+    toward the accelerator-demotion circuit breaker (FilterRuntime._serve),
+    which otherwise treats RuntimeErrors from the device path as evidence
+    the accelerator is gone."""
+
+
 class FusedLevelsExecutable:
     """Several tier variants of ONE filter compiled into ONE program.
 
@@ -409,7 +418,7 @@ class FusedLevelsExecutable:
         caller must serve those requests through the per-level path.
         """
         if not _loop_timing_enabled():
-            raise RuntimeError("fused levels need loop-delta timing")
+            raise FusionUnavailable("fused levels need loop-delta timing")
         if self._compiled is None:
             with self._compile_lock:
                 if self._compiled is None:
@@ -521,6 +530,15 @@ def _zero_true_border(out: np.ndarray) -> np.ndarray:
     return out
 
 
+def _demote_after() -> int:
+    """Consecutive device-path failures before the runtime demotes itself
+    to CPU (0 disables demotion)."""
+    try:
+        return int(os.environ.get("GIP_TPU_DEMOTE_AFTER", "3"))
+    except ValueError:
+        return 3
+
+
 class FilterRuntime:
     """Executable cache + public run API.  Thread-safe for CPython use."""
 
@@ -529,6 +547,7 @@ class FilterRuntime:
         import threading
 
         self._build_lock = threading.Lock()
+        self._accel_failures = 0
 
     def _get(self, key: tuple, build: Callable[[], FilterExecutable]) -> FilterExecutable:
         exe = self._cache.get(key)
@@ -542,6 +561,53 @@ class FilterRuntime:
                     exe = build()
                     self._cache[key] = exe
         return exe
+
+    def _serve(self, attempt: Callable):
+        """Run a request's device work behind the demotion circuit breaker.
+
+        Elastic recovery (SURVEY 5.3 beyond the reference): the accelerator
+        can die mid-session (observed on this host: the relay lease drops
+        and every later device call raises UNAVAILABLE for tens of
+        minutes).  After GIP_TPU_DEMOTE_AFTER consecutive RuntimeErrors
+        from the device path, the runtime demotes the process to the CPU
+        backend, clears the executable cache (old programs are compiled
+        for the dead device), and retries the request there — served slow
+        beats 500 until restart.  Demotion is deliberately one-way and
+        loud; /api/stats reports it.
+
+        Only RuntimeError counts (jax device/transfer/compile-backend
+        failures, incl. XlaRuntimeError).  Validation errors are raised
+        before attempt(), and FusionUnavailable is a routing signal, not
+        evidence of device death.
+        """
+        try:
+            out = attempt()
+            self._accel_failures = 0
+            return out
+        except FusionUnavailable:
+            raise
+        except RuntimeError as exc:
+            threshold = _demote_after()
+            if threshold <= 0:
+                raise
+            self._accel_failures += 1
+            if self._accel_failures < threshold:
+                raise
+            from .device import demote_to_cpu
+
+            if not demote_to_cpu(f"{self._accel_failures} consecutive "
+                                 f"device failures; last: {exc}"):
+                raise
+            import logging
+
+            logging.getLogger(__name__).error(
+                "Accelerator declared dead after %d consecutive failures "
+                "(last: %s); demoting this process to CPU and rebuilding "
+                "executables.", self._accel_failures, exc)
+            with self._build_lock:
+                self._cache.clear()
+            self._accel_failures = 0
+            return attempt()
 
     # -- public API --------------------------------------------------------
 
@@ -559,22 +625,27 @@ class FilterRuntime:
         if _bucketing_enabled():
             image, _, _ = _pad_to_bucket(image)
         height, width = image.shape[:2]
-        key = ("gaussian", lvl, height, width, channels, radius,
-               _routed_to_xla(lvl, height, width))
-        exe = self._get(
-            key,
-            lambda: FilterExecutable(
-                _trace_gaussian(lvl, radius, height, width, channels), n_args=2
-            ),
-        )
         weights = gaussian_kernel_f32(radius, float(sigma))
-        dev = default_device()
-        img_dev = jax.device_put(image.reshape(height, -1), dev)
-        w_dev = jax.device_put(weights, dev)
-        jax.block_until_ready((img_dev, w_dev))
-        out, ms = exe(img_dev, w_dev)
-        out = out.reshape(height, width, channels)[:true_h, :true_w]
-        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["gaussian"].bytes_factor)
+
+        def attempt():
+            key = ("gaussian", lvl, height, width, channels, radius,
+                   _routed_to_xla(lvl, height, width))
+            exe = self._get(
+                key,
+                lambda: FilterExecutable(
+                    _trace_gaussian(lvl, radius, height, width, channels), n_args=2
+                ),
+            )
+            dev = default_device()
+            img_dev = jax.device_put(image.reshape(height, -1), dev)
+            w_dev = jax.device_put(weights, dev)
+            jax.block_until_ready((img_dev, w_dev))
+            out, ms = exe(img_dev, w_dev)
+            out = out.reshape(height, width, channels)[:true_h, :true_w]
+            return out, compute_metrics(
+                ms, true_w, true_h, channels, FILTERS["gaussian"].bytes_factor)
+
+        return self._serve(attempt)
 
     def box_blur(
         self,
@@ -589,19 +660,24 @@ class FilterRuntime:
         if _bucketing_enabled():
             image, _, _ = _pad_to_bucket(image)
         height, width = image.shape[:2]
-        key = ("box", lvl, height, width, channels, radius,
-               _routed_to_xla(lvl, height, width, "box"))
-        exe = self._get(
-            key,
-            lambda: FilterExecutable(
-                _trace_box(lvl, radius, height, width, channels), n_args=1
-            ),
-        )
-        img_dev = jax.device_put(image.reshape(height, -1), default_device())
-        jax.block_until_ready(img_dev)
-        out, ms = exe(img_dev)
-        out = out.reshape(height, width, channels)[:true_h, :true_w]
-        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["box"].bytes_factor)
+
+        def attempt():
+            key = ("box", lvl, height, width, channels, radius,
+                   _routed_to_xla(lvl, height, width, "box"))
+            exe = self._get(
+                key,
+                lambda: FilterExecutable(
+                    _trace_box(lvl, radius, height, width, channels), n_args=1
+                ),
+            )
+            img_dev = jax.device_put(image.reshape(height, -1), default_device())
+            jax.block_until_ready(img_dev)
+            out, ms = exe(img_dev)
+            out = out.reshape(height, width, channels)[:true_h, :true_w]
+            return out, compute_metrics(
+                ms, true_w, true_h, channels, FILTERS["box"].bytes_factor)
+
+        return self._serve(attempt)
 
     def sobel_edge_detection(
         self, image: np.ndarray, level: int = config.DEFAULT_LEVEL
@@ -614,23 +690,28 @@ class FilterRuntime:
             image, _, _ = _pad_to_bucket(image)
             bucketed = image.shape[:2] != (true_h, true_w)
         height, width = image.shape[:2]
-        key = ("sobel", lvl, height, width, channels,
-               _routed_to_xla(lvl, height, width, "sobel"))
-        exe = self._get(
-            key,
-            lambda: FilterExecutable(
-                _trace_sobel(lvl, height, width, channels), n_args=1
-            ),
-        )
-        img_dev = jax.device_put(image.reshape(height, -1), default_device())
-        jax.block_until_ready(img_dev)
-        out, ms = exe(img_dev)
-        out = out.reshape(height, width, channels)[:true_h, :true_w]
-        if bucketed:
-            # The padded run treated the true border as interior; restore the
-            # reference's border zeroing (image_filters.cu:1164-1176).
-            out = _zero_true_border(np.ascontiguousarray(out))
-        return out, compute_metrics(ms, true_w, true_h, channels, FILTERS["sobel"].bytes_factor)
+
+        def attempt():
+            key = ("sobel", lvl, height, width, channels,
+                   _routed_to_xla(lvl, height, width, "sobel"))
+            exe = self._get(
+                key,
+                lambda: FilterExecutable(
+                    _trace_sobel(lvl, height, width, channels), n_args=1
+                ),
+            )
+            img_dev = jax.device_put(image.reshape(height, -1), default_device())
+            jax.block_until_ready(img_dev)
+            out, ms = exe(img_dev)
+            out = out.reshape(height, width, channels)[:true_h, :true_w]
+            if bucketed:
+                # The padded run treated the true border as interior; restore
+                # the reference's border zeroing (image_filters.cu:1164-1176).
+                out = _zero_true_border(np.ascontiguousarray(out))
+            return out, compute_metrics(
+                ms, true_w, true_h, channels, FILTERS["sobel"].bytes_factor)
+
+        return self._serve(attempt)
 
     def run(
         self,
@@ -693,12 +774,6 @@ class FilterRuntime:
             bucketed = image.shape[:2] != (true_h, true_w)
         height, width = image.shape[:2]
 
-        routing = tuple(
-            _routed_to_xla(lv, height, width, filter_name) for lv in lvls
-        )
-        key = ("all_levels", filter_name, lvls, height, width, channels,
-               radius if filter_name != "sobel" else None, routing)
-
         def trace_fn(lv: int) -> Callable:
             if filter_name == "gaussian":
                 return _trace_gaussian(lv, radius, height, width, channels)
@@ -706,28 +781,38 @@ class FilterRuntime:
                 return _trace_box(lv, radius, height, width, channels)
             return _trace_sobel(lv, height, width, channels)
 
-        n_args = 2 if filter_name == "gaussian" else 1
-        exe = self._get(
-            key,
-            lambda: FusedLevelsExecutable([trace_fn(lv) for lv in lvls], n_args),
-        )
-        dev = default_device()
-        args = [jax.device_put(image.reshape(height, -1), dev)]
-        if weights is not None:
-            args.append(jax.device_put(weights, dev))
-        jax.block_until_ready(args)
-        stacked, ms_list = exe(*args)
-        results: dict[int, tuple[np.ndarray, PerformanceMetrics]] = {}
-        bf = FILTERS[filter_name].bytes_factor
-        for i, (lv, orig) in enumerate(zip(lvls, levels)):
-            out = stacked[i].reshape(height, width, channels)[:true_h, :true_w]
-            if filter_name == "sobel" and bucketed:
-                out = _zero_true_border(np.ascontiguousarray(out))
-            results[orig] = (
-                out,
-                compute_metrics(ms_list[i], true_w, true_h, channels, bf),
+        def attempt():
+            routing = tuple(
+                _routed_to_xla(lv, height, width, filter_name) for lv in lvls
             )
-        return results
+            key = ("all_levels", filter_name, lvls, height, width, channels,
+                   radius if filter_name != "sobel" else None, routing)
+            n_args = 2 if filter_name == "gaussian" else 1
+            exe = self._get(
+                key,
+                lambda: FusedLevelsExecutable(
+                    [trace_fn(lv) for lv in lvls], n_args),
+            )
+            dev = default_device()
+            args = [jax.device_put(image.reshape(height, -1), dev)]
+            if weights is not None:
+                args.append(jax.device_put(weights, dev))
+            jax.block_until_ready(args)
+            stacked, ms_list = exe(*args)
+            results: dict[int, tuple[np.ndarray, PerformanceMetrics]] = {}
+            bf = FILTERS[filter_name].bytes_factor
+            for i, (lv, orig) in enumerate(zip(lvls, levels)):
+                out = stacked[i].reshape(
+                    height, width, channels)[:true_h, :true_w]
+                if filter_name == "sobel" and bucketed:
+                    out = _zero_true_border(np.ascontiguousarray(out))
+                results[orig] = (
+                    out,
+                    compute_metrics(ms_list[i], true_w, true_h, channels, bf),
+                )
+            return results
+
+        return self._serve(attempt)
 
     # -- batched serving path (TPU extension; the reference is strictly
     #    one-image-per-request, backend/app.py:332) ------------------------
@@ -777,6 +862,17 @@ class FilterRuntime:
         elif filter_name == "box":
             validate_box_params(radius)
 
+        def attempt():
+            return self._run_batch_attempt(
+                filter_name, lvl, images, batch, height, width, channels,
+                radius, weights, true_h, true_w, bucketed)
+
+        return self._serve(attempt)
+
+    def _run_batch_attempt(self, filter_name, lvl, images, batch, height,
+                           width, channels, radius, weights, true_h, true_w,
+                           bucketed):
+        """Device section of run_batch (behind the _serve breaker)."""
         mesh_n = _mesh_batch_devices()
         key = ("batch", filter_name, lvl, batch, height, width, channels,
                radius if filter_name != "sobel" else None, mesh_n)

@@ -147,6 +147,13 @@ def create_app() -> Router:
                 device = str(default_device())
             except Exception:
                 pass
+        demoted = None
+        try:
+            from ..runtime.device import demotion_reason
+
+            demoted = demotion_reason()
+        except Exception:
+            pass
         return 200, {
             "uptime_s": round(_time.time() - stats["started_at"], 1),
             "requests_total": stats["requests_total"],
@@ -154,6 +161,9 @@ def create_app() -> Router:
             "compiled_executables": cache_size,
             "device": device,
             "tpu_available": TPU_AVAILABLE,
+            # Elastic recovery (runtime/device.py::demote_to_cpu): non-null
+            # when repeated device failures demoted this process to CPU.
+            "accelerator_demoted": demoted,
         }
 
     @app.get("/")
