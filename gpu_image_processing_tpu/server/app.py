@@ -22,6 +22,7 @@ Profiled timings never override the primary device-timed `time_ms`
 from __future__ import annotations
 
 import logging
+import os
 import time as _time
 import traceback
 from typing import Any
@@ -464,15 +465,78 @@ def create_app() -> Router:
     return app
 
 
+def _parse_precompile(spec: str) -> list[tuple[int, int]]:
+    """\"WxH,WxH,...\" -> [(w, h), ...]; malformed entries are skipped."""
+    shapes = []
+    for tok in spec.split(","):
+        tok = tok.strip().lower()
+        if not tok:
+            continue
+        try:
+            w_s, h_s = tok.split("x", 1)
+            w, h = int(w_s), int(h_s)
+        except ValueError:
+            logger.warning("Ignoring malformed precompile shape %r", tok)
+            continue
+        if 3 <= w <= 16384 and 3 <= h <= 16384:
+            shapes.append((w, h))
+        else:
+            logger.warning("Ignoring out-of-range precompile shape %r", tok)
+    return shapes
+
+
+def precompile_shapes(shapes: list[tuple[int, int]]) -> int:
+    """Compile the serving executables for the given (w, h) image shapes.
+
+    Cold-start mitigation: the first request at a novel shape bucket pays
+    the XLA compile (seconds locally; minutes through a remote relay).
+    Warming every filter x level (the fused all-levels program where it can
+    serve, the per-level executables otherwise) moves that cost to startup.
+    The runtime's build lock means a real request arriving mid-warm for the
+    same bucket waits for the warm compile instead of duplicating it.
+    Returns the number of (shape, filter) combinations warmed.
+    """
+    from ..runtime.dispatch import RUNTIME
+
+    warmed = 0
+    for w, h in shapes:
+        img = np.zeros((h, w, 3), np.uint8)  # content never affects tracing
+        for filt in ("gaussian", "box", "sobel"):
+            try:
+                RUNTIME.run_all_levels(filt, img)
+                warmed += 1
+                continue
+            except Exception:
+                pass  # fused unavailable here -> warm the per-level tiers
+            ok = True
+            for level in config.VALID_LEVELS:
+                try:
+                    RUNTIME.run(filt, img, level=level)
+                except Exception as exc:
+                    ok = False
+                    logger.warning("Precompile %sx%s %s L%s failed: %s",
+                                   w, h, filt, level, exc)
+            warmed += ok
+    return warmed
+
+
 def main() -> None:
     """Server entry point (uvicorn __main__ analog, app.py:526-543)."""
     import argparse
+    import threading
 
     from .http import AppServer
 
     parser = argparse.ArgumentParser(description="TPU Image Processing API Server")
     parser.add_argument("--host", default=config.BACKEND_HOST)
     parser.add_argument("--port", type=int, default=config.BACKEND_PORT)
+    parser.add_argument(
+        "--precompile",
+        default=os.environ.get("GIP_TPU_PRECOMPILE", ""),
+        help="Comma-separated WxH image shapes to compile at startup in the "
+             "background (e.g. '800x600,1024x1024'); also via "
+             "GIP_TPU_PRECOMPILE.",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -488,6 +552,15 @@ def main() -> None:
         from ..runtime.device import warmup_transfers
 
         warmup_transfers()
+        shapes = _parse_precompile(args.precompile)
+        if shapes:
+            # Background: the server binds immediately; a request hitting a
+            # still-warming bucket waits on the runtime build lock rather
+            # than compiling twice.
+            threading.Thread(
+                target=precompile_shapes, args=(shapes,),
+                name="gip-precompile", daemon=True,
+            ).start()
 
     AppServer(create_app(), args.host, args.port).serve_forever()
 

@@ -376,3 +376,26 @@ def test_process_all_exif_jpeg_no_passthrough(app):
     assert status == 200
     assert body["original_image"] != data_url
     assert body["original_image"].startswith("data:image/png;base64,")
+
+
+def test_parse_precompile_shapes():
+    from gpu_image_processing_tpu.server.app import _parse_precompile
+
+    assert _parse_precompile("800x600, 1024X1024") == [(800, 600), (1024, 1024)]
+    # malformed / out-of-range entries skipped, never raise
+    assert _parse_precompile("junk,12x,x9,0x5,99999x5,") == []
+    assert _parse_precompile("") == []
+
+
+def test_precompile_warms_executable_cache():
+    from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+    from gpu_image_processing_tpu.server.app import precompile_shapes
+
+    before = len(RUNTIME._cache)
+    warmed = precompile_shapes([(20, 16)])
+    assert warmed == 3  # gaussian, box, sobel (per-level here: fused needs loop timing)
+    assert len(RUNTIME._cache) > before
+    # idempotent: same bucket -> no new executables
+    n = len(RUNTIME._cache)
+    precompile_shapes([(20, 16)])
+    assert len(RUNTIME._cache) == n
