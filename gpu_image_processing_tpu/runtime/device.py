@@ -92,11 +92,26 @@ def demote_to_cpu(reason: str = "") -> bool:
     (FilterRuntime clears its executable cache).
     """
     global _DEVICE_OVERRIDE, _DEMOTION_REASON
-    if default_device().platform == "cpu":
-        return False
+    try:
+        if default_device().platform == "cpu":
+            return False
+    except Exception:
+        # Backend init itself is failing -- exactly the situation demotion
+        # exists for; fall through and try the cpu backend.
+        pass
     try:
         cpu = jax.devices("cpu")[0]
-    except Exception:  # pragma: no cover - cpu backend always exists
+    except Exception as exc:
+        # Happens when jax_platforms is PINNED to a non-cpu value (the
+        # _force_platform path above, or a plugin pinning JAX_PLATFORMS):
+        # the cpu backend is then not registered and demotion cannot work.
+        # Refuse loudly so the operator knows why the server keeps 500ing.
+        import logging
+
+        logging.getLogger(__name__).error(
+            "Cannot demote to CPU: no cpu backend available (%s). Is "
+            "jax_platforms pinned? Restart with GIP_TPU_PLATFORM=cpu to "
+            "serve without the accelerator.", exc)
         return False
     _DEVICE_OVERRIDE = cpu
     _DEMOTION_REASON = reason or "accelerator failure"

@@ -407,6 +407,7 @@ class FusedLevelsExecutable:
         self.n_args = n_args
         self._compiled = None
         self._kernel_ms: list[float] | None = None
+        self._broken: str | None = None
         self._compile_lock = threading.Lock()
 
     def __call__(self, *args) -> tuple[np.ndarray, list[float]]:
@@ -419,6 +420,8 @@ class FusedLevelsExecutable:
         """
         if not _loop_timing_enabled():
             raise FusionUnavailable("fused levels need loop-delta timing")
+        if self._broken is not None:
+            raise FusionUnavailable(self._broken)
         if self._compiled is None:
             with self._compile_lock:
                 if self._compiled is None:
@@ -426,7 +429,17 @@ class FusedLevelsExecutable:
                     compiled(*args).block_until_ready()
                     from .timing import device_time_ms_auto
 
-                    ms = [device_time_ms_auto(f, list(args)) for f in self._fns]
+                    try:
+                        ms = [device_time_ms_auto(f, list(args))
+                              for f in self._fns]
+                    except Exception as exc:
+                        # Remember the failure: re-lowering the fused
+                        # program on every later request (to fail the same
+                        # way) would add seconds per request, and timing
+                        # failures must surface as the fusion routing
+                        # signal, not as breaker-counted device errors.
+                        self._broken = f"per-level timing failed: {exc}"
+                        raise FusionUnavailable(self._broken) from exc
                     self._kernel_ms = ms
                     self._compiled = compiled
         out = self._compiled(*args)
@@ -531,12 +544,43 @@ def _zero_true_border(out: np.ndarray) -> np.ndarray:
 
 
 def _demote_after() -> int:
-    """Consecutive device-path failures before the runtime demotes itself
+    """Consecutive device-loss failures before the runtime demotes itself
     to CPU (0 disables demotion)."""
     try:
         return int(os.environ.get("GIP_TPU_DEMOTE_AFTER", "3"))
     except ValueError:
         return 3
+
+
+def _demote_window_s() -> float:
+    """Minimum span (seconds) between the first and last counted failure
+    before demotion may fire: one request's fused+L1+L2 attempts against a
+    sub-second relay blip must not consume the whole threshold."""
+    try:
+        return float(os.environ.get("GIP_TPU_DEMOTE_WINDOW_S", "10"))
+    except ValueError:
+        return 10.0
+
+
+# Transport/device-loss signatures.  Deterministic per-request failures --
+# RESOURCE_EXHAUSTED (an oversized image OOMs HBM every time), Mosaic/XLA
+# compile errors for one shape -- must NOT count: demoting a healthy chip
+# to CPU because one client sent three bad requests would be a self-DoS.
+_DEVICE_LOSS_MARKERS = (
+    "UNAVAILABLE",
+    "DEADLINE_EXCEEDED",
+    "ABORTED",
+    "CANCELLED",
+    "Unable to initialize backend",
+    "socket closed",
+    "connection reset",
+    "connection refused",
+)
+
+
+def _looks_like_device_loss(exc: BaseException) -> bool:
+    msg = str(exc)
+    return any(m in msg for m in _DEVICE_LOSS_MARKERS)
 
 
 class FilterRuntime:
@@ -548,6 +592,7 @@ class FilterRuntime:
 
         self._build_lock = threading.Lock()
         self._accel_failures = 0
+        self._accel_first_failure_ts: float | None = None
 
     def _get(self, key: tuple, build: Callable[[], FilterExecutable]) -> FilterExecutable:
         exe = self._cache.get(key)
@@ -575,23 +620,34 @@ class FilterRuntime:
         beats 500 until restart.  Demotion is deliberately one-way and
         loud; /api/stats reports it.
 
-        Only RuntimeError counts (jax device/transfer/compile-backend
-        failures, incl. XlaRuntimeError).  Validation errors are raised
-        before attempt(), and FusionUnavailable is a routing signal, not
-        evidence of device death.
+        Only RuntimeErrors carrying a transport/device-loss signature count
+        (UNAVAILABLE, DEADLINE_EXCEEDED, ... -- _DEVICE_LOSS_MARKERS):
+        deterministic per-request failures (an image that OOMs HBM, a
+        shape-specific compile bug) would otherwise let one client demote
+        a healthy chip.  The counted failures must also span
+        GIP_TPU_DEMOTE_WINDOW_S seconds, so a single request's several
+        device calls against a sub-second blip cannot consume the whole
+        threshold.  Validation errors are raised before attempt(), and
+        FusionUnavailable is a routing signal, not evidence of device
+        death.
         """
         try:
             out = attempt()
             self._accel_failures = 0
+            self._accel_first_failure_ts = None
             return out
         except FusionUnavailable:
             raise
         except RuntimeError as exc:
             threshold = _demote_after()
-            if threshold <= 0:
+            if threshold <= 0 or not _looks_like_device_loss(exc):
                 raise
+            now = time.monotonic()
+            if self._accel_first_failure_ts is None:
+                self._accel_first_failure_ts = now
             self._accel_failures += 1
-            if self._accel_failures < threshold:
+            if (self._accel_failures < threshold
+                    or now - self._accel_first_failure_ts < _demote_window_s()):
                 raise
             from .device import demote_to_cpu
 
@@ -607,6 +663,7 @@ class FilterRuntime:
             with self._build_lock:
                 self._cache.clear()
             self._accel_failures = 0
+            self._accel_first_failure_ts = None
             return attempt()
 
     # -- public API --------------------------------------------------------
@@ -755,6 +812,12 @@ class FilterRuntime:
         or compile failure -- and the caller falls back to the per-level
         methods, preserving the per-level error-swallow contract.
         """
+        if not _loop_timing_enabled():
+            # Check BEFORE the per-request host work (contiguous copy,
+            # bucket pad, device_put) -- on wall-timing deployments every
+            # process-all request would otherwise pay megabytes of memcpy
+            # just to discover fusion cannot serve.
+            raise FusionUnavailable("fused levels need loop-delta timing")
         if filter_name not in FILTERS:
             raise ValidationError(
                 f"Invalid filter: {filter_name}. Must be 'gaussian', 'box', or 'sobel'"

@@ -306,7 +306,16 @@ def create_app() -> Router:
                 levels=config.VALID_LEVELS,
             )
         except Exception as exc:
-            logger.debug("Fused all-levels path unavailable: %s", exc)
+            from ..runtime.dispatch import FusionUnavailable
+
+            if isinstance(exc, FusionUnavailable):
+                # Expected routing (CPU wall-timing mode): quiet.
+                logger.debug("Fused all-levels path unavailable: %s", exc)
+            else:
+                # Unexpected: every request is paying a failed fused
+                # attempt before falling back -- operators must see this
+                # at the default INFO level.
+                logger.warning("Fused all-levels path failed: %s", exc)
 
         results: dict[str, Any] = {}
         prev_out: Any = None
@@ -502,12 +511,8 @@ def precompile_shapes(shapes: list[tuple[int, int]]) -> int:
     for w, h in shapes:
         img = np.zeros((h, w, 3), np.uint8)  # content never affects tracing
         for filt in ("gaussian", "box", "sobel"):
-            try:
-                RUNTIME.run_all_levels(filt, img)
-                warmed += 1
-                continue
-            except Exception:
-                pass  # fused unavailable here -> warm the per-level tiers
+            # Per-level executables first: /api/process (single level) only
+            # ever uses these, so they must be warm regardless of fusion.
             ok = True
             for level in config.VALID_LEVELS:
                 try:
@@ -516,6 +521,10 @@ def precompile_shapes(shapes: list[tuple[int, int]]) -> int:
                     ok = False
                     logger.warning("Precompile %sx%s %s L%s failed: %s",
                                    w, h, filt, level, exc)
+            try:
+                RUNTIME.run_all_levels(filt, img)
+            except Exception:
+                pass  # fused unavailable here (CPU wall-timing mode, ...)
             warmed += ok
     return warmed
 

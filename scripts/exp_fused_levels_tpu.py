@@ -17,6 +17,11 @@ import json
 import os
 import sys
 import time
+# This script VALIDATES the accelerator: transient relay errors must
+# fail the run, never silently demote it to CPU (the results would
+# be recorded as on-silicon).
+os.environ.setdefault("GIP_TPU_DEMOTE_AFTER", "0")
+
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

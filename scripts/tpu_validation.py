@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 # Pallas kernels; the small validation images would otherwise route to the
 # XLA tier (dispatch._rows_optimized).  One default-routing case runs below.
 os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"
+# This script VALIDATES the accelerator: transient relay errors must
+# fail the run, never silently demote it to CPU (the results would
+# be recorded as on-silicon).
+os.environ.setdefault("GIP_TPU_DEMOTE_AFTER", "0")
+
 
 import oracle_numpy as oracle  # noqa: E402
 

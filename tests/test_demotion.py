@@ -33,6 +33,9 @@ def fake_demotable(monkeypatch):
         return True
 
     monkeypatch.setattr(device_mod, "demote_to_cpu", fake_demote)
+    # Tests fail fast; the anti-blip window would otherwise suppress the
+    # demotion they exercise (it has its own test below).
+    monkeypatch.setenv("GIP_TPU_DEMOTE_WINDOW_S", "0")
     return calls
 
 
@@ -85,6 +88,42 @@ def test_fusion_unavailable_is_not_device_failure(fake_demotable):
             rt._serve(lambda: (_ for _ in ()).throw(FusionUnavailable("no")))
     assert rt._accel_failures == 0
     assert not fake_demotable
+
+
+def test_deterministic_errors_never_count(fake_demotable):
+    """RESOURCE_EXHAUSTED (per-request OOM), shape-specific compile errors,
+    and other non-transport RuntimeErrors must not demote a healthy chip."""
+    rt = FilterRuntime()
+    for msg in ("RESOURCE_EXHAUSTED: HBM OOM", "Mosaic lowering failed",
+                "INVALID_ARGUMENT: bad shape"):
+        for _ in range(5):
+            with pytest.raises(RuntimeError):
+                rt._serve(lambda m=msg: (_ for _ in ()).throw(RuntimeError(m)))
+    assert rt._accel_failures == 0
+    assert not fake_demotable
+
+
+def test_blip_window_defers_demotion(fake_demotable, monkeypatch):
+    """Three failures within one sub-second blip (one request's fused+L1+L2
+    attempts) must NOT demote; the failures have to span the window."""
+    monkeypatch.setenv("GIP_TPU_DEMOTE_WINDOW_S", "30")
+    rt = FilterRuntime()
+    for _ in range(4):
+        with pytest.raises(RuntimeError):
+            rt._serve(lambda: (_ for _ in ()).throw(
+                RuntimeError("UNAVAILABLE: blip")))
+    assert not fake_demotable
+    assert rt._accel_failures == 4
+    # Simulate the window having elapsed since the first failure.
+    rt._accel_first_failure_ts -= 31.0
+
+    def attempt():
+        if not fake_demotable:
+            raise RuntimeError("UNAVAILABLE: still down")
+        return "served"
+
+    assert rt._serve(attempt) == "served"
+    assert len(fake_demotable) == 1
 
 
 def test_disabled_via_env(fake_demotable, monkeypatch):

@@ -77,3 +77,32 @@ def test_server_process_all_uses_fused(rng, loop_timing_on, monkeypatch):
     assert set(body["results"]) == {"level_1", "level_2"}
     for lv in ("level_1", "level_2"):
         assert body["results"][lv]["metrics"]["time_ms"] > 0
+
+
+def test_fused_timing_failure_is_fusion_unavailable(rng, loop_timing_on,
+                                                    monkeypatch):
+    """A per-level timing failure must surface as the fusion routing signal
+    (per-level fallback), be remembered (no re-lower on every request), and
+    never count toward the demotion breaker."""
+    import jax.numpy as jnp
+
+    import gpu_image_processing_tpu.runtime.timing as timing_mod
+    from gpu_image_processing_tpu.runtime.dispatch import (
+        FusedLevelsExecutable,
+        FusionUnavailable,
+    )
+
+    def boom(*a, **k):
+        raise RuntimeError("UNAVAILABLE: timing died")
+
+    monkeypatch.setattr(timing_mod, "device_time_ms_auto", boom)
+    exe = FusedLevelsExecutable([lambda x: x, lambda x: x + 1], n_args=1)
+    arg = jnp.zeros((8, 16), jnp.uint8)
+    with pytest.raises(FusionUnavailable):
+        exe(arg)
+    assert exe._broken is not None
+    # Second call: remembered, no recompile attempt (timing not re-invoked).
+    monkeypatch.setattr(timing_mod, "device_time_ms_auto",
+                        lambda *a, **k: pytest.fail("re-lowered"))
+    with pytest.raises(FusionUnavailable):
+        exe(arg)

@@ -387,15 +387,20 @@ def test_parse_precompile_shapes():
     assert _parse_precompile("") == []
 
 
-def test_precompile_warms_executable_cache():
-    from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+def test_precompile_warms_executable_cache(monkeypatch):
+    # Fresh runtime: the process-global RUNTIME is shared with every other
+    # test in the suite, so "cache grew" would depend on test order.
+    import gpu_image_processing_tpu.runtime.dispatch as dispatch_mod
     from gpu_image_processing_tpu.server.app import precompile_shapes
 
-    before = len(RUNTIME._cache)
+    rt = dispatch_mod.FilterRuntime()
+    monkeypatch.setattr(dispatch_mod, "RUNTIME", rt)
     warmed = precompile_shapes([(20, 16)])
     assert warmed == 3  # gaussian, box, sobel (per-level here: fused needs loop timing)
-    assert len(RUNTIME._cache) > before
+    # /api/process uses the per-level path: every filter x level must be warm.
+    per_level = [k for k in rt._cache if k[0] in ("gaussian", "box", "sobel")]
+    assert len(per_level) == 6
     # idempotent: same bucket -> no new executables
-    n = len(RUNTIME._cache)
+    n = len(rt._cache)
     precompile_shapes([(20, 16)])
-    assert len(RUNTIME._cache) == n
+    assert len(rt._cache) == n
