@@ -47,6 +47,8 @@ def main() -> int:
         raise RuntimeError("arm: per-level")
 
     cases = [("600x800", 600, 800), ("2146x3239", 2146, 3239)]
+    if "--small" in sys.argv:   # CPU smoke of the harness itself
+        cases = cases[:1]
     for label, h, w in cases:
         img = rng.integers(0, 256, (h, w, 3), np.uint8)
         buf = io.BytesIO()
