@@ -299,15 +299,23 @@ def create_app() -> Router:
         # the per-level path by construction; any failure (CPU wall-timing
         # mode, trace/compile error) falls back to the per-level loop,
         # preserving the per-level error-swallow contract.
+        # Profiled requests serve through the PER-LEVEL path: the deep
+        # profile's xplane tier traces the per-level executable, and the
+        # fused program is not guaranteed kernel-identical to it (XLA may
+        # CSE shared subgraphs across levels), so fusing would break the
+        # "durations of the actual served executable" contract.
+        from ..runtime.dispatch import FusionUnavailable
+
         fused: dict[int, Any] = {}
         try:
+            if req.enable_profiling:
+                raise FusionUnavailable("profiling traces the per-level "
+                                        "executables")
             fused = RUNTIME.run_all_levels(
                 req.filter, img, sigma=req.sigma, radius=req.radius,
                 levels=config.VALID_LEVELS,
             )
         except Exception as exc:
-            from ..runtime.dispatch import FusionUnavailable
-
             if isinstance(exc, FusionUnavailable):
                 # Expected routing (CPU wall-timing mode): quiet.
                 logger.debug("Fused all-levels path unavailable: %s", exc)

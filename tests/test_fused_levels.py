@@ -106,3 +106,26 @@ def test_fused_timing_failure_is_fusion_unavailable(rng, loop_timing_on,
                         lambda *a, **k: pytest.fail("re-lowered"))
     with pytest.raises(FusionUnavailable):
         exe(arg)
+
+
+def test_profiled_requests_bypass_fusion(rng, loop_timing_on, monkeypatch):
+    """enable_profiling must serve through the per-level path: the xplane
+    tier traces the per-level executable, and the fused program is not
+    guaranteed kernel-identical to it (XLA may CSE across levels)."""
+    import gpu_image_processing_tpu.server.app as app_mod
+    from gpu_image_processing_tpu.server.http import Request
+    from gpu_image_processing_tpu.utils.image import encode_image_to_base64
+
+    def _no_fuse(*a, **k):  # pragma: no cover - failure reporter
+        raise AssertionError("fused path used for a profiled request")
+
+    monkeypatch.setattr(RUNTIME, "run_all_levels", _no_fuse)
+    app = app_mod.create_app()
+    img = make_image(rng, 24, 31, 3)
+    status, body = app.dispatch(Request(
+        method="POST", path="/api/process-all",
+        json={"image": encode_image_to_base64(img), "filter": "gaussian",
+              "enable_profiling": True},
+    ))
+    assert status == 200
+    assert set(body["results"]) == {"level_1", "level_2"}
