@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import sys
 
+_METRIC = "gaussian_blur_l2_3239x2146_rgb_time_ms"
 BASELINE_GAUSSIAN_L2_MS = 0.953   # README.md:235
 BASELINES_FULL = {
     ("gaussian", 1): 22.157,
@@ -141,7 +142,7 @@ def main() -> None:
 
     ms = measure_ms("gaussian", 2, img)
     print(json.dumps({
-        "metric": "gaussian_blur_l2_3239x2146_rgb_time_ms",
+        "metric": _METRIC,
         "value": round(ms, 4),
         "unit": "ms",
         "vs_baseline": round(BASELINE_GAUSSIAN_L2_MS / ms, 3),
@@ -157,7 +158,7 @@ if __name__ == "__main__":
         # ~22 min then raises UNAVAILABLE; see CLAUDE.md).  Never fabricate
         # a value.  benchmarks/results.json carries the last real numbers.
         print(json.dumps({
-            "metric": "gaussian_blur_l2_3239x2146_rgb_time_ms",
+            "metric": _METRIC,
             "value": None,
             "unit": "ms",
             "vs_baseline": None,

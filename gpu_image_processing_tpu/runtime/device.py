@@ -85,8 +85,9 @@ def demote_to_cpu(reason: str = "") -> bool:
     this host the axon relay lease can die while the server is up (observed
     2026-08-17: every later device call fails UNAVAILABLE until the lease
     clears, tens of minutes).  A CPU-served filter beats a 500.  Returns
-    True if a demotion happened; False when already on CPU (or no CPU
-    backend exists, which cannot happen on a stock jax install).
+    True if a demotion happened; False when already on CPU, or when no
+    cpu backend is registered (jax_platforms pinned to a non-cpu value --
+    logged loudly below, since demotion is then impossible).
 
     The caller owns invalidating anything compiled for the old device
     (FilterRuntime clears its executable cache).

@@ -413,10 +413,10 @@ class FusedLevelsExecutable:
     def __call__(self, *args) -> tuple[np.ndarray, list[float]]:
         """Run and return (stacked u8 outputs, per-level kernel ms).
 
-        Raises RuntimeError when per-level loop-delta timing is
-        unavailable (loop timing disabled, or the measurement failed):
-        a fused wall time cannot be split honestly across levels, so the
-        caller must serve those requests through the per-level path.
+        Raises FusionUnavailable when per-level loop-delta timing cannot
+        run (loop timing disabled, or the measurement failed): a fused
+        wall time cannot be split honestly across levels, so the caller
+        must serve those requests through the per-level path.
         """
         if not _loop_timing_enabled():
             raise FusionUnavailable("fused levels need loop-delta timing")
