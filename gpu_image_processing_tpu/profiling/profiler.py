@@ -311,14 +311,9 @@ def profile_filter(
     kh, kw = height, width
     if _dispatch._bucketing_enabled():
         kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
-    routed = _dispatch._routed_to_xla(lvl, kh, kw, filter_type)
-    key_map = {
-        "gaussian": ("gaussian", lvl, kh, kw, channels, kwargs.get("radius"),
-                     routed),
-        "box": ("box", lvl, kh, kw, channels, kwargs.get("radius"), routed),
-        "sobel": ("sobel", lvl, kh, kw, channels, routed),
-    }
-    exe = runtime._cache.get(key_map[filter_type])
+    exe_key = _dispatch.executable_cache_key(
+        filter_type, lvl, kh, kw, channels, kwargs.get("radius"))
+    exe = runtime._cache.get(exe_key)
 
     # Device-side kernel timing via the loop-delta method (the analog of
     # ncu's on-device measurement with --launch-count 10,
@@ -378,7 +373,7 @@ def profile_filter(
                 out = compiled(*a)
             jax.block_until_ready(out)
 
-        trace_kernels = _trace_kernel_breakdown(key_map[filter_type], _traced_run)
+        trace_kernels = _trace_kernel_breakdown(exe_key, _traced_run)
 
         # Tier 2 (trace unavailable): isolated-pass estimate for the
         # separable blurs, rescaled to the fused total (see _pass_breakdown).

@@ -73,8 +73,38 @@ def _routed_to_xla(level: int, h: int, w_: int,
     }
     default = defaults.get(filter_name, config.TPU.xla_tier_max_pixels)
     env = _os.environ.get("GIP_TPU_XLA_TIER_MAX_PIXELS")
-    max_px = int(env) if env is not None else default
+    try:
+        max_px = int(env) if env is not None else default
+    except ValueError:
+        # Garbage must not 500 every request (same contract as
+        # _bucket_ratio); fall back to the measured default.
+        max_px = default
     return h * w_ <= max_px
+
+
+def _pallas_disabled() -> bool:
+    """GIP_TPU_DISABLE_PALLAS=1 routes everything to the XLA tier.
+
+    Read at trace-build time AND folded into executable cache keys by
+    callers -- like _routed_to_xla's env override, a cached executable must
+    not mask a mid-process flip of the flag."""
+    return os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") == "1"
+
+
+def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
+                         channels: int, radius: int | None = None) -> tuple:
+    """The single-image executable cache key for a BUCKETED shape.
+
+    THE one place the key layout lives: the profiler locates the served
+    executable with it, and tests assert against it — hand-built copies
+    drift whenever a routing flag is added (it has happened)."""
+    if filter_name == "sobel":
+        return ("sobel", lvl, height, width, channels,
+                _routed_to_xla(lvl, height, width, "sobel"),
+                _pallas_disabled())
+    return (filter_name, lvl, height, width, channels, radius,
+            _routed_to_xla(lvl, height, width, filter_name),
+            _pallas_disabled())
 
 
 def _rows_optimized(filter_name: str, level: int, radius: int,
@@ -105,7 +135,7 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
     if _routed_to_xla(level, h, w_, filter_name):
         return xla_tier()
 
-    if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
+    if not _pallas_disabled():
         try:
             from ..ops.pallas.blur import (blur_pallas_feasible,
                                            box_pallas_rows,
@@ -154,6 +184,13 @@ def _mesh_batch_devices() -> int:
     so single-chip serving behavior is unchanged.
     """
     if os.environ.get("GIP_TPU_MESH_BATCH", "0") != "1":
+        return 0
+    from .device import demotion_reason
+
+    if demotion_reason() is not None:
+        # The process left the accelerator; jax.devices() still lists the
+        # dead chips, and sharding over them would make every batch request
+        # fail forever instead of serving from CPU.
         return 0
     n = len(jax.devices())
     return n if n > 1 else 0
@@ -239,7 +276,7 @@ def _trace_batch(filter_name: str, level: int, radius: int,
             return lambda rows: il.box_rows(rows, radius, c)
         return lambda rows: il.sobel_rows(rows, 1, w_, c)
 
-    if _os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1":
+    if not _pallas_disabled():
         try:
             from ..ops.pallas.blur import (blur_pallas_feasible,
                                            box_pallas_rows_batch,
@@ -311,15 +348,37 @@ class FilterExecutable:
     # run at ~750 GB/s (near HBM speed of light) and are the floor cost of
     # the u8 rows boundary; do not retry layout pinning here.
 
-    def __init__(self, fn: Callable, n_args: int):
+    def __init__(self, fn: Callable):
         import threading
 
         self._raw_fn = fn
         self.fn = jax.jit(fn)
-        self.n_args = n_args
         self._compiled = None
         self._kernel_ms: float | None = None
+        self._timing_attempt_ts: float = 0.0
         self._compile_lock = threading.Lock()
+
+    # Minimum seconds between retries of a failed loop-delta measurement:
+    # a transient relay blip at first-request time must not silently pin
+    # served time_ms to RPC-inflated wall numbers for the process lifetime,
+    # but a flaky device must not pay a measurement per request either.
+    _TIMING_RETRY_S = 60.0
+
+    def _measure_kernel_ms(self, args) -> None:
+        """One loop-delta measurement attempt; failures log and schedule a
+        retry (next call after _TIMING_RETRY_S)."""
+        from .timing import device_time_ms_auto
+
+        self._timing_attempt_ts = time.monotonic()
+        try:
+            self._kernel_ms = device_time_ms_auto(self._raw_fn, list(args))
+        except Exception as exc:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "Loop-delta kernel timing failed (%s); serving wall time "
+                "until a retry succeeds (wall includes per-execute RPC "
+                "overhead on remote-attached devices).", exc)
 
     def __call__(self, *args, reps: int | None = None) -> tuple[np.ndarray, float]:
         """Run and return (output u8 HWC, kernel time in ms)."""
@@ -336,24 +395,21 @@ class FilterExecutable:
                     # Untimed warmup execution: PJRT loads the program onto
                     # the device at first run (~60 ms on v5e via the tunnel).
                     compiled(*args).block_until_ready()
-                    if loop_timing:
-                        # Measure pure device time once via the loop-delta
-                        # method and report it for every request -- the
-                        # CUDA-event analog (kernel-only time).  Costs two
-                        # extra compiles per executable (bounded by shape
-                        # bucketing) but removes per-execute RPC overhead,
-                        # which on remote-attached devices is 3-50x the
-                        # kernel itself.  The auto variant sizes the loop so
-                        # sub-ms kernels still outweigh relay jitter.
-                        from .timing import device_time_ms_auto
-
-                        try:
-                            self._kernel_ms = device_time_ms_auto(
-                                self._raw_fn, list(args)
-                            )
-                        except Exception:
-                            self._kernel_ms = None
                     self._compiled = compiled
+        if loop_timing and self._kernel_ms is None:
+            # Measure pure device time via the loop-delta method and report
+            # it for every request -- the CUDA-event analog (kernel-only
+            # time).  Costs two extra compiles per executable (bounded by
+            # shape bucketing) but removes per-execute RPC overhead, which
+            # on remote-attached devices is 3-50x the kernel itself.  The
+            # auto variant sizes the loop so sub-ms kernels still outweigh
+            # relay jitter.
+            with self._compile_lock:
+                if (self._kernel_ms is None
+                        and time.monotonic() - self._timing_attempt_ts
+                        >= (self._TIMING_RETRY_S
+                            if self._timing_attempt_ts else 0.0)):
+                    self._measure_kernel_ms(args)
         if loop_timing and self._kernel_ms is not None:
             # Kernel time is already known from the loop-delta measurement;
             # run exactly once (the multi-rep wall timing would be discarded
@@ -396,7 +452,7 @@ class FusedLevelsExecutable:
     outputs are produced per request, never what is timed.
     """
 
-    def __init__(self, fns: list[Callable], n_args: int):
+    def __init__(self, fns: list[Callable]):
         import threading
 
         import jax.numpy as jnp
@@ -404,7 +460,6 @@ class FusedLevelsExecutable:
         self._fns = list(fns)
         self._raw_fused = lambda *args: jnp.stack([f(*args) for f in self._fns])
         self.fn = jax.jit(self._raw_fused)
-        self.n_args = n_args
         self._compiled = None
         self._kernel_ms: list[float] | None = None
         self._broken: str | None = None
@@ -420,28 +475,41 @@ class FusedLevelsExecutable:
         """
         if not _loop_timing_enabled():
             raise FusionUnavailable("fused levels need loop-delta timing")
-        if self._broken is not None:
-            raise FusionUnavailable(self._broken)
         if self._compiled is None:
             with self._compile_lock:
+                if self._broken is not None:
+                    # Re-check under the lock: a concurrent first request
+                    # must not repeat the compile+timing a peer just
+                    # watched fail deterministically.
+                    raise FusionUnavailable(self._broken)
                 if self._compiled is None:
                     compiled = self.fn.lower(*args).compile()
                     compiled(*args).block_until_ready()
+                    # Cache the compiled program BEFORE timing so a timing
+                    # retry never pays the lowering again.
+                    self._compiled = compiled
+        if self._kernel_ms is None:
+            with self._compile_lock:
+                if self._broken is not None:
+                    raise FusionUnavailable(self._broken)
+                if self._kernel_ms is None:
                     from .timing import device_time_ms_auto
 
                     try:
-                        ms = [device_time_ms_auto(f, list(args))
-                              for f in self._fns]
+                        self._kernel_ms = [device_time_ms_auto(f, list(args))
+                                           for f in self._fns]
                     except Exception as exc:
-                        # Remember the failure: re-lowering the fused
-                        # program on every later request (to fail the same
-                        # way) would add seconds per request, and timing
-                        # failures must surface as the fusion routing
-                        # signal, not as breaker-counted device errors.
-                        self._broken = f"per-level timing failed: {exc}"
-                        raise FusionUnavailable(self._broken) from exc
-                    self._kernel_ms = ms
-                    self._compiled = compiled
+                        # Timing failures surface as the fusion routing
+                        # signal (per-level fallback), never as
+                        # breaker-counted device errors.  Deterministic
+                        # failures latch (re-timing every request just to
+                        # fail identically wastes seconds); transient
+                        # transport errors don't -- the next request
+                        # retries against the recovered device.
+                        msg = f"per-level timing failed: {exc}"
+                        if not _looks_like_device_loss(exc):
+                            self._broken = msg
+                        raise FusionUnavailable(msg) from exc
         out = self._compiled(*args)
         out.block_until_ready()
         return np.asarray(out), list(self._kernel_ms)
@@ -685,12 +753,12 @@ class FilterRuntime:
         weights = gaussian_kernel_f32(radius, float(sigma))
 
         def attempt():
-            key = ("gaussian", lvl, height, width, channels, radius,
-                   _routed_to_xla(lvl, height, width))
+            key = executable_cache_key("gaussian", lvl, height, width,
+                                        channels, radius)
             exe = self._get(
                 key,
                 lambda: FilterExecutable(
-                    _trace_gaussian(lvl, radius, height, width, channels), n_args=2
+                    _trace_gaussian(lvl, radius, height, width, channels)
                 ),
             )
             dev = default_device()
@@ -719,12 +787,12 @@ class FilterRuntime:
         height, width = image.shape[:2]
 
         def attempt():
-            key = ("box", lvl, height, width, channels, radius,
-                   _routed_to_xla(lvl, height, width, "box"))
+            key = executable_cache_key("box", lvl, height, width, channels,
+                                        radius)
             exe = self._get(
                 key,
                 lambda: FilterExecutable(
-                    _trace_box(lvl, radius, height, width, channels), n_args=1
+                    _trace_box(lvl, radius, height, width, channels)
                 ),
             )
             img_dev = jax.device_put(image.reshape(height, -1), default_device())
@@ -749,12 +817,11 @@ class FilterRuntime:
         height, width = image.shape[:2]
 
         def attempt():
-            key = ("sobel", lvl, height, width, channels,
-                   _routed_to_xla(lvl, height, width, "sobel"))
+            key = executable_cache_key("sobel", lvl, height, width, channels)
             exe = self._get(
                 key,
                 lambda: FilterExecutable(
-                    _trace_sobel(lvl, height, width, channels), n_args=1
+                    _trace_sobel(lvl, height, width, channels)
                 ),
             )
             img_dev = jax.device_put(image.reshape(height, -1), default_device())
@@ -849,12 +916,11 @@ class FilterRuntime:
                 _routed_to_xla(lv, height, width, filter_name) for lv in lvls
             )
             key = ("all_levels", filter_name, lvls, height, width, channels,
-                   radius if filter_name != "sobel" else None, routing)
-            n_args = 2 if filter_name == "gaussian" else 1
+                   radius if filter_name != "sobel" else None, routing,
+                   _pallas_disabled())
             exe = self._get(
                 key,
-                lambda: FusedLevelsExecutable(
-                    [trace_fn(lv) for lv in lvls], n_args),
+                lambda: FusedLevelsExecutable([trace_fn(lv) for lv in lvls]),
             )
             dev = default_device()
             args = [jax.device_put(image.reshape(height, -1), dev)]
@@ -938,7 +1004,8 @@ class FilterRuntime:
         """Device section of run_batch (behind the _serve breaker)."""
         mesh_n = _mesh_batch_devices()
         key = ("batch", filter_name, lvl, batch, height, width, channels,
-               radius if filter_name != "sobel" else None, mesh_n)
+               radius if filter_name != "sobel" else None, mesh_n,
+               _pallas_disabled())
 
         def build() -> FilterExecutable:
             if mesh_n:
@@ -947,7 +1014,7 @@ class FilterRuntime:
             else:
                 fn = _trace_batch(filter_name, lvl, radius, height, width,
                                   channels)
-            return FilterExecutable(fn, n_args=2 if filter_name == "gaussian" else 1)
+            return FilterExecutable(fn)
 
         exe = self._get(key, build)
         if mesh_n:

@@ -7,7 +7,8 @@ import numpy as np
 
 from gpu_image_processing_tpu.ops.weights import gaussian_kernel_f32
 from gpu_image_processing_tpu.runtime import dispatch
-from gpu_image_processing_tpu.runtime.dispatch import RUNTIME, _bucket
+from gpu_image_processing_tpu.runtime.dispatch import (RUNTIME, _bucket,
+                                                       executable_cache_key)
 
 from . import oracle_numpy as oracle
 from .conftest import make_image
@@ -66,7 +67,8 @@ def test_bucketing_opt_out(rng, monkeypatch):
     out, _ = RUNTIME.gaussian_blur(img, sigma=2.0, radius=3, level=1)
     w = gaussian_kernel_f32(3, 2.0)
     np.testing.assert_array_equal(out, oracle.gaussian_blur(img, w, 3))
-    assert ("gaussian", 1, 33, 41, 3, 3, False) in dispatch.RUNTIME._cache
+    assert dispatch.executable_cache_key("gaussian", 1, 33, 41, 3, 3) \
+        in dispatch.RUNTIME._cache
 
 
 def test_sobel_bucket_aligned_width_prefix_slice(rng):
@@ -92,7 +94,7 @@ def test_loop_timing_env_override(rng, monkeypatch):
     out, metrics = RUNTIME.box_blur(img, radius=2, level=2)
     np.testing.assert_array_equal(out, oracle.box_blur(img, 2))
     assert metrics.time_ms > 0
-    key = ("box", 2, _bucket(40), _bucket(56), 3, 2, False)
+    key = executable_cache_key("box", 2, _bucket(40), _bucket(56), 3, 2)
     assert RUNTIME._cache[key]._kernel_ms is not None
     assert metrics.time_ms == RUNTIME._cache[key]._kernel_ms
 
@@ -117,7 +119,8 @@ def test_tier_routing_small_images_use_xla_tier(rng, monkeypatch):
     np.testing.assert_array_equal(out, oracle.box_blur(img, 4))
     # The routing decision is part of the cache key (an earlier run of the
     # same shape under a different threshold must not mask it).
-    assert ("gaussian", 2, _bucket(30), _bucket(44), 3, 3, True) in RUNTIME._cache
+    assert executable_cache_key("gaussian", 2, _bucket(30), _bucket(44), 3, 3) \
+        in RUNTIME._cache
 
 
 def test_batch_sobel_bucket_aligned_width(rng):

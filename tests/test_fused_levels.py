@@ -81,9 +81,11 @@ def test_server_process_all_uses_fused(rng, loop_timing_on, monkeypatch):
 
 def test_fused_timing_failure_is_fusion_unavailable(rng, loop_timing_on,
                                                     monkeypatch):
-    """A per-level timing failure must surface as the fusion routing signal
-    (per-level fallback), be remembered (no re-lower on every request), and
-    never count toward the demotion breaker."""
+    """Per-level timing failures surface as the fusion routing signal
+    (per-level fallback), never as breaker-counted device errors.
+    Deterministic failures latch (_broken: no re-timing per request);
+    transient transport errors do NOT latch -- the next request retries
+    against the recovered device without re-lowering."""
     import jax.numpy as jnp
 
     import gpu_image_processing_tpu.runtime.timing as timing_mod
@@ -92,20 +94,37 @@ def test_fused_timing_failure_is_fusion_unavailable(rng, loop_timing_on,
         FusionUnavailable,
     )
 
-    def boom(*a, **k):
-        raise RuntimeError("UNAVAILABLE: timing died")
-
-    monkeypatch.setattr(timing_mod, "device_time_ms_auto", boom)
-    exe = FusedLevelsExecutable([lambda x: x, lambda x: x + 1], n_args=1)
     arg = jnp.zeros((8, 16), jnp.uint8)
+
+    # Deterministic failure: latches, timing never re-invoked.
+    def det_boom(*a, **k):
+        raise RuntimeError("slope degenerate: congestion-proof failed")
+
+    monkeypatch.setattr(timing_mod, "device_time_ms_auto", det_boom)
+    exe = FusedLevelsExecutable([lambda x: x, lambda x: x + 1])
     with pytest.raises(FusionUnavailable):
         exe(arg)
     assert exe._broken is not None
-    # Second call: remembered, no recompile attempt (timing not re-invoked).
     monkeypatch.setattr(timing_mod, "device_time_ms_auto",
-                        lambda *a, **k: pytest.fail("re-lowered"))
+                        lambda *a, **k: pytest.fail("re-timed"))
     with pytest.raises(FusionUnavailable):
         exe(arg)
+
+    # Transient transport failure: no latch; a later request recovers
+    # (and the compiled program was cached, so only timing re-runs).
+    def transient_boom(*a, **k):
+        raise RuntimeError("UNAVAILABLE: relay blip")
+
+    monkeypatch.setattr(timing_mod, "device_time_ms_auto", transient_boom)
+    exe2 = FusedLevelsExecutable([lambda x: x, lambda x: x + 1])
+    with pytest.raises(FusionUnavailable):
+        exe2(arg)
+    assert exe2._broken is None
+    assert exe2._compiled is not None
+    monkeypatch.setattr(timing_mod, "device_time_ms_auto",
+                        lambda *a, **k: 0.5)
+    out, ms = exe2(arg)
+    assert ms == [0.5, 0.5]
 
 
 def test_profiled_requests_bypass_fusion(rng, loop_timing_on, monkeypatch):
