@@ -26,13 +26,25 @@ from jax import lax
 
 
 def _loop_samples(
-    apply: Callable, args: Sequence, n_iters: int, sync_reps: int
+    apply: Callable, args: Sequence, n_iters: int, sync_reps: int,
+    cache: dict | None = None,
 ) -> list[float]:
-    def fn(x, *rest):
-        return lax.fori_loop(0, n_iters, lambda i, a: apply(a, *rest), x)
+    """`sync_reps` wall times of an n_iters fori_loop of `apply`.
 
-    compiled = jax.jit(fn).lower(*args).compile()
-    compiled(*args).block_until_ready()   # program load
+    `cache` (keyed on n_iters) memoizes the compiled loop program across
+    calls within one measurement: a fresh closure gets no jit-cache hit, so
+    without it every degenerate-slope retry would re-trace and re-lower the
+    loop (seconds of host work on this 1-core host; the persistent disk
+    cache only skips the XLA backend compile)."""
+    compiled = cache.get(n_iters) if cache is not None else None
+    if compiled is None:
+        def fn(x, *rest):
+            return lax.fori_loop(0, n_iters, lambda i, a: apply(a, *rest), x)
+
+        compiled = jax.jit(fn).lower(*args).compile()
+        compiled(*args).block_until_ready()   # program load
+        if cache is not None:
+            cache[n_iters] = compiled
     out = []
     for _ in range(sync_reps):
         t0 = time.perf_counter()
@@ -92,14 +104,18 @@ def device_time_ms_auto(
     args = list(args)
     jax.block_until_ready(args)
     n_a, n_b = 16, 64
+    compiled_loops: dict = {}
 
     def take_slope() -> float:
-        t_a = _median(_loop_samples(apply, args, n_a, sync_reps))
-        t_b = _median(_loop_samples(apply, args, n_b, sync_reps))
+        t_a = _median(_loop_samples(apply, args, n_a, sync_reps,
+                                    compiled_loops))
+        t_b = _median(_loop_samples(apply, args, n_b, sync_reps,
+                                    compiled_loops))
         slope = max((t_b - t_a) / (n_b - n_a), 1e-9)  # s/iter, jitter-noisy
         if slope * n_b * 1000.0 < target_ms:
             n_c = int(min(max(target_ms / 1000.0 / slope, 2 * n_b), max_hi))
-            t_c = _median(_loop_samples(apply, args, n_c, sync_reps))
+            t_c = _median(_loop_samples(apply, args, n_c, sync_reps,
+                                        compiled_loops))
             slope = (t_c - t_b) / (n_c - n_b)
         return slope
 
