@@ -80,7 +80,15 @@ def device_peaks(device_kind: Optional[str] = None,
     if device_kind is None:
         device_kind = getattr(default_device(), "device_kind", "") or ""
 
-    env = [float(os.environ.get(k, 0.0)) or None for k in (
+    def _env_peak(k: str) -> Optional[float]:
+        try:
+            return float(os.environ.get(k, 0.0)) or None
+        except ValueError:
+            # Garbage must not kill profiling for every request (same
+            # contract as dispatch's env parsing); ignore the override.
+            return None
+
+    env = [_env_peak(k) for k in (
         "GIP_TPU_PEAK_HBM_GBPS", "GIP_TPU_PEAK_F32_TFLOPS",
         "GIP_TPU_PEAK_BF16_TFLOPS")]
 
@@ -113,10 +121,10 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     Rows-native like the serving trace fns, so no relayout pollutes the
     measured split.
     """
-    from ..runtime.dispatch import _routed_to_xla
+    from ..runtime.dispatch import _pallas_disabled, _routed_to_xla
 
     if (lvl >= 2 and not _routed_to_xla(lvl, h, w, filter_type)
-            and os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") != "1"):
+            and not _pallas_disabled()):
         try:
             from ..ops.pallas.blur import (blur_pallas_feasible,
                                            box_pallas_rows,
@@ -196,6 +204,7 @@ _PASS_CACHE: dict[tuple, tuple[float, float]] = {}
 # Same key -> {kernel: {count, total_ms, avg_ms}} parsed from an xplane
 # trace of the served executable; None caches "trace tier unavailable".
 _TRACE_CACHE: dict[tuple, Optional[dict]] = {}
+_TRACE_LOCK = __import__("threading").Lock()
 
 
 def _trace_kernel_breakdown(key: tuple, run_fn) -> Optional[dict]:
@@ -214,25 +223,33 @@ def _trace_kernel_breakdown(key: tuple, run_fn) -> Optional[dict]:
     if key in _TRACE_CACHE:
         return _TRACE_CACHE[key]
     result: Optional[dict] = None
-    try:
-        import shutil
-        import tempfile
-
-        import jax
-
-        from .xplane import serving_kernel_durations
-
-        out_dir = tempfile.mkdtemp(prefix="gip_tpu_xplane_")
+    # One capture at a time: jax.profiler supports a single in-process
+    # session (a concurrent one raises), and the trace window records
+    # PROCESS-WIDE device activity -- serializing keeps a concurrent
+    # request's kernels out of this config's table and keeps a losing
+    # thread from permanently caching None for its config.
+    with _TRACE_LOCK:
+        if key in _TRACE_CACHE:
+            return _TRACE_CACHE[key]
         try:
-            with jax.profiler.trace(out_dir):
-                run_fn()
-            kernels = serving_kernel_durations(out_dir)
-        finally:
-            shutil.rmtree(out_dir, ignore_errors=True)
-        result = kernels or None
-    except Exception:  # pragma: no cover - profiler unsupported on backend
-        result = None
-    _TRACE_CACHE[key] = result
+            import shutil
+            import tempfile
+
+            import jax
+
+            from .xplane import serving_kernel_durations
+
+            out_dir = tempfile.mkdtemp(prefix="gip_tpu_xplane_")
+            try:
+                with jax.profiler.trace(out_dir):
+                    run_fn()
+                kernels = serving_kernel_durations(out_dir)
+            finally:
+                shutil.rmtree(out_dir, ignore_errors=True)
+            result = kernels or None
+        except Exception:  # pragma: no cover - profiler unsupported here
+            result = None
+        _TRACE_CACHE[key] = result
     return result
 
 
@@ -248,7 +265,13 @@ def _pass_breakdown(
     rescale the pair to the fused kernel's measured total (the reference
     itself estimates missing pass durations by ratio, ncu_profiler.py:630).
     """
-    key = (filter_type, lvl, radius, kh, kw, channels, platform())
+    from ..runtime.dispatch import _pallas_disabled, _routed_to_xla
+
+    # Fold the routing env flags in (same reason dispatch's
+    # executable_cache_key does): a mid-process flip must not serve
+    # stale pass timings measured on the other tier.
+    key = (filter_type, lvl, radius, kh, kw, channels, platform(),
+           _routed_to_xla(lvl, kh, kw, filter_type), _pallas_disabled())
     if key in _PASS_CACHE:
         return _PASS_CACHE[key]
     from ..runtime.device import is_tpu

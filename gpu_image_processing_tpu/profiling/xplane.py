@@ -241,7 +241,21 @@ def _op_lines(plane: XPlane) -> list[XLine]:
     named = [l for l in plane.lines if l.name.lower() == "xla ops" and l.events]
     if named:
         return named
-    return [l for l in plane.lines if l.events]
+    # Fallback for unknown layouts -- but never mix known AGGREGATE lines
+    # ('XLA Modules', 'Steps', ...) in with per-op lines: a module event
+    # spans the same device time its ops do, so summing both would double
+    # count every kernel.
+    other = [l for l in plane.lines
+             if l.events and l.name.lower() not in _AGGREGATE_LINES]
+    if other:
+        return other
+    # Only aggregate lines exist: use ONE of them (they all cover the same
+    # device time window at different granularities).
+    for name in _AGGREGATE_LINES:
+        for line in plane.lines:
+            if line.events and line.name.lower() == name:
+                return [line]
+    return []
 
 
 def kernel_durations_from_planes(

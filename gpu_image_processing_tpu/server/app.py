@@ -124,13 +124,17 @@ def _parse_filter_request(request: Request) -> FilterRequest:
 def create_app() -> Router:
     app = Router()
     stats = {"started_at": _time.time(), "requests_total": 0, "by_route": {}}
+    import threading
+
+    stats_lock = threading.Lock()  # ThreadingHTTPServer: += is not atomic
 
     _dispatch = app.dispatch
 
     def counting_dispatch(request: Request):
-        stats["requests_total"] += 1
         key = f"{request.method} {request.path}"
-        stats["by_route"][key] = stats["by_route"].get(key, 0) + 1
+        with stats_lock:
+            stats["requests_total"] += 1
+            stats["by_route"][key] = stats["by_route"].get(key, 0) + 1
         return _dispatch(request)
 
     app.dispatch = counting_dispatch
@@ -417,7 +421,8 @@ def create_app() -> Router:
         "level": 1|2, "sigma": f, "radius": n}."""
         _require_runtime()
         body = request.json
-        if not body or not isinstance(body.get("images"), list) or not body["images"]:
+        if (not isinstance(body, dict) or not isinstance(body.get("images"), list)
+                or not body["images"]):
             raise HTTPError(400, "Expected a JSON body with a non-empty 'images' list")
         fields = {k: v for k, v in body.items() if k != "images"}
         fields["image"] = body["images"][0]
@@ -520,9 +525,11 @@ def precompile_shapes(shapes: list[tuple[int, int]]) -> int:
         img = np.zeros((h, w, 3), np.uint8)  # content never affects tracing
         for filt in ("gaussian", "box", "sobel"):
             # Per-level executables first: /api/process (single level) only
-            # ever uses these, so they must be warm regardless of fusion.
+            # ever uses these, so they must be warm regardless of fusion --
+            # including level 4 (REQUEST_LEVELS), which /api/process accepts
+            # but process-all does not serve.
             ok = True
-            for level in config.VALID_LEVELS:
+            for level in config.REQUEST_LEVELS:
                 try:
                     RUNTIME.run(filt, img, level=level)
                 except Exception as exc:

@@ -50,8 +50,15 @@ def parse_multipart(body: bytes, content_type: str) -> dict[str, tuple[str, byte
     boundary = b"--" + m.group(1).encode()
     files: dict[str, tuple[str, bytes]] = {}
     for part in body.split(boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+        # Trim exactly ONE leading/trailing CRLF -- the protocol delimiter
+        # around each part (RFC 2046).  strip(b"\r\n") would also eat
+        # trailing 0x0D/0x0A bytes belonging to the FILE DATA itself,
+        # truncating binary uploads whose content ends in CR or LF.
+        if part.startswith(b"\r\n"):
+            part = part[2:]
+        if part.endswith(b"\r\n"):
+            part = part[:-2]
+        if not part or part.rstrip(b"-\r\n ") == b"":
             continue
         if b"\r\n\r\n" not in part:
             continue

@@ -397,10 +397,37 @@ def test_precompile_warms_executable_cache(monkeypatch):
     monkeypatch.setattr(dispatch_mod, "RUNTIME", rt)
     warmed = precompile_shapes([(20, 16)])
     assert warmed == 3  # gaussian, box, sobel (per-level here: fused needs loop timing)
-    # /api/process uses the per-level path: every filter x level must be warm.
+    # /api/process uses the per-level path: every filter x REQUEST level
+    # (1, 2, 4) must be warm.
     per_level = [k for k in rt._cache if k[0] in ("gaussian", "box", "sobel")]
-    assert len(per_level) == 6
+    assert len(per_level) == 9
     # idempotent: same bucket -> no new executables
     n = len(rt._cache)
     precompile_shapes([(20, 16)])
     assert len(rt._cache) == n
+
+
+def test_multipart_preserves_crlf_tailed_binary(app):
+    """Exactly ONE protocol CRLF is trimmed per part: file data whose last
+    bytes are 0x0D/0x0A must survive /api/upload intact (a strip(b'\\r\\n')
+    would truncate them)."""
+    img = np.zeros((3, 3, 3), dtype=np.uint8)
+    img[-1, -1] = (8, 13, 10)            # file tail on disk: ... 08 0D 0A
+    raw = b"P6\n3 3\n255\n" + img.tobytes()
+    boundary = b"----gipboundary42"
+    body = (b"--" + boundary + b"\r\n"
+            b'Content-Disposition: form-data; name="file"; '
+            b'filename="t.ppm"\r\n'
+            b"Content-Type: image/x-portable-pixmap\r\n\r\n" + raw + b"\r\n"
+            b"--" + boundary + b"--\r\n")
+    from gpu_image_processing_tpu.server.http import parse_multipart
+
+    files = parse_multipart(
+        body, "multipart/form-data; boundary=" + boundary.decode())
+    assert files["file"][1] == raw        # data byte-identical post-parse
+    status, resp = app.dispatch(Request(
+        method="POST", path="/api/upload", files=files))
+    assert status == 200
+    out = np.array(Image.open(io.BytesIO(
+        base64.b64decode(resp["base64_image"].split(",", 1)[1]))))
+    np.testing.assert_array_equal(out, img)
