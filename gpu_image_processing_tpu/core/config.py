@@ -54,13 +54,15 @@ class TpuConfig:
 
     # Rows of output produced per Pallas grid step for the fused separable
     # blur kernels.  (The VMEM analog of the reference's 16x16 thread blocks,
-    # image_filters.cu:773 -- but sized for a 16 MB VMEM instead of 48 KB of
-    # shared memory.)  128 rows x ~3.3k f32 lanes keeps the tile + f32
-    # intermediates + double-buffered output under the 16 MB VMEM budget for
-    # 4k-wide images.
+    # image_filters.cu:773 -- but sized for VMEM instead of 48 KB of shared
+    # memory.)  128 rows x ~3.3k f32 lanes needs the RAISED 64 MB scoped
+    # VMEM (blur.py::_VMEM_SCOPE_BYTES; the 16 MB default capped tiles at
+    # 56 rows) and measured 0.845x vs 56; 192+ rows measured WORSE -- the
+    # real accounting lives in blur.py::_working_set_bytes/_pick_tile_rows,
+    # which walks DOWN from these requests when a shape doesn't fit.
     blur_tile_rows: int = 128
     # Sobel keeps C uint8 planes + several f32 gradient tiles live at once;
-    # 96 rows stays under the 16 MB VMEM budget at ~3.3k-lane widths.
+    # 96 rows measured best at ~3.3k-lane widths under the 64 MB scope.
     sobel_tile_rows: int = 96
     # Lane alignment for the last (width) dimension.
     lane: int = 8 * 128

@@ -15,7 +15,9 @@ multiplication on the MXU:
 Every output element receives exactly ONE nonzero product (x * 1) plus
 zeros, so the result is bit-exact regardless of accumulation order -- the
 MXU is used purely as a high-bandwidth permutation engine.  Operands are
-bf16 (integers <= 255 are exact in bf16) with f32 accumulation.
+bf16 with f32 accumulation: exact ONLY for u8-valued input (integers
+<= 255 are exact in bf16); fractional f32 values would lose mantissa bits
+in the operand cast, so f32 mode is for u8-VALUED planes held in f32.
 
 A fused `broadcast_interleave` writes one gray plane to all C interleaved
 channels in a single matmul (the Sobel output pattern,
@@ -96,7 +98,11 @@ def deinterleave(flat_u8: jnp.ndarray, height: int, width: int, channels: int,
 
 
 def interleave(planar: jnp.ndarray) -> jnp.ndarray:
-    """(C, H, W) u8/f32 planar -> (H*W*C,) u8 interleaved, bit-exact."""
+    """(C, H, W) planar -> (H*W*C,) u8 interleaved.
+
+    Bit-exact for u8-VALUED input (incl. u8 values held in f32); a
+    fractional f32 plane loses mantissa bits in the bf16 operand cast
+    (see module docstring)."""
     channels, height, width = planar.shape
     if channels == 1:
         return planar.reshape(-1).astype(jnp.uint8)

@@ -429,18 +429,16 @@ def _emit_row_fills(buf, i, radius: int, row_fill: tuple | None) -> None:
     """
     if row_fill is None:
         return
-    import jax.numpy as _jnp
-    from jax.experimental import pallas as _pl
 
-    @_pl.when(i == 0)
+    @pl.when(i == 0)
     def _():
-        buf[0:radius, :] = _jnp.broadcast_to(
+        buf[0:radius, :] = jnp.broadcast_to(
             buf[radius:radius + 1, :], (radius, buf.shape[1]))
 
     for band, pos, flen in row_fill:
-        @_pl.when(i == band)
+        @pl.when(i == band)
         def _(pos=pos, flen=flen):
-            buf[pos + 1:pos + 1 + flen, :] = _jnp.broadcast_to(
+            buf[pos + 1:pos + 1 + flen, :] = jnp.broadcast_to(
                 buf[pos:pos + 1, :], (flen, buf.shape[1]))
 
 

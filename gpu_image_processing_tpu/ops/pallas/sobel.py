@@ -46,8 +46,7 @@ from .blur import _LAND
 _OVERHANG = 128
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from .blur import _round_up  # noqa: E402  (one definition, blur.py)
 
 
 # Scoped-VMEM budget: shared with the blur kernels (see the rationale at
@@ -244,13 +243,10 @@ def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
     out_ref[0] = out.astype(jnp.int32).astype(jnp.uint8)
 
 
-def _pick_tile_rows_interleaved(requested: int, wp: int) -> int:
-    """VMEM budget for the interleaved kernel: u8 tile + gray f32 + M f32 +
-    replication temps over Wp lanes ~= 30 bytes per (row x Wp lane)."""
-    budget = 40 * 1024 * 1024
-    tile = max(int(budget / (wp * 30.0)) - 2, 8)
-    tile = max((tile // 8) * 8, 8)
-    return min(requested, tile)
+# Interleaved tiles use the same ~30 B/(row x lane) VMEM model as planar
+# (u8 tile + gray/gx/gy/magnitude f32 temporaries); one budget function so a
+# retune cannot silently split the two tiers.
+_pick_tile_rows_interleaved = _pick_tile_rows
 
 
 def sobel_pallas_rows_batch(

@@ -218,14 +218,7 @@ def decode_base64_image_ex(
         ):
             passthrough = _jpeg_data_url(raw)
         if image.mode != "RGB":
-            # RGBA/L normalization as in the reference (app.py:80-83),
-            # extended to every other mode (palette, 16-bit, float) so the
-            # pipeline always sees uint8 RGB.
-            if image.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
-                arr16 = np.asarray(image, dtype=np.float32)
-                scale = 255.0 / max(float(arr16.max()), 1.0)
-                image = Image.fromarray((arr16 * scale).astype(np.uint8))
-            image = image.convert("RGB")
+            image = _pil_to_rgb(image)
         arr = np.array(image)
     except Exception as exc:
         # Only meaningful when PIL was actually tried: without PIL the
@@ -242,6 +235,22 @@ def decode_base64_image_ex(
     return arr, passthrough
 
 
+def _pil_to_rgb(image):
+    """Normalize a non-RGB PIL image to RGB uint8.
+
+    RGBA/L as in the reference (app.py:80-83), extended to every other mode
+    (palette, 16-bit, float) so the pipeline always sees uint8 RGB --
+    convert('RGB') alone would CLIP >8-bit values to white, so wide modes
+    rescale by their max first.  Shared by the base64 and file-upload
+    decode paths (they must produce identical pixels for the same input).
+    """
+    if image.mode in ("I", "I;16", "I;16B", "I;16L", "F"):
+        arr16 = np.asarray(image, dtype=np.float32)
+        scale = 255.0 / max(float(arr16.max()), 1.0)
+        image = Image.fromarray((arr16 * scale).astype(np.uint8))
+    return image.convert("RGB")
+
+
 def encode_image_to_base64(img_array: np.ndarray) -> str:
     """Encode an HWC uint8 array to a PNG data URL (native tier preferred)."""
     if img_array.dtype != np.uint8:
@@ -251,6 +260,10 @@ def encode_image_to_base64(img_array: np.ndarray) -> str:
     if png is not None:
         return _png_data_url(png)
 
+    if not PIL_AVAILABLE:
+        raise ImageCodecError(
+            "Cannot encode PNG: native codec unavailable and PIL not "
+            "installed (build native/ or install Pillow)")
     if img_array.ndim == 3 and img_array.shape[2] == 1:
         img_array = img_array[:, :, 0]
     image = Image.fromarray(img_array)
@@ -261,10 +274,25 @@ def encode_image_to_base64(img_array: np.ndarray) -> str:
 
 
 def load_image_file(data: bytes) -> tuple[np.ndarray, int, int]:
-    """Decode uploaded file bytes -> (array, width, height) (app.py:496-521)."""
+    """Decode uploaded file bytes -> (array, width, height) (app.py:496-521).
+
+    Mode normalization matches decode_base64_image_ex exactly (shared
+    _pil_to_rgb): the two endpoints must produce identical pixels for the
+    same input file (16-bit modes rescale instead of clipping to white).
+    """
+    if not PIL_AVAILABLE:
+        arr = native_codec.png_decode(data)
+        if arr is None and len(data) > 3 and data[:2] == b"\xff\xd8":
+            arr = native_codec.jpeg_decode(data)
+        if arr is None:
+            raise ImageCodecError(
+                "Cannot decode upload: native codec unavailable (or format "
+                "outside its PNG/JPEG subset) and PIL not installed")
+        arr = _normalize_rgb(arr)
+        return arr, arr.shape[1], arr.shape[0]
     image = Image.open(io.BytesIO(data))
     if image.mode not in ("RGB", "L"):
-        image = image.convert("RGB")
+        image = _pil_to_rgb(image)
     arr = np.array(image)
     if arr.ndim == 2:
         arr = arr[:, :, None]
