@@ -55,7 +55,12 @@ function loadFile(file) {
   reader.onload = () => {
     state.imageB64 = reader.result; // data URL
     const dz = $("dropzone");
-    dz.innerHTML = "";
+    // Keep #fileInput in the DOM (innerHTML = "" would detach it and kill
+    // click-to-browse) and reset it so re-picking the SAME file re-fires
+    // the change event.
+    dz.querySelectorAll("p, img.preview, .hint").forEach((el) => el.remove());
+    const inp = $("fileInput");
+    if (inp) inp.value = "";
     const img = document.createElement("img");
     img.src = state.imageB64;
     img.className = "preview";
@@ -145,7 +150,12 @@ function addImageCard(grid, src, title, sub) {
   img.addEventListener("click", () => openLightbox(idx));
   const cap = document.createElement("div");
   cap.className = "caption";
-  cap.innerHTML = `<b>${title}</b><span>${sub}</span>`;
+  // title carries server-supplied strings (info.level) -- never innerHTML
+  const b = document.createElement("b");
+  b.textContent = title;
+  const span = document.createElement("span");
+  span.textContent = sub;
+  cap.append(b, span);
   card.append(img, cap);
   grid.append(card);
 }
@@ -337,11 +347,14 @@ function expandPassDurations(m, labels) {
   if (Array.isArray(m.kernel_durations) && m.kernel_durations.length > 1 &&
       Array.isArray(m.kernels_profiled)) {
     m.kernel_durations.forEach((v, i) => {
-      const key = `kernel_${i}_duration_ms`;
       const name = String(m.kernels_profiled[i] || `kernel ${i}`);
       const pass = name.match(/(horizontal|vertical)$/);
-      out[key] = v;
       const unit = est ? "est. ms" : "ms";
+      // Key rows by (kernel name, unit), NOT index: levels with different
+      // kernel sets (estimated passes vs trace kernels) must land on
+      // separate rows, not overwrite each other's shared label.
+      const key = `kpass:${name} (${unit})`;
+      out[key] = v;
       labels[key] = `└ ${pass ? pass[1] + " pass" : name} (${unit})`;
     });
   }
@@ -386,7 +399,7 @@ function renderMetricsTable(results) {
       flattenDeep(expandPassDurations(results[lv].metrics, dynLabels), otherNames);
   }
   let html = "<table class='metrics'><tr><th>Metric</th>";
-  for (const key of levels) html += `<th>${levelLabel(key, results[key].info)}</th>`;
+  for (const key of levels) html += `<th>${escapeHtml(levelLabel(key, results[key].info))}</th>`;
   html += "</tr>";
 
   const sections = METRIC_SECTIONS.map(([s, keys]) => [s, keys]);

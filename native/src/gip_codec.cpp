@@ -76,13 +76,18 @@ size_t gip_base64_encode(const uint8_t* in, size_t n, char* out) {
 
 // returns decoded size or -1 on bad input; skips ASCII whitespace.
 long long gip_base64_decode(const char* in, size_t n, uint8_t* out) {
-  static int8_t lut[256];
-  static bool init = false;
-  if (!init) {
-    std::memset(lut, -1, sizeof(lut));
-    for (int k = 0; k < 64; ++k) lut[(uint8_t)B64_CHARS[k]] = (int8_t)k;
-    init = true;
-  }
+  // Magic static (C++11 thread-safe init): the server calls this from
+  // concurrent threads with the GIL released; an unsynchronized
+  // static-bool lazy init raced (torn table / init flag published early).
+  struct B64Lut {
+    int8_t v[256];
+    B64Lut() {
+      std::memset(v, -1, sizeof(v));
+      for (int k = 0; k < 64; ++k) v[(uint8_t)B64_CHARS[k]] = (int8_t)k;
+    }
+  };
+  static const B64Lut lut_s;
+  const int8_t* lut = lut_s.v;
   uint32_t acc = 0;
   int bits = 0;
   size_t o = 0;
@@ -536,8 +541,10 @@ int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
   int h = header[14] | (header[15] << 8);
   int bpp = header[16];
   bool top_down = (header[17] & 0x20) != 0;
+  bool right_to_left = (header[17] & 0x10) != 0;
   bool rle = type == 10 || type == 11;
-  if (cmap != 0 || (type != 2 && type != 3 && !rle) ||
+  if ((header[17] & 0xC0) != 0 ||  // interleave bits: unsupported, reject
+      cmap != 0 || (type != 2 && type != 3 && !rle) ||
       (bpp != 8 && bpp != 24 && bpp != 32) || w <= 0 || h <= 0 ||
       (uint64_t)w * h > kGipMaxDecodePixels ||
       ((type == 3 || type == 11) != (bpp == 8))) {
@@ -588,6 +595,15 @@ int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
       std::memcpy(tmp.data(), a, row);
       std::memcpy(a, b, row);
       std::memcpy(b, tmp.data(), row);
+    }
+  }
+  if (right_to_left) {  // descriptor bit 4: mirror each row's pixels
+    size_t row = (size_t)w * c;
+    for (int y = 0; y < h; ++y) {
+      uint8_t* r0 = buf + (size_t)y * row;
+      for (int x = 0; x < w / 2; ++x)
+        for (int k = 0; k < c; ++k)
+          std::swap(r0[(size_t)x * c + k], r0[(size_t)(w - 1 - x) * c + k]);
     }
   }
   *out = buf;

@@ -133,15 +133,19 @@ struct Decoder {
   void idct8x8(const int32_t* in, uint8_t* out, int out_stride) {
     // Separable float IDCT (direct T.81 A.3.3 basis); precision is well
     // inside the +-1 error budget baseline decoders target.
-    static float cs[8][8];
-    static bool init = false;
-    if (!init) {
-      for (int x = 0; x < 8; ++x)
-        for (int u = 0; u < 8; ++u)
-          cs[x][u] = (float)((u == 0 ? 0.35355339059f : 0.5f) *
-                             std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
-      init = true;
-    }
+    // Magic static: thread-safe one-time init (concurrent decodes race
+    // an unsynchronized static-bool pattern).
+    struct CosTab {
+      float v[8][8];
+      CosTab() {
+        for (int x = 0; x < 8; ++x)
+          for (int u = 0; u < 8; ++u)
+            v[x][u] = (float)((u == 0 ? 0.35355339059f : 0.5f) *
+                              std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
+      }
+    };
+    static const CosTab cs_s;
+    const auto& cs = cs_s.v;
     float tmp[64];
     for (int y = 0; y < 8; ++y)
       for (int x = 0; x < 8; ++x) {
@@ -153,6 +157,10 @@ struct Decoder {
       for (int y = 0; y < 8; ++y) {
         float s = 0;
         for (int v = 0; v < 8; ++v) s += cs[y][v] * tmp[v * 8 + x];
+        // Clamp in float BEFORE narrowing: hostile streams (16-bit DQT
+        // maxima x wrapped DC predictors) can push |s| past INT_MAX,
+        // where the (int) cast then +128 is signed-overflow UB.
+        s = s < -512.0f ? -512.0f : (s > 512.0f ? 512.0f : s);
         out[y * out_stride + x] = clamp_u8((int)std::lrintf(s) + 128);
       }
   }
@@ -331,6 +339,10 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
     if (d.p[d.pos] != 0xFF) return 1;
     int marker = d.p[d.pos + 1];
     d.pos += 2;
+    if (marker == 0xFF) {                  // fill byte (T.81 B.1.1.2)
+      d.pos -= 1;
+      continue;
+    }
     if (marker == 0xD8) continue;          // stray SOI
     if (marker == 0xD9) break;             // EOI
     if (marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) continue;
@@ -398,18 +410,28 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
     // tracks it within ~1-2.  Other ratios (1, 4) use box.  Logical
     // chroma dims derive from the image dims, not the padded block grid.
     auto chroma_at = [&](const Component& comp, int stride, int y, int x) -> int {
-      const int hr = d.hmax / comp.hs;  // 1, 2 or 4
+      const int hr = d.hmax / comp.hs;  // divisible ratios: 1, 2 or 4
       const int vr = d.vmax / comp.vs;
-      const int cw = (w + hr - 1) / hr;
-      const int ch = (h + vr - 1) / vr;
+      // T.81 A.1.1 component dims: ceil(dim * sampling / max).  The
+      // truncated-ratio form ceil(w / hr) OVERSTATES cw when hmax is not
+      // divisible by hs (e.g. Y=3x1, Cb=2x1 -> hr = 3/2 = 1, cw = w), and
+      // the clamp below then indexes past the allocated plane row: a
+      // heap OOB read reachable from one hostile upload.
+      const int cw = (w * comp.hs + d.hmax - 1) / d.hmax;
+      const int ch = (h * comp.vs + d.vmax - 1) / d.vmax;
       const uint8_t* p = comp.pixels.data();
       auto at = [&](int cy, int cx) -> int {
         cy = cy < 0 ? 0 : (cy >= ch ? ch - 1 : cy);
         cx = cx < 0 ? 0 : (cx >= cw ? cw - 1 : cx);
         return p[(size_t)cy * stride + cx];
       };
-      const bool h2 = hr == 2, v2 = vr == 2;
-      const int cx = x / hr, cy = y / vr;
+      // Triangular interpolation only on exactly-2 ratios (divisible
+      // case; matches libjpeg).  The sample mapping uses the exact
+      // x * hs / hmax form (== x / hr when divisible) so non-divisible
+      // ratios stay inside [0, cw).
+      const bool h2 = (d.hmax == 2 * comp.hs), v2 = (d.vmax == 2 * comp.vs);
+      const int cx = (int)((int64_t)x * comp.hs / d.hmax);
+      const int cy = (int)((int64_t)y * comp.vs / d.vmax);
       if (!h2 && !v2) return at(cy, cx);
       const int hn = h2 ? cx + ((x & 1) ? 1 : -1) : cx;
       const int vn = v2 ? cy + ((y & 1) ? 1 : -1) : cy;
@@ -562,26 +584,27 @@ struct BitWriter {
 };
 
 // natural (row,col) -> zigzag index
-int kZigzag_nat_tbl[64];
-bool kZigzag_nat_init = false;
 int kZigzag_nat(int r, int c) {
-  if (!kZigzag_nat_init) {
-    for (int i = 0; i < 64; ++i) kZigzag_nat_tbl[kZigzag[i]] = i;
-    kZigzag_nat_init = true;
-  }
-  return kZigzag_nat_tbl[r * 8 + c];
+  struct NatTab {
+    int v[64];
+    NatTab() { for (int i = 0; i < 64; ++i) v[kZigzag[i]] = i; }
+  };
+  static const NatTab tbl;  // magic static: thread-safe init
+  return tbl.v[r * 8 + c];
 }
 
 void fdct8x8(const float* in, int32_t* out, const uint16_t* q) {
-  static float cs[8][8];
-  static bool init = false;
-  if (!init) {
-    for (int u = 0; u < 8; ++u)
-      for (int x = 0; x < 8; ++x)
-        cs[u][x] = (float)((u == 0 ? 0.35355339059f : 0.5f) *
-                           std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
-    init = true;
-  }
+  struct FCosTab {
+    float v[8][8];
+    FCosTab() {
+      for (int u = 0; u < 8; ++u)
+        for (int x = 0; x < 8; ++x)
+          v[u][x] = (float)((u == 0 ? 0.35355339059f : 0.5f) *
+                            std::cos((2 * x + 1) * u * 3.14159265358979323846 / 16.0));
+    }
+  };
+  static const FCosTab cs_s;  // magic static: thread-safe init
+  const auto& cs = cs_s.v;
   float tmp[64];
   for (int y = 0; y < 8; ++y)
     for (int u = 0; u < 8; ++u) {
