@@ -139,14 +139,29 @@ def test_per_pass_expansion_semantics():
         ],
     }
     # Python port of the JS expansion (kept in lockstep by the static test
-    # above asserting the JS reads the same fields).
+    # above asserting the JS reads the same fields).  Rows key on
+    # (kernel name, unit) -- NOT the index -- so levels with different
+    # kernel sets land on separate rows instead of clobbering a shared
+    # label (the JS carries the same comment).
     labels = {}
     out = dict(m)
     for i, v in enumerate(m["kernel_durations"]):
-        key = f"kernel_{i}_duration_ms"
         name = m["kernels_profiled"][i]
         passname = name.rsplit("_", 1)[-1]
+        key = f"kpass:{name} (ms)"
         out[key] = v
         labels[key] = f"└ {passname} pass (ms)"
-    assert out["kernel_0_duration_ms"] == 0.3
-    assert labels["kernel_1_duration_ms"] == "└ vertical pass (ms)"
+    k0 = "kpass:gaussian_blur_fused_l2_horizontal (ms)"
+    k1 = "kpass:gaussian_blur_fused_l2_vertical (ms)"
+    assert out[k0] == 0.3
+    assert labels[k1] == "└ vertical pass (ms)"
+
+
+def test_lightbox_hidden_rule_present():
+    """The author .lightbox { display:flex } rule beats the UA sheet's
+    [hidden] { display:none } (author origin wins), so an explicit
+    .lightbox[hidden] override must exist or the full-viewport overlay
+    covers the app from first paint."""
+    css = _read("css/styles.css")
+    rule = re.search(r"\.lightbox\[hidden\]\s*\{\s*display:\s*none", css)
+    assert rule, ".lightbox[hidden]{display:none} missing from styles.css"
