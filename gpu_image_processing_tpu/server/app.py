@@ -487,12 +487,27 @@ def create_app() -> Router:
     return app
 
 
+# Warmed when precompile is requested without explicit shapes
+# (GIP_TPU_PRECOMPILE=1): the demo workload plus the two most common
+# upload resolutions.  Shapes are bucketed by the runtime, so each entry
+# warms its whole shape bucket.
+DEFAULT_PRECOMPILE_SHAPES = [(800, 600), (1280, 720), (1920, 1080)]
+
+
 def _parse_precompile(spec: str) -> list[tuple[int, int]]:
-    """\"WxH,WxH,...\" -> [(w, h), ...]; malformed entries are skipped."""
+    """\"WxH,WxH,...\" -> [(w, h), ...]; malformed entries are skipped.
+
+    Boolean-ish tokens (1/true/yes/on/default) expand to
+    DEFAULT_PRECOMPILE_SHAPES so `GIP_TPU_PRECOMPILE=1` means "warm the
+    defaults" rather than logging a malformed-shape warning.
+    """
     shapes = []
     for tok in spec.split(","):
         tok = tok.strip().lower()
         if not tok:
+            continue
+        if tok in ("1", "true", "yes", "on", "default"):
+            shapes.extend(DEFAULT_PRECOMPILE_SHAPES)
             continue
         try:
             w_s, h_s = tok.split("x", 1)

@@ -5,8 +5,11 @@
 // the reference's single-threaded python test client
 // (backend/test_client.py).  Plain POSIX sockets + threads; no deps.
 //
-// Usage: loadgen [host] [port] [connections] [requests_per_conn] [payload.json]
+// Usage: loadgen [host] [port] [connections] [requests_per_conn]
+//               [payload.json] [endpoint]
 //   Default payload: a tiny built-in gaussian request (64x64 gradient PNG).
+//   Default endpoint: /api/process (pass /api/process-all to load the fused
+//   all-levels path).
 
 #include <arpa/inet.h>
 #include <netdb.h>
@@ -159,9 +162,10 @@ int main(int argc, char** argv) {
     ss << f.rdbuf();
     payload = ss.str();
   }
+  std::string endpoint = argc > 6 ? argv[6] : "/api/process";
 
   std::ostringstream req;
-  req << "POST /api/process HTTP/1.1\r\n"
+  req << "POST " << endpoint << " HTTP/1.1\r\n"
       << "Host: " << host << "\r\n"
       << "Content-Type: application/json\r\n"
       << "Content-Length: " << payload.size() << "\r\n"

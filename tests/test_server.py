@@ -385,6 +385,12 @@ def test_parse_precompile_shapes():
     # malformed / out-of-range entries skipped, never raise
     assert _parse_precompile("junk,12x,x9,0x5,99999x5,") == []
     assert _parse_precompile("") == []
+    # boolean-ish values mean "warm the defaults" (GIP_TPU_PRECOMPILE=1)
+    from gpu_image_processing_tpu.server.app import DEFAULT_PRECOMPILE_SHAPES
+
+    assert _parse_precompile("1") == DEFAULT_PRECOMPILE_SHAPES
+    assert _parse_precompile("true") == DEFAULT_PRECOMPILE_SHAPES
+    assert _parse_precompile("on,640x480") == DEFAULT_PRECOMPILE_SHAPES + [(640, 480)]
 
 
 def test_precompile_warms_executable_cache(monkeypatch):
