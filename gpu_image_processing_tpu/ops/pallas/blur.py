@@ -67,7 +67,7 @@ _LAND = 128
 
 
 def _working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
-                       box_mode: bool) -> int:
+                       box_mode: bool, chained: bool = False) -> int:
     """The kernel's total VMEM working set at this tile height: declared
     scratch + double-buffered output block + an estimate of Mosaic's own
     VMEM stack + fixed overhead (~1.8 MB of DMA machinery, measured).
@@ -85,12 +85,19 @@ def _working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
         cr * w_t * 1            # tile_u8
         + cr * w_t * 4          # xbuf
         + cr * cs * 4           # hbuf
-        + tile_rows * cs * 4    # vbuf
         + 2 * tile_rows * cs    # double-buffered output block
     )
+    if not chained:
+        total += tile_rows * cs * 4    # vbuf (chained stores out directly)
     if _use_doubling(box_mode, radius):
         total += cr * w_t * 4   # sbuf ping-pong
         stack_tiles = 1.5
+    elif chained:
+        # Value-chained taps: Mosaic can keep every unrolled tap slice
+        # live at once (observed 49 MB at radius 15 in round 1) -- model
+        # the stack as one full tile per tap so the picker shrinks tiles
+        # instead of OOMing the 64 MB scope.
+        stack_tiles = 1.0 + taps
     else:
         stack_tiles = 1.0 + taps / 16.0
     total += int(stack_tiles * cr * w_t * 4)
@@ -109,13 +116,13 @@ _VMEM_SCOPE_BYTES = 64 * 1024 * 1024
 
 
 def _pick_tile_rows(requested: int, cs: int, w_t: int, radius: int,
-                    box_mode: bool) -> int:
+                    box_mode: bool, chained: bool = False) -> int:
     """Largest 8-multiple tile height <= requested whose working set fits
     the VMEM target (floor 8; the feasibility gates handle the floor
     still not fitting)."""
     tile = max((requested // 8) * 8, 8)
     while tile > 8 and _working_set_bytes(tile, cs, w_t, radius,
-                                          box_mode) > _VMEM_TARGET:
+                                          box_mode, chained) > _VMEM_TARGET:
         tile -= 8
     return tile
 
@@ -202,9 +209,10 @@ def _edge_fill(buf, pos: int, group: int, halo: int, left: bool) -> None:
             filled += w
 
 
-def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
+def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, *rest,
                  radius: int, tile_rows: int, copy_rows: int, w_out: int,
-                 box_mode: bool, folded: bool = False, passes: str = "both",
+                 box_mode: bool, folded: bool = False, chained: bool = False,
+                 passes: str = "both",
                  tap_stride: int = 1, col_step: int = 0, land: int = _LAND,
                  left_fills: tuple = (),
                  right_fills: tuple = (),
@@ -235,11 +243,24 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     49 MB at radius 15).  Sequenced ref stores bound liveness to one term
     while keeping the exact CUDA f32 operation order
     (image_filters.cu:86-99).
+
+    `chained=True` keeps the accumulator as a VALUE chain instead (same
+    f32 term/add order, vertical pass stores straight to the output
+    block, no vbuf).  Hypothesis was that the acc-ref's ~3 VMEM touches
+    per element per tap dominate at small radii; MEASURED FALSE on v5e
+    (scripts/exp_chained_taps.py, 3-round medians 2026-08-18, every arm
+    bit-equal): chained is 1.3-1.7x SLOWER at every radius/layout tried
+    (r=1 1.53x, r=3 1.34x, r=5 1.30x, folded r=5 1.59x, box r=3 1.70x).
+    Mosaic evidently already keeps the sequenced accumulator in
+    registers; the chain only inflates live ranges.  The flag stays for
+    re-measurement on future toolchains; nothing routes to it.
     """
     if _use_doubling(box_mode, radius):
-        sbuf, sem = rest
+        vbuf, sbuf, sem = rest
+    elif chained:
+        vbuf, sbuf, (sem,) = None, None, rest
     else:
-        sbuf, (sem,) = None, rest
+        sbuf, (vbuf, sem) = None, rest
     c = pl.program_id(0)
     i = pl.program_id(1)
     taps = 2 * radius + 1
@@ -317,6 +338,29 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         if box_mode:
             acc_ref[:, :] = acc_ref[:, :] * w_ref[0, 0]
 
+    def conv_value(src_ref, take, length):
+        """Value-chained separable pass (chained=True): identical f32
+        term/add order to `conv`, accumulator held as a value instead of
+        an acc-ref (folded pairs regroup exactly like the folded ref
+        path)."""
+        if folded:
+            acc = None
+            for t in range(radius):
+                pair = take(src_ref, t, length) + take(src_ref, 2 * radius - t, length)
+                term = pair if box_mode else pair * w_ref[0, t]
+                acc = term if acc is None else acc + term
+            mid = take(src_ref, radius, length)
+            acc = acc + (mid if box_mode else mid * w_ref[0, radius])
+        else:
+            acc = None
+            for t in range(taps):
+                sl = take(src_ref, t, length)
+                term = sl if box_mode else sl * w_ref[0, t]
+                acc = term if acc is None else acc + term
+        if box_mode:
+            acc = acc * w_ref[0, 0]
+        return acc
+
     def box_cols_doubling(src_ref, tmp_ref, res_ref):
         """Windowed column sum via doubling (see _use_doubling); src is
         clobbered.  Chunks of the binary decomposition of `taps` are taken
@@ -391,9 +435,12 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
     if passes in ("both", "horizontal"):
         if sbuf is not None:
             box_cols_doubling(xbuf, sbuf, hbuf)
+            hbuf[:, :] = _quant(hbuf[:, :])
+        elif chained:
+            hbuf[:, :] = _quant(conv_value(xbuf, take_cols, w_out))
         else:
             conv(xbuf, hbuf, take_cols, w_out)
-        hbuf[:, :] = _quant(hbuf[:, :])
+            hbuf[:, :] = _quant(hbuf[:, :])
     else:
         hbuf[:, :] = xbuf[:, land : land + w_out]
     # No range clip before the u8 store -- provably dead, and it measured
@@ -415,6 +462,13 @@ def _blur_kernel(w_ref, in_ref, out_ref, tile_u8, xbuf, hbuf, vbuf, *rest,
         return
     if sbuf is not None:
         box_rows_doubling(hbuf, sbuf, vbuf)
+    elif chained:
+        # Straight to the output block: no vbuf round trip.
+        out_ref[0] = (
+            _quant(conv_value(hbuf, take_rows, tile_rows))
+            .astype(jnp.int32).astype(jnp.uint8)
+        )
+        return
     else:
         conv(hbuf, vbuf, take_rows, tile_rows)
     out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
@@ -515,6 +569,7 @@ def _separable_blur_planar(
     interpret: bool = False,
     tile_rows: int | None = None,
     folded: bool = False,
+    chained: bool = False,
     rows_prepadded: bool = False,
     passes: str = "both",
 ) -> jnp.ndarray:
@@ -530,6 +585,7 @@ def _separable_blur_planar(
     if rows_prepadded:
         height -= 2 * radius
     doubling = _use_doubling(box_mode, radius)
+    chained = chained and not doubling  # doubling already avoids tap refs
 
     land, cs, n_cols, w_t, arr_width = _landed_geometry(
         width, radius,
@@ -544,7 +600,7 @@ def _separable_blur_planar(
 
     tile_rows = min(
         _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
-                        box_mode),
+                        box_mode, chained),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
@@ -593,8 +649,9 @@ def _separable_blur_planar(
         pltpu.VMEM((copy_rows, w_t), jnp.uint8),
         pltpu.VMEM((copy_rows, w_t), jnp.float32),
         pltpu.VMEM((copy_rows, cs), jnp.float32),
-        pltpu.VMEM((tile_rows, cs), jnp.float32),
     ]
+    if not chained:
+        scratch.append(pltpu.VMEM((tile_rows, cs), jnp.float32))
     if doubling:
         scratch.append(pltpu.VMEM((copy_rows, w_t), jnp.float32))
     scratch.append(pltpu.SemaphoreType.DMA)
@@ -621,6 +678,7 @@ def _separable_blur_planar(
             w_out=cs,
             box_mode=box_mode,
             folded=folded,
+            chained=chained,
             passes=passes,
             col_step=0 if n_cols == 1 else cs,
             land=land,
@@ -649,6 +707,7 @@ def _separable_blur_interleaved(
     interpret: bool = False,
     tile_rows: int | None = None,
     folded: bool = False,
+    chained: bool = False,
     passes: str = "both",
 ) -> jnp.ndarray:
     """Fused separable blur on interleaved-HWC rows; returns (N, H, W*C).
@@ -669,6 +728,7 @@ def _separable_blur_interleaved(
     n, height, wf = rows_u8.shape
     halo = radius * channels
     doubling = _use_doubling(box_mode, radius)
+    chained = chained and not doubling  # doubling already avoids tap refs
 
     land, cs, n_cols, w_t, arr_width = _landed_geometry(
         wf, halo,
@@ -684,7 +744,7 @@ def _separable_blur_interleaved(
 
     tile_rows = min(
         _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
-                        box_mode),
+                        box_mode, chained),
         _round_up(height, 8),
     )
     hp = _round_up(height, tile_rows)
@@ -732,6 +792,7 @@ def _separable_blur_interleaved(
             w_out=cs,
             box_mode=box_mode,
             folded=folded,
+            chained=chained,
             passes=passes,
             tap_stride=channels,
             col_step=0 if n_cols == 1 else cs,
@@ -752,8 +813,9 @@ def _separable_blur_interleaved(
                 pltpu.VMEM((copy_rows, w_t), jnp.uint8),
                 pltpu.VMEM((copy_rows, w_t), jnp.float32),
                 pltpu.VMEM((copy_rows, cs), jnp.float32),
-                pltpu.VMEM((tile_rows, cs), jnp.float32),
             ]
+            + ([] if chained
+               else [pltpu.VMEM((tile_rows, cs), jnp.float32)])
             + ([pltpu.VMEM((copy_rows, w_t), jnp.float32)]
                if doubling else [])
             + [pltpu.SemaphoreType.DMA]
@@ -766,7 +828,8 @@ def _separable_blur_interleaved(
 
 def gaussian_pallas_rows(
     rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False, passes: str = "both",
+    interpret: bool = False, folded: bool = False, chained: bool = False,
+    passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same, fused Gaussian blur.
 
@@ -777,19 +840,21 @@ def gaussian_pallas_rows(
     the README image -- 2.2x the kernel; scripts/exp_rows_boundary.py)."""
     out = _separable_blur_interleaved(
         rows_u8[None], weights, radius, box_mode=False, channels=channels,
-        interpret=interpret, folded=folded, passes=passes)
+        interpret=interpret, folded=folded, chained=chained, passes=passes)
     return out[0]
 
 
 def box_pallas_rows(
     rows_u8: jnp.ndarray, radius: int, channels: int,
-    interpret: bool = False, folded: bool = False, passes: str = "both",
+    interpret: bool = False, folded: bool = False, chained: bool = False,
+    passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same, fused box blur."""
     inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     out = _separable_blur_interleaved(
         rows_u8[None], jnp.asarray(inv), radius, box_mode=True,
-        channels=channels, interpret=interpret, folded=folded, passes=passes)
+        channels=channels, interpret=interpret, folded=folded,
+        chained=chained, passes=passes)
     return out[0]
 
 
@@ -898,7 +963,8 @@ def box_pallas_batch(
 
 def gaussian_pallas(
     img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
-    interpret: bool = False, folded: bool = False, passes: str = "both",
+    interpret: bool = False, folded: bool = False, chained: bool = False,
+    passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W, C) u8 -> u8 fused separable Gaussian blur.
 
@@ -908,16 +974,17 @@ def gaussian_pallas(
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, weights, radius, box_mode=False,
                                  interpret=interpret, folded=folded,
-                                 passes=passes)
+                                 chained=chained, passes=passes)
     return jnp.transpose(out, (1, 2, 0))
 
 
 def box_pallas(img_hwc: jnp.ndarray, radius: int, interpret: bool = False,
-               folded: bool = False, passes: str = "both") -> jnp.ndarray:
+               folded: bool = False, chained: bool = False,
+               passes: str = "both") -> jnp.ndarray:
     """(H, W, C) u8 -> u8 fused separable box blur."""
     inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     planar = jnp.transpose(img_hwc, (2, 0, 1))
     out = _separable_blur_planar(planar, jnp.asarray(inv), radius, box_mode=True,
                                  interpret=interpret, folded=folded,
-                                 passes=passes)
+                                 chained=chained, passes=passes)
     return jnp.transpose(out, (1, 2, 0))

@@ -239,3 +239,54 @@ def test_rowfill_last_band_boundary_mxu(rng):
         want = oracle.gaussian_blur(img, w, radius).reshape(h, 36)
         diff = np.abs(got.astype(int) - want.astype(int))
         assert diff.max() <= 1, f"h={h} maxdiff={diff.max()}"  # MXU gate
+
+
+@pytest.mark.parametrize("radius", [1, 3, 4])
+@pytest.mark.parametrize("folded", [False, True])
+def test_chained_taps_exact(rng, radius, folded):
+    """Value-chained tap accumulation (chained=True) is bit-identical to
+    the oracle: same f32 term/add order as the sequenced-ref path, only
+    the accumulator storage differs (ops/pallas/blur.py::conv_value)."""
+    img = make_image(rng, 33, 21, 3)
+    w = gaussian_kernel_f32(radius, 2.0)
+    got = np.asarray(jax.jit(lambda x, ww: gaussian_pallas(
+        x, ww, radius, interpret=True, folded=folded, chained=True))(img, w))
+    np.testing.assert_array_equal(got, oracle.gaussian_blur(img, w, radius))
+
+
+def test_chained_taps_rows_and_box(rng):
+    from gpu_image_processing_tpu.ops.pallas import blur as B
+
+    img = make_image(rng, 29, 19, 3)
+    rows = img.reshape(29, 57)
+    w = gaussian_kernel_f32(2, 1.5)
+    got = np.asarray(jax.jit(lambda x, ww: B.gaussian_pallas_rows(
+        x, ww, 2, 3, interpret=True, chained=True))(rows, w))
+    np.testing.assert_array_equal(
+        got, oracle.gaussian_blur(img, w, 2).reshape(29, 57))
+    got = np.asarray(jax.jit(lambda x: B.box_pallas_rows(
+        x, 3, 3, interpret=True, chained=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, 3).reshape(29, 57))
+    # doubling radii ignore the flag (box r>=4 routes to windowed sums)
+    got = np.asarray(jax.jit(lambda x: B.box_pallas_rows(
+        x, 5, 3, interpret=True, chained=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, 5).reshape(29, 57))
+
+
+def test_chained_multiband_tiles(rng):
+    """Chained kernels across several row bands (tile_rows=8 forces a
+    multi-band grid) keep the row-fill/halo logic intact."""
+    from gpu_image_processing_tpu.ops.pallas import blur as B
+
+    for h in (17, 24, 25):
+        img = make_image(rng, h, 24, 1)
+        rows = img.reshape(h, 24)
+        w = gaussian_kernel_f32(3, 2.0)
+        got = np.asarray(jax.jit(lambda x, ww: B._separable_blur_interleaved(
+            x[None], ww, 3, box_mode=False, channels=1,
+            interpret=True, tile_rows=8, chained=True)[0])(rows, w))
+        np.testing.assert_array_equal(
+            got, oracle.gaussian_blur(img, w, 3).reshape(h, 24),
+            err_msg=f"h={h}")
