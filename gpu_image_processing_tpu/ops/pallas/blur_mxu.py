@@ -51,9 +51,16 @@ from .blur import (
     blur_kernel_fits_vmem,
 )
 
-# Output lanes per horizontal matmul block: bigger blocks mean fewer,
-# larger matmuls (better MXU utilization) at (1 + 2*halo/G) FLOP inflation.
-_G = 512
+# Output lanes per horizontal matmul block.  The H-pass costs
+# ~4*(G + 2*halo) FLOP per element (hi+lo split x mul+add), so G sets the
+# FLOP inflation while every matmul dim stays >= 128 down to G = 128.
+# Measured on v5e (scripts/exp_mxu_gblock.py, 3-round medians 2026-08-18,
+# interleaved rows, README shape): G=128 beats G=512 at every radius --
+# r=3 0.413 vs 0.605 ms, r=5 0.418 vs 0.628, r=15 0.474 vs 0.600 -- and
+# beats G=256 consistently too; the pass is MXU-FLOP-bound, not
+# ragged-edge-bound.  G=128 makes the tier nearly radius-flat at
+# ~0.41-0.47 ms.
+_G = 128
 
 # ADVANCED-tier routing: the MXU cost is nearly radius-flat while the VPU
 # folded tier scales with taps.  Round-2 re-measurement with the updated
@@ -69,7 +76,7 @@ GAUSS_MXU_MIN_RADIUS = 5
 
 
 def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
-                           halo: int) -> int:
+                           halo: int, g_block: int | None = None) -> int:
     """VMEM working set of the MXU kernel at this tile height: its own
     buffer list (bf16 tile, f32+bf16 intermediates, band operands), not the
     VPU conv model -- the MXU kernel has no sequenced tap loop, so its
@@ -82,7 +89,7 @@ def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
         + cr * cs * 2           # h16 bf16
         + tile_rows * cs * 4    # vbuf f32
         + 2 * tile_rows * cs    # double-buffered output block
-        + 2 * (_G + 2 * halo) * _G * 2   # b_hi/b_lo operands
+        + 2 * ((g_block or _G) + 2 * halo) * (g_block or _G) * 2  # b_hi/b_lo
         + 2 * tile_rows * cr * 2         # a_hi/a_lo operands
     )
     total += cr * w_t * 4       # Mosaic stack (matmul accum temps)
@@ -139,7 +146,8 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
                       radius: int, tile_rows: int, copy_rows: int,
                       tap_stride: int, col_step: int,
                       land: int, left_fills: tuple, right_fills: tuple,
-                      n_g: int, interp: bool, passes: str = "both",
+                      n_g: int, g_block: int, interp: bool,
+                      passes: str = "both",
                       row_fill: tuple | None = None):
     """One grid step.  bh/bl: (K, G) bf16 horizontal band (K = G + 2*halo);
     ah/al: (TH, CR) bf16 vertical band; layout/scratch as in
@@ -188,12 +196,12 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     if passes in ("both", "horizontal"):
         k_rows = bh_ref.shape[0]
         for g in range(n_g):
-            sl = x16[:, base + g * _G : base + g * _G + k_rows]
+            sl = x16[:, base + g * g_block : base + g * g_block + k_rows]
             acc = jnp.dot(up(sl), up(bh_ref[:, :]),
                           preferred_element_type=jnp.float32)
             acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
                                 preferred_element_type=jnp.float32)
-            hbuf[:, g * _G : (g + 1) * _G] = acc
+            hbuf[:, g * g_block : (g + 1) * g_block] = acc
     else:
         hbuf[:, :] = x16[:, land : land + hbuf.shape[1]].astype(jnp.float32)
     # No range clip before the u8 stores: pass values are bounded by
@@ -222,6 +230,7 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
 def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
                   radius: int, tap_stride: int, interpret: bool,
                   tile_rows: int | None = None,
+                  g_block: int | None = None,
                   passes: str = "both") -> jnp.ndarray:
     """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
 
@@ -234,14 +243,15 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
         dw // tap_stride if tap_stride > 1 else dw, radius,
         tap_stride if tap_stride > 1 else 1, False,
         interleaved=tap_stride > 1)
+    g_block = g_block or _G
     land, cs, n_cols, w_t, arr_width = _landed_geometry(dw, halo, chunked)
     # Horizontal matmul blocks cover cs in G-lane steps.
-    cs = _round_up(cs, _G)
+    cs = _round_up(cs, g_block)
     w_t = cs + 2 * land
     arr_width = n_cols * cs + 2 * land
-    n_g = cs // _G
+    n_g = cs // g_block
     if not interpret and _mxu_working_set_bytes(
-            8, cs, w_t, radius, halo) >= _VMEM_HARD_LIMIT:
+            8, cs, w_t, radius, halo, g_block) >= _VMEM_HARD_LIMIT:
         raise ValueError("MXU gaussian working set exceeds VMEM; use the "
                          "VPU/XLA tiers (see gaussian_mxu_feasible)")
     left_fills, right_fills = (
@@ -249,8 +259,8 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
         else ((), ()))
 
     tile = max(((tile_rows or TPU.blur_tile_rows) // 8) * 8, 8)
-    while tile > 8 and _mxu_working_set_bytes(tile, cs, w_t, radius,
-                                              halo) > _VMEM_TARGET:
+    while tile > 8 and _mxu_working_set_bytes(tile, cs, w_t, radius, halo,
+                                              g_block) > _VMEM_TARGET:
         tile -= 8
     tile_rows = min(tile, _round_up(height, 8))
     hp = _round_up(height, tile_rows)
@@ -277,8 +287,8 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             mode="edge",
         )
 
-    k_rows = _G + 2 * halo
-    b_hi, b_lo = _band_matrices(weights, radius, tap_stride, k_rows, _G)
+    k_rows = g_block + 2 * halo
+    b_hi, b_lo = _band_matrices(weights, radius, tap_stride, k_rows, g_block)
     # Vertical band: out row t contracts copy-band rows [t, t + 2r], i.e.
     # A[t, k] = w[k - t] -- the transpose of _band_matrices' B[k, l] =
     # w[k - l] orientation, so build at (copy_rows, tile_rows) and
@@ -308,6 +318,7 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             left_fills=left_fills,
             right_fills=right_fills,
             n_g=n_g,
+            g_block=g_block,
             interp=interpret,
             passes=passes,
             row_fill=row_fill,

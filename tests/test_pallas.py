@@ -290,3 +290,19 @@ def test_chained_multiband_tiles(rng):
         np.testing.assert_array_equal(
             got, oracle.gaussian_blur(img, w, 3).reshape(h, 24),
             err_msg=f"h={h}")
+
+
+@pytest.mark.parametrize("g_block", [128, 256])
+def test_mxu_gblock_gate(rng, g_block):
+    """Non-default horizontal matmul block sizes hold the ADVANCED-tier
+    maxdiff<=1 gate (the default _G is covered by the MXU tests above)."""
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+
+    img = make_image(rng, 40, 50, 3)
+    rows = img.reshape(40, 150)
+    w = gaussian_kernel_f32(5, 2.5)
+    got = np.asarray(jax.jit(lambda x, ww: M._gaussian_mxu(
+        x[None], ww, 5, tap_stride=3, interpret=True,
+        g_block=g_block)[0])(rows, w))
+    want = oracle.gaussian_blur(img, w, 5).reshape(40, 150)
+    assert np.abs(got.astype(int) - want.astype(int)).max() <= 1
