@@ -63,16 +63,14 @@ from .blur import (
 _G = 128
 
 # ADVANCED-tier routing: the MXU cost is nearly radius-flat while the VPU
-# folded tier scales with taps.  Round-2 re-measurement with the updated
-# kernels (scripts/exp_mxu_threshold_r2.py, 2026-08-17, interleaved A/B
-# with an r=3 control validating the window): mxu/vpu r=4: 0.54/0.61 =
-# 0.89x, r=5: 0.62/0.78 = 0.79x, r=6: 0.58/1.10, r=8: 0.62/1.24.  The
-# r=4 (11%) and r=5 (21%) effects are below this chip's 30% drift-noise
-# floor (CLAUDE.md timing discipline), so the threshold stays at the
-# round-1 value 5, where two independent rounds agree on the direction;
-# from r=6 the win is resolvable (~2x).  r=3 measured ~1.15x slower and
-# stays on the VPU tier.
-GAUSS_MXU_MIN_RADIUS = 5
+# folded tier scales with taps.  With G=128 the crossover moved DOWN from
+# the round-1 value 5: scripts/exp_mxu_r34.py (5-round medians 2026-08-18,
+# interleaved rows A/B) measured mxu/vpu r=2 1.003x (tie), r=3 0.735x,
+# r=4 0.672x (resolvable, >30%); scripts/exp_mxu_gblock.py independently
+# showed the same r=3 direction (0.413 vs 0.45 ms).  r=3 is the smallest
+# radius with two agreeing rounds; r=2 is a measured tie, so it stays on
+# the VPU folded tier (which is also the bit-exact L2 kernel).
+GAUSS_MXU_MIN_RADIUS = 3
 
 
 def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
