@@ -43,12 +43,23 @@ _IMPL_REV = 2
 # A row's rev is _IMPL_REV unless overridden here; rows whose stored rev
 # differs from the current rev never merge.  History:
 # ("sobel", 1) rev 3 = input-replicated phase-0 gray (1.38x, 2026-08-17).
-_ROW_REV_OVERRIDES = {("sobel", 1): 3}
+# ("gaussian", 4) rev 3 = MXU G=128 blocks + threshold r>=3 (the L4 r=3 row
+#   now times the MXU tier instead of the folded VPU kernel, 2026-08-18).
+_ROW_REV_OVERRIDES = {("sobel", 1): 3, ("gaussian", 4): 3}
+
+# Same, for the extended cases (keyed by case label).  History:
+# r15 MXU rev 3 = G=128 blocks (0.76 -> ~0.47 ms, 2026-08-18).
+_EXT_REV_OVERRIDES = {"gaussian r15 L4 (MXU, maxdiff<=1)": 3}
+
+
+def _ext_rev(case: str) -> int:
+    return _EXT_REV_OVERRIDES.get(case, _IMPL_REV)
 
 # When bumping _IMPL_REV (all rows re-measure), DELETE the overrides whose
 # value the new global would collide with -- a stale override equal to the
 # new _IMPL_REV would merge minima measured on different code.
-assert all(v > _IMPL_REV for v in _ROW_REV_OVERRIDES.values()), (
+assert all(v > _IMPL_REV for v in
+           list(_ROW_REV_OVERRIDES.values()) + list(_EXT_REV_OVERRIDES.values())), (
     "_ROW_REV_OVERRIDES must stay ahead of _IMPL_REV; clear stale overrides "
     "when bumping the global rev")
 
@@ -162,11 +173,14 @@ def main() -> int:
     for label, _ in ext_arms:
         s = sorted(ext_samples[label])
         ms = s[len(s) // 2]
-        extended.append({"case": label, "time_ms": round(ms, 4)})
+        extended.append({"case": label, "rev": _ext_rev(label),
+                         "time_ms": round(ms, 4)})
         print(f"{label}: {ms:.3f} ms", flush=True)
     bms = sorted(batch_samples)[len(batch_samples) // 2] / BATCH
+    _c = f"gaussian r3 L2 batch{BATCH} (per image)"
     extended.append({
-        "case": f"gaussian r3 L2 batch{BATCH} (per image)",
+        "case": _c,
+        "rev": _ext_rev(_c),
         "time_ms": round(bms, 4),
         "images_per_sec": round(1000.0 / bms, 1),
     })
@@ -181,8 +195,10 @@ def main() -> int:
     REF_EX_MS, REF_EX_FPS = 0.293, 3415.67
     img_small = rng.integers(0, 256, size=(1023, 1024, 3), dtype=np.uint8)
     ms_small = bench.measure_ms("gaussian", 2, img_small)
+    _c = "gaussian r3 L2 1024x1023 (reference example-API workload)"
     extended.append({
-        "case": "gaussian r3 L2 1024x1023 (reference example-API workload)",
+        "case": _c,
+        "rev": _ext_rev(_c),
         "time_ms": round(ms_small, 4),
         "fps": round(1000.0 / ms_small, 1),
         "reference_ms": REF_EX_MS,
@@ -194,8 +210,10 @@ def main() -> int:
     rows_small = rows_batch_operands(1023, 1024, SMALL_BATCH)
     small_samples = sorted(rows_batch_ms(rows_small, w3) for _ in range(3))
     sms = small_samples[len(small_samples) // 2] / SMALL_BATCH
+    _c = f"gaussian r3 L2 1024x1023 batch{SMALL_BATCH} (per image)"
     extended.append({
-        "case": f"gaussian r3 L2 1024x1023 batch{SMALL_BATCH} (per image)",
+        "case": _c,
+        "rev": _ext_rev(_c),
         "time_ms": round(sms, 4),
         "images_per_sec": round(1000.0 / sms, 1),
         "reference_fps": REF_EX_FPS,
