@@ -11,6 +11,14 @@ source of truth; every other layer imports from this module.
 from __future__ import annotations
 
 import dataclasses
+import os
+
+
+def _env_int(name: str, default: int) -> int:
+    try:
+        return int(os.environ.get(name, "") or default)
+    except ValueError:
+        return default
 
 # ---------------------------------------------------------------------------
 # Parameter defaults and ranges (reference: backend/app.py:147-172)
@@ -39,9 +47,22 @@ REQUEST_LEVELS: tuple[int, ...] = (1, 2, 4)
 # Serving (reference: start_servers.sh:16-17, frontend/js/app.js:2)
 # ---------------------------------------------------------------------------
 
-BACKEND_HOST: str = "0.0.0.0"
-BACKEND_PORT: int = 8000
-FRONTEND_PORT: int = 8080
+BACKEND_HOST: str = os.environ.get("GIP_TPU_BACKEND_HOST", "0.0.0.0")
+BACKEND_PORT: int = _env_int("GIP_TPU_BACKEND_PORT", 8000)
+FRONTEND_PORT: int = _env_int("GIP_TPU_FRONTEND_PORT", 8080)
+
+#: Exit code the backend uses to request a worker recycle (RSS high-water
+#: reached -- see server/app.py watchdog).  scripts/serve.py's supervisor
+#: restarts the backend on exactly this code; anything else is a real exit.
+EXIT_RECYCLE: int = 43
+
+#: Default RSS high-water (MB) that triggers a graceful worker recycle when
+#: the device sits behind the axon relay, whose PJRT client leaks ~1.3 MB of
+#: host staging per device_put permanently (measured 2026-08-18: a 1600-
+#: request soak grew the server 0.25 -> 3.5 GB with no idle recovery).
+#: Override with GIP_TPU_MAX_RSS_MB; 0 disables.  On non-relay platforms the
+#: watchdog is off unless the env var opts in.
+AXON_DEFAULT_MAX_RSS_MB: int = 3072
 
 # ---------------------------------------------------------------------------
 # TPU execution knobs

@@ -78,6 +78,30 @@ def is_tpu() -> bool:
     return platform() == "tpu"
 
 
+def is_axon_relay() -> bool:
+    """Whether compute actually runs on the TPU behind the axon tunnel
+    plugin.
+
+    Two conditions, both required: (a) the env names the axon plugin (its
+    only loading path -- the device itself reports plain "tpu"), and (b)
+    the live backend platform IS the tpu one (the test suite keeps
+    JAX_PLATFORMS=axon inherited from the host but forces CPU via
+    JAX_PLATFORM_NAME/GIP_TPU_PLATFORM, and a demoted process runs on CPU
+    -- neither leaks).  Used to default-enable the serving RSS watchdog:
+    the relay client permanently leaks ~1.3 MB of host staging per
+    device_put (measured 2026-08-18), so long-lived serving processes
+    must recycle."""
+    env = " ".join((os.environ.get("GIP_TPU_PLATFORM", ""),
+                    os.environ.get("JAX_PLATFORMS", ""),
+                    os.environ.get("JAX_PLATFORM_NAME", "")))
+    if "axon" not in env.lower():
+        return False
+    try:
+        return platform() == "tpu"
+    except Exception:
+        return False
+
+
 def demote_to_cpu(reason: str = "") -> bool:
     """Permanently (for this process) route filtering to the CPU backend.
 

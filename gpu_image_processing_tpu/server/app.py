@@ -169,6 +169,10 @@ def create_app() -> Router:
             # Elastic recovery (runtime/device.py::demote_to_cpu): non-null
             # when repeated device failures demoted this process to CPU.
             "accelerator_demoted": demoted,
+            # Worker-recycle watchdog (axon relay host-staging leak): the
+            # supervisor restarts the backend when rss crosses the mark.
+            "rss_mb": round(_rss_mb(), 1),
+            "max_rss_mb": watchdog_threshold_mb() or None,
         }
 
     @app.get("/")
@@ -559,9 +563,72 @@ def precompile_shapes(shapes: list[tuple[int, int]]) -> int:
     return warmed
 
 
+def _rss_mb() -> float:
+    """This process's resident set in MB (linux /proc; ru_maxrss fallback
+    only reports the high-water mark, good enough to trip the watchdog)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def watchdog_threshold_mb() -> int:
+    """RSS high-water (MB) above which the server recycles itself; 0 = off.
+
+    GIP_TPU_MAX_RSS_MB always wins.  Default: on (3 GB) only behind the
+    axon relay, whose PJRT client permanently leaks ~1.3 MB of host staging
+    per device_put (measured 2026-08-18: 1600 requests grew the server
+    0.25 -> 3.5 GB; idle recovers none of it).  Elsewhere device transfers
+    don't leak and the watchdog stays out of the way."""
+    env = os.environ.get("GIP_TPU_MAX_RSS_MB", "").strip()
+    if env:
+        try:
+            return max(0, int(env))
+        except ValueError:
+            logger.warning("Ignoring malformed GIP_TPU_MAX_RSS_MB=%r", env)
+    if TPU_AVAILABLE:
+        from ..runtime.device import is_axon_relay
+
+        if is_axon_relay():
+            return config.AXON_DEFAULT_MAX_RSS_MB
+    return 0
+
+
+def _rss_watchdog(server, threshold_mb: int, recycle_flag,
+                  poll_s: float = 5.0) -> None:
+    """Daemon thread: when RSS crosses the high-water mark, stop accepting
+    connections (serve_forever in the main thread returns) and flag a
+    recycle; main() then drains in-flight requests and exits with
+    config.EXIT_RECYCLE for the supervisor (scripts/serve.py) to restart.
+    The gunicorn max-RSS worker-recycling pattern, applied because the axon
+    relay leaks host memory per transfer (see watchdog_threshold_mb)."""
+    import time
+
+    while True:
+        time.sleep(poll_s)
+        rss = _rss_mb()
+        if rss > threshold_mb:
+            logger.warning(
+                "RSS %.0f MB > high-water %d MB: recycling worker "
+                "(draining in-flight requests, then exit %d for the "
+                "supervisor to restart)", rss, threshold_mb,
+                config.EXIT_RECYCLE)
+            recycle_flag.set()
+            server.shutdown()  # must come from a non-serving thread
+            return
+
+
 def main() -> None:
     """Server entry point (uvicorn __main__ analog, app.py:526-543)."""
     import argparse
+    import signal
+    import sys
     import threading
 
     from .http import AppServer
@@ -601,7 +668,42 @@ def main() -> None:
                 name="gip-precompile", daemon=True,
             ).start()
 
-    AppServer(create_app(), args.host, args.port).serve_forever()
+    # Supervisor-held listener (scripts/serve.py supervise): adopt its fd
+    # so connections queue, not drop, while a recycled worker starts.
+    fd_env = os.environ.get("GIP_TPU_LISTEN_FD", "").strip()
+    listen_fd = int(fd_env) if fd_env.isdigit() else None
+    if listen_fd is not None:
+        print(f"Adopting supervisor listener (fd {listen_fd})")
+
+    server = AppServer(create_app(), args.host, args.port, listen_fd=listen_fd)
+    recycle = threading.Event()
+    threshold = watchdog_threshold_mb()
+    if threshold > 0:
+        print(f"RSS watchdog armed: recycle above {threshold} MB")
+        threading.Thread(
+            target=_rss_watchdog, args=(server, threshold, recycle),
+            name="gip-rss-watchdog", daemon=True,
+        ).start()
+
+    # Graceful SIGTERM (scripts/serve.py stop): stop accepting, drain, exit
+    # cleanly so the TPU client tears down its lease (never die mid-RPC --
+    # CLAUDE.md relay hazard).  shutdown() must not run on the main thread
+    # (it blocks until serve_forever returns), hence the helper thread.
+    def _term(_sig, _frm):
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    signal.signal(signal.SIGTERM, _term)
+
+    server.serve_forever()
+
+    # Drain: serve_forever stopped accepting; let in-flight handlers finish
+    # (bounded -- a wedged device call must not block the recycle forever).
+    deadline = _time.time() + 30.0
+    while server.in_flight.value > 0 and _time.time() < deadline:
+        _time.sleep(0.2)
+    if recycle.is_set():
+        logger.info("Worker recycling (exit %d)", config.EXIT_RECYCLE)
+        sys.exit(config.EXIT_RECYCLE)
 
 
 if __name__ == "__main__":

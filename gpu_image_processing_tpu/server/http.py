@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import re
+import socket
 import threading
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -118,7 +119,33 @@ _CORS_HEADERS = {
 }
 
 
-def make_handler_class(router: Router):
+class InFlightGauge:
+    """Requests currently inside a handler (ThreadingHTTPServer: one
+    thread per connection, so a plain int needs the lock).  The RSS
+    recycle watchdog drains on this before exiting (server/app.py)."""
+
+    def __init__(self) -> None:
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self) -> "InFlightGauge":
+        with self._lock:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc) -> None:
+        with self._lock:
+            self._n -= 1
+
+    @property
+    def value(self) -> int:
+        with self._lock:
+            return self._n
+
+
+def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None):
+    gauge = in_flight if in_flight is not None else InFlightGauge()
+
     class JSONRequestHandler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
         # Keep stdlib logging quiet; the app logs at a higher level.
@@ -161,7 +188,8 @@ def make_handler_class(router: Router):
                 detail = getattr(exc, "detail", f"Invalid request body: {exc}")
                 self._send(400, {"detail": detail})
                 return
-            status, payload = router.dispatch(req)
+            with gauge:
+                status, payload = router.dispatch(req)
             self._send(status, payload)
 
         def do_GET(self):
@@ -174,26 +202,43 @@ def make_handler_class(router: Router):
 
 
 class AppServer:
-    """Threaded HTTP server wrapper (uvicorn analog)."""
+    """Threaded HTTP server wrapper (uvicorn analog).
 
-    def __init__(self, router: Router, host: str, port: int):
+    `listen_fd`: adopt an already-bound, already-listening socket instead
+    of binding host:port.  The worker-recycle supervisor (scripts/serve.py)
+    owns the listener and passes it to each backend generation, so client
+    connections arriving during a recycle queue in the kernel accept
+    backlog instead of being refused while the replacement worker starts.
+    """
+
+    def __init__(self, router: Router, host: str, port: int,
+                 listen_fd: Optional[int] = None):
         self.router = router
         self.host = host
         self.port = port
+        self.listen_fd = listen_fd
+        self.in_flight = InFlightGauge()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
-    def start_background(self) -> None:
-        self._httpd = ThreadingHTTPServer(
-            (self.host, self.port), make_handler_class(self.router)
+    def _make_httpd(self) -> ThreadingHTTPServer:
+        handler = make_handler_class(self.router, self.in_flight)
+        if self.listen_fd is None:
+            return ThreadingHTTPServer((self.host, self.port), handler)
+        httpd = ThreadingHTTPServer(
+            (self.host, self.port), handler, bind_and_activate=False
         )
+        httpd.socket.close()  # replace the unbound auto-created socket
+        httpd.socket = socket.socket(fileno=self.listen_fd)
+        return httpd
+
+    def start_background(self) -> None:
+        self._httpd = self._make_httpd()
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
 
     def serve_forever(self) -> None:
-        self._httpd = ThreadingHTTPServer(
-            (self.host, self.port), make_handler_class(self.router)
-        )
+        self._httpd = self._make_httpd()
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:

@@ -31,6 +31,7 @@ from gpu_image_processing_tpu.core import config  # noqa: E402
 
 RUN_DIR = os.environ.get("GIP_TPU_RUN_DIR", "/tmp")
 BACKEND_PID = os.path.join(RUN_DIR, "gip_tpu_backend.pid")
+SUPERVISOR_PID = os.path.join(RUN_DIR, "gip_tpu_supervisor.pid")
 FRONTEND_PID = os.path.join(RUN_DIR, "gip_tpu_frontend.pid")
 BACKEND_LOG = os.path.join(RUN_DIR, "gip_tpu_backend.log")
 FRONTEND_LOG = os.path.join(RUN_DIR, "gip_tpu_frontend.log")
@@ -99,16 +100,84 @@ def maybe_build_native() -> None:
         print(f"Native codec build skipped ({exc}); serving with PIL codecs")
 
 
+def cmd_supervise(_args) -> int:
+    """Foreground backend supervisor: run the backend as a direct child and
+    restart it whenever it exits with config.EXIT_RECYCLE (the RSS-watchdog
+    worker recycle, server/app.py -- the axon relay client leaks host
+    staging per device transfer, so long-lived workers must rotate).  The
+    wait() between spawns guarantees the recycle is SEQUENTIAL: the old TPU
+    process has fully exited (lease released) before the new one
+    initializes -- two concurrent TPU processes stall on this host's relay.
+    Any other exit code stops supervision (real failure or clean stop)."""
+    min_uptime = float(os.environ.get("GIP_TPU_RECYCLE_MIN_UPTIME_S", "30"))
+    state = {"stopping": False, "proc": None}
+
+    def _term(_sig, _frm):
+        state["stopping"] = True
+        proc = state["proc"]
+        if proc is not None and proc.poll() is None:
+            proc.terminate()
+
+    signal.signal(signal.SIGTERM, _term)
+
+    # The supervisor owns the listening socket and lends it to every backend
+    # generation (GIP_TPU_LISTEN_FD): connections arriving mid-recycle queue
+    # in this socket's kernel backlog instead of getting ECONNREFUSED while
+    # the replacement worker boots.
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    try:
+        lsock.bind((config.BACKEND_HOST, config.BACKEND_PORT))
+    except OSError as exc:
+        print(f"supervisor: cannot bind port {config.BACKEND_PORT}: {exc}")
+        return 1
+    lsock.listen(128)
+
+    rapid = 0
+    while True:
+        started = time.time()
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "gpu_image_processing_tpu.server.app"],
+            cwd=REPO,
+            env={**os.environ, "GIP_TPU_LISTEN_FD": str(lsock.fileno())},
+            pass_fds=(lsock.fileno(),),
+        )
+        state["proc"] = proc
+        with open(BACKEND_PID, "w") as f:
+            f.write(str(proc.pid))
+        rc = proc.wait()
+        uptime = time.time() - started
+        if state["stopping"]:
+            return 0
+        if rc != config.EXIT_RECYCLE:
+            print(f"backend exited rc={rc} after {uptime:.0f}s; "
+                  "supervisor stopping", flush=True)
+            return 0 if rc == 0 else 1
+        # Crash-loop guard: recycling is normal, but recycling INSTANTLY is
+        # a misconfiguration (e.g. threshold below the baseline RSS).
+        rapid = rapid + 1 if uptime < min_uptime else 0
+        if rapid >= 3:
+            print(f"backend recycled 3x within {min_uptime:.0f}s of start; "
+                  "giving up (is GIP_TPU_MAX_RSS_MB below baseline RSS?)",
+                  flush=True)
+            return 1
+        print(f"backend requested recycle after {uptime:.0f}s; restarting",
+              flush=True)
+
+
 def cmd_start(args) -> int:
     maybe_build_native()
     if port_in_use(config.BACKEND_PORT):
         print(f"Backend port {config.BACKEND_PORT} already in use")
         return 1
+    # The supervisor (not the backend) is the detached process: it restarts
+    # the backend across RSS-watchdog recycles; BACKEND_PID is (re)written
+    # by the supervisor at each spawn.
     pid = spawn(
-        [sys.executable, "-m", "gpu_image_processing_tpu.server.app"],
-        BACKEND_LOG, BACKEND_PID,
+        [sys.executable, os.path.abspath(__file__), "supervise"],
+        BACKEND_LOG, SUPERVISOR_PID,
     )
-    print(f"Backend starting (pid {pid}, log {BACKEND_LOG}) ...")
+    print(f"Backend starting (supervisor pid {pid}, log {BACKEND_LOG}) ...")
     if not wait_healthy():
         print("Backend failed to become healthy; see log")
         return 1
@@ -130,8 +199,10 @@ def cmd_start(args) -> int:
         try:
             while True:
                 time.sleep(10)
-                if read_pid(BACKEND_PID) is None:
-                    print("Backend died; stopping everything")
+                # Watch the SUPERVISOR: the backend pid legitimately
+                # changes across RSS-watchdog recycles.
+                if read_pid(SUPERVISOR_PID) is None:
+                    print("Backend supervisor died; stopping everything")
                     cmd_stop(args)
                     return 1
         except KeyboardInterrupt:
@@ -167,6 +238,11 @@ def _stop_one(pid_path: str, port: int, name: str) -> None:
 
 
 def cmd_stop(_args) -> int:
+    # The supervisor and backend share a process group (the supervisor was
+    # spawned with start_new_session and the backend inherits), so the
+    # group SIGTERM below reaches both: the supervisor stops restarting,
+    # the backend drains gracefully (server/app.py SIGTERM handler).
+    _stop_one(SUPERVISOR_PID, config.BACKEND_PORT, "backend supervisor")
     _stop_one(BACKEND_PID, config.BACKEND_PORT, "backend")
     _stop_one(FRONTEND_PID, config.FRONTEND_PORT, "frontend")
     return 0
@@ -174,6 +250,7 @@ def cmd_stop(_args) -> int:
 
 def cmd_status(_args) -> int:
     for name, pid_path, port in [
+        ("supervisor", SUPERVISOR_PID, config.BACKEND_PORT),
         ("backend", BACKEND_PID, config.BACKEND_PORT),
         ("frontend", FRONTEND_PID, config.FRONTEND_PORT),
     ]:
@@ -191,8 +268,10 @@ def main() -> int:
     p_start.add_argument("--monitor", action="store_true")
     sub.add_parser("stop")
     sub.add_parser("status")
+    sub.add_parser("supervise")  # internal: spawned by cmd_start
     args = parser.parse_args()
-    return {"start": cmd_start, "stop": cmd_stop, "status": cmd_status}[args.cmd](args)
+    return {"start": cmd_start, "stop": cmd_stop, "status": cmd_status,
+            "supervise": cmd_supervise}[args.cmd](args)
 
 
 if __name__ == "__main__":

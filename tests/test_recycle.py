@@ -1,0 +1,175 @@
+"""Worker-recycle machinery: RSS watchdog (server/app.py) + supervisor
+restart loop (scripts/serve.py).
+
+The axon relay's PJRT client permanently leaks ~1.3 MB of host staging per
+device_put (measured 2026-08-18: a 1600-request soak grew the backend
+0.25 -> 3.5 GB with zero idle recovery), so production serving recycles the
+worker at an RSS high-water mark -- the gunicorn max-RSS pattern.  These
+tests run the real processes on CPU with a 1 MB threshold (any process
+exceeds it instantly) to drive the trigger deterministically.
+"""
+
+import os
+import signal
+import subprocess
+import sys
+import tempfile
+import time
+
+import pytest
+
+from gpu_image_processing_tpu.core import config
+from gpu_image_processing_tpu.server.app import (
+    _rss_mb,
+    watchdog_threshold_mb,
+)
+from gpu_image_processing_tpu.server.http import InFlightGauge
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SERVE = os.path.join(REPO, "scripts", "serve.py")
+
+
+def test_rss_mb_reports_resident_set():
+    rss = _rss_mb()
+    assert 10.0 < rss < 1_000_000.0
+
+
+def test_threshold_env_override(monkeypatch):
+    monkeypatch.setenv("GIP_TPU_MAX_RSS_MB", "512")
+    assert watchdog_threshold_mb() == 512
+    monkeypatch.setenv("GIP_TPU_MAX_RSS_MB", "0")
+    assert watchdog_threshold_mb() == 0
+
+
+def test_threshold_default_off_without_relay(monkeypatch):
+    """On CPU (and any non-axon platform) the watchdog defaults OFF; a
+    malformed env falls through to that default."""
+    monkeypatch.delenv("GIP_TPU_MAX_RSS_MB", raising=False)
+    assert watchdog_threshold_mb() == 0
+    monkeypatch.setenv("GIP_TPU_MAX_RSS_MB", "not-a-number")
+    assert watchdog_threshold_mb() == 0
+
+
+def test_threshold_default_on_behind_relay(monkeypatch):
+    monkeypatch.delenv("GIP_TPU_MAX_RSS_MB", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    # The suite runs on CPU; fake the live-backend half of the predicate
+    # (on the real host the device platform is "tpu" behind the relay).
+    from gpu_image_processing_tpu.runtime import device
+
+    monkeypatch.setattr(device, "platform", lambda: "tpu")
+    assert watchdog_threshold_mb() == config.AXON_DEFAULT_MAX_RSS_MB
+
+
+def test_in_flight_gauge_counts_nested_contexts():
+    g = InFlightGauge()
+    assert g.value == 0
+    with g:
+        with g:
+            assert g.value == 2
+        assert g.value == 1
+    assert g.value == 0
+
+
+def test_appserver_adopts_supervisor_listener():
+    """AppServer(listen_fd=...) serves on an externally bound socket -- the
+    mechanism that keeps client connections queued (not refused) while a
+    recycled worker boots."""
+    import json
+    import socket
+    import urllib.request
+
+    from gpu_image_processing_tpu.server.http import AppServer, Router
+
+    lsock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    lsock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(8)
+    port = lsock.getsockname()[1]
+
+    app = Router()
+
+    @app.get("/ping")
+    def ping(_req):
+        return 200, {"pong": True}
+
+    # dup mirrors what fd inheritance gives a child process: the adopted
+    # socket object owns its own descriptor, separate from lsock's.
+    server = AppServer(app, "127.0.0.1", port, listen_fd=os.dup(lsock.fileno()))
+    server.start_background()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/ping", timeout=10
+        ) as resp:
+            assert json.loads(resp.read()) == {"pong": True}
+    finally:
+        server.shutdown()
+        lsock.close()
+
+
+@pytest.mark.slow
+def test_watchdog_exits_with_recycle_code():
+    """A backend whose RSS exceeds the high-water mark drains and exits
+    with config.EXIT_RECYCLE (the supervisor's restart signal)."""
+    env = {
+        **os.environ,
+        "GIP_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+        "GIP_TPU_MAX_RSS_MB": "1",  # any live process exceeds this
+    }
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gpu_image_processing_tpu.server.app",
+         "--host", "127.0.0.1", "--port", "8491"],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=120)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        raise
+    assert proc.returncode == config.EXIT_RECYCLE, out
+    assert "RSS watchdog armed" in out
+
+
+@pytest.mark.slow
+def test_supervisor_restarts_on_recycle_and_stops_on_sigterm():
+    """serve.py supervise restarts the backend on EXIT_RECYCLE (new pid in
+    the pid file), sequentially, and exits 0 on SIGTERM."""
+    run_dir = tempfile.mkdtemp(prefix="gip_recycle_")
+    env = {
+        **os.environ,
+        "GIP_TPU_PLATFORM": "cpu",
+        "JAX_PLATFORM_NAME": "cpu",
+        "GIP_TPU_RUN_DIR": run_dir,
+        "GIP_TPU_BACKEND_PORT": "8492",
+        "GIP_TPU_MAX_RSS_MB": "1",
+        "GIP_TPU_RECYCLE_MIN_UPTIME_S": "0",  # disarm the crash-loop guard
+    }
+    pid_path = os.path.join(run_dir, "gip_tpu_backend.pid")
+    sup = subprocess.Popen(
+        [sys.executable, SERVE, "supervise"],
+        env=env, cwd=REPO,
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    try:
+        seen = set()
+        deadline = time.time() + 180
+        while len(seen) < 2 and time.time() < deadline:
+            try:
+                with open(pid_path) as f:
+                    seen.add(int(f.read().strip()))
+            except (OSError, ValueError):
+                pass
+            assert sup.poll() is None, sup.communicate()[0]
+            time.sleep(1)
+        assert len(seen) >= 2, f"no recycle observed; pids: {seen}"
+    finally:
+        sup.send_signal(signal.SIGTERM)
+        try:
+            out, _ = sup.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            sup.kill()
+            raise
+    assert sup.returncode == 0, out
+    assert "restarting" in out
