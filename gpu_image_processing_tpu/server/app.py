@@ -620,6 +620,11 @@ def _rss_watchdog(server, threshold_mb: int, recycle_flag,
                 "supervisor to restart)", rss, threshold_mb,
                 config.EXIT_RECYCLE)
             recycle_flag.set()
+            # serve_forever may not have built the httpd yet (tiny
+            # thresholds trip on the first poll); a shutdown() then would
+            # no-op and the recycle would never happen.
+            while getattr(server, "_httpd", None) is None:
+                time.sleep(0.1)
             server.shutdown()  # must come from a non-serving thread
             return
 
@@ -690,7 +695,12 @@ def main() -> None:
     # CLAUDE.md relay hazard).  shutdown() must not run on the main thread
     # (it blocks until serve_forever returns), hence the helper thread.
     def _term(_sig, _frm):
-        threading.Thread(target=server.shutdown, daemon=True).start()
+        def _stop():
+            while getattr(server, "_httpd", None) is None:
+                _time.sleep(0.1)
+            server.shutdown()
+
+        threading.Thread(target=_stop, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
 

@@ -188,9 +188,11 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                 detail = getattr(exc, "detail", f"Invalid request body: {exc}")
                 self._send(400, {"detail": detail})
                 return
+            # The response write stays inside the gauge: the recycle drain
+            # (server/app.py) must not exit the process mid-_send.
             with gauge:
                 status, payload = router.dispatch(req)
-            self._send(status, payload)
+                self._send(status, payload)
 
         def do_GET(self):
             self._handle("GET")
