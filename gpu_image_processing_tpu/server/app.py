@@ -170,9 +170,14 @@ def create_app() -> Router:
             # when repeated device failures demoted this process to CPU.
             "accelerator_demoted": demoted,
             # Worker-recycle watchdog (axon relay host-staging leak): the
-            # supervisor restarts the backend when rss crosses the mark.
+            # supervisor restarts the backend when rss crosses the mark;
+            # worker_generation counts restarts (1 = never recycled,
+            # null = running unsupervised).
             "rss_mb": round(_rss_mb(), 1),
             "max_rss_mb": watchdog_threshold_mb() or None,
+            "worker_generation": int(os.environ["GIP_TPU_WORKER_GENERATION"])
+            if os.environ.get("GIP_TPU_WORKER_GENERATION", "").isdigit()
+            else None,
         }
 
     @app.get("/")
@@ -706,10 +711,21 @@ def main() -> None:
 
     server.serve_forever()
 
-    # Drain: serve_forever stopped accepting; let in-flight handlers finish
-    # (bounded -- a wedged device call must not block the recycle forever).
+    # Drain: serve_forever stopped accepting and every response from here
+    # closes its keep-alive connection (http.py draining flag); wait for
+    # one quiet second of zero in-flight requests so a request that lands
+    # on a still-open connection right at the edge completes too.  Bounded
+    # -- a wedged device call must not block the recycle forever.
     deadline = _time.time() + 30.0
-    while server.in_flight.value > 0 and _time.time() < deadline:
+    quiet_since = None
+    while _time.time() < deadline:
+        if server.in_flight.value == 0:
+            if quiet_since is None:
+                quiet_since = _time.time()
+            elif _time.time() - quiet_since >= 1.0:
+                break
+        else:
+            quiet_since = None
         _time.sleep(0.2)
     if recycle.is_set():
         logger.info("Worker recycling (exit %d)", config.EXIT_RECYCLE)

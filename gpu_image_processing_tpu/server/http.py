@@ -143,8 +143,10 @@ class InFlightGauge:
             return self._n
 
 
-def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None):
+def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None,
+                       draining: Optional[threading.Event] = None):
     gauge = in_flight if in_flight is not None else InFlightGauge()
+    drain_evt = draining if draining is not None else threading.Event()
 
     class JSONRequestHandler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -192,6 +194,13 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
             # (server/app.py) must not exit the process mid-_send.
             with gauge:
                 status, payload = router.dispatch(req)
+                # Draining (worker recycle / graceful stop): finish this
+                # response, then close the keep-alive connection so the
+                # client's NEXT request goes to the supervisor's listen
+                # backlog (and the replacement worker) instead of dying
+                # with the exiting process.
+                if drain_evt.is_set():
+                    self.close_connection = True
                 self._send(status, payload)
 
         def do_GET(self):
@@ -201,6 +210,21 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
             self._handle("POST")
 
     return JSONRequestHandler
+
+
+class _QuietThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that does not spam tracebacks when a client
+    disconnects mid-response (BrokenPipe/ConnectionReset are routine under
+    load-generator churn and keep-alive teardown)."""
+
+    def handle_error(self, request, client_address):  # noqa: D102
+        import sys as _sys
+
+        exc = _sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError,
+                            TimeoutError)):
+            return
+        super().handle_error(request, client_address)
 
 
 class AppServer:
@@ -220,14 +244,16 @@ class AppServer:
         self.port = port
         self.listen_fd = listen_fd
         self.in_flight = InFlightGauge()
+        self.draining = threading.Event()
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
 
     def _make_httpd(self) -> ThreadingHTTPServer:
-        handler = make_handler_class(self.router, self.in_flight)
+        handler = make_handler_class(self.router, self.in_flight,
+                                     self.draining)
         if self.listen_fd is None:
-            return ThreadingHTTPServer((self.host, self.port), handler)
-        httpd = ThreadingHTTPServer(
+            return _QuietThreadingHTTPServer((self.host, self.port), handler)
+        httpd = _QuietThreadingHTTPServer(
             (self.host, self.port), handler, bind_and_activate=False
         )
         httpd.socket.close()  # replace the unbound auto-created socket
@@ -244,6 +270,11 @@ class AppServer:
         self._httpd.serve_forever()
 
     def shutdown(self) -> None:
+        # Order matters: mark draining BEFORE stopping the accept loop so
+        # every response sent from this point closes its keep-alive
+        # connection (see make_handler_class) -- clients reconnect into the
+        # supervisor's backlog during a recycle.
+        self.draining.set()
         if self._httpd:
             self._httpd.shutdown()
             self._httpd.server_close()

@@ -134,12 +134,16 @@ def cmd_supervise(_args) -> int:
     lsock.listen(128)
 
     rapid = 0
+    generation = 0
     while True:
         started = time.time()
+        generation += 1
         proc = subprocess.Popen(
             [sys.executable, "-m", "gpu_image_processing_tpu.server.app"],
             cwd=REPO,
-            env={**os.environ, "GIP_TPU_LISTEN_FD": str(lsock.fileno())},
+            env={**os.environ,
+                 "GIP_TPU_LISTEN_FD": str(lsock.fileno()),
+                 "GIP_TPU_WORKER_GENERATION": str(generation)},
             pass_fds=(lsock.fileno(),),
         )
         state["proc"] = proc

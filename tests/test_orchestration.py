@@ -24,6 +24,9 @@ def test_start_status_stop_cycle():
         "GIP_TPU_PLATFORM": "cpu",
         "GIP_TPU_RUN_DIR": run_dir,
         "JAX_PLATFORM_NAME": "cpu",
+        # Own port: must not collide with a live server on the default
+        # 8000 (config honors GIP_TPU_BACKEND_PORT).
+        "GIP_TPU_BACKEND_PORT": "8481",
     }
     try:
         start = subprocess.run(
@@ -34,7 +37,7 @@ def test_start_status_stop_cycle():
         assert "healthy" in start.stdout
 
         with urllib.request.urlopen(
-            "http://127.0.0.1:8000/api/health", timeout=10
+            "http://127.0.0.1:8481/api/health", timeout=10
         ) as resp:
             assert json.loads(resp.read())["status"] == "healthy"
 
@@ -42,7 +45,7 @@ def test_start_status_stop_cycle():
             [sys.executable, SERVE, "status"],
             env=env, capture_output=True, text=True, timeout=60,
         )
-        assert "port_8000=up" in status.stdout
+        assert "port_8481=up" in status.stdout
     finally:
         stop = subprocess.run(
             [sys.executable, SERVE, "stop"],
@@ -54,7 +57,7 @@ def test_start_status_stop_cycle():
 
     while time.time() < deadline:
         with socket.socket() as s:
-            if s.connect_ex(("127.0.0.1", 8000)) != 0:
+            if s.connect_ex(("127.0.0.1", 8481)) != 0:
                 break
         time.sleep(1)
     else:
