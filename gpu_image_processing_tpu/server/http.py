@@ -159,6 +159,10 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
             self.send_response(status)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            if self.close_connection:
+                # Keep-alive ends after this response (worker draining, or
+                # the client asked) -- say so per HTTP/1.1.
+                self.send_header("Connection", "close")
             for k, v in _CORS_HEADERS.items():
                 self.send_header(k, v)
             self.end_headers()

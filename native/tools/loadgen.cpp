@@ -66,7 +66,10 @@ int connect_to(const std::string& host, int port) {
 
 bool send_all(int fd, const char* data, size_t len) {
   while (len) {
-    ssize_t n = send(fd, data, len, 0);
+    // MSG_NOSIGNAL: a worker-recycle (or any keep-alive close) between
+    // requests must surface as a reconnectable EPIPE, not a SIGPIPE that
+    // kills the whole load generator (observed: exit 141 mid-soak).
+    ssize_t n = send(fd, data, len, MSG_NOSIGNAL);
     if (n <= 0) return false;
     data += n;
     len -= (size_t)n;
@@ -118,16 +121,24 @@ void worker(const std::string& host, int port, int n_requests,
   local.reserve(n_requests);
   for (int i = 0; i < n_requests; ++i) {
     auto t0 = Clock::now();
-    if (!send_all(fd, request.data(), request.size())) {
-      // Server may close between keep-alive requests; reconnect once.
-      close(fd);
-      fd = connect_to(host, port);
-      if (fd < 0 || !send_all(fd, request.data(), request.size())) {
-        ++stats->failed;
-        break;
+    // A server may close a keep-alive connection at any request boundary
+    // (HTTP/1.1 semantics; this framework does it deliberately while
+    // draining for a worker recycle).  Like any real HTTP client, retry
+    // once on a fresh connection -- the endpoints are idempotent.
+    int status = -1;
+    for (int attempt = 0; attempt < 2; ++attempt) {
+      if (fd < 0) fd = connect_to(host, port);
+      if (fd < 0) continue;
+      if (!send_all(fd, request.data(), request.size())) {
+        close(fd);
+        fd = -1;
+        continue;
       }
+      status = read_response(fd);
+      if (status >= 0) break;
+      close(fd);  // closed mid-read: stale keep-alive; one fresh retry
+      fd = -1;
     }
-    int status = read_response(fd);
     auto ms = std::chrono::duration<double, std::milli>(Clock::now() - t0).count();
     if (status == 200) {
       ++stats->ok;
