@@ -605,6 +605,71 @@ def watchdog_threshold_mb() -> int:
     return 0
 
 
+def _probe_device_in_child(timeout_s: float) -> bool:
+    """Whether a FRESH process can initialize the accelerator right now.
+
+    Runs `jax.devices()` in a child so a still-dead relay blocks the child
+    (init can hang ~22 min on this host), never the serving worker.  The
+    child self-terminates; a successful probe acquires and cleanly
+    releases a lease, proving a recycled worker would come up on TPU."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; jax.devices()[0]; print('ok')"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        return proc.returncode == 0 and "ok" in proc.stdout
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def _tpu_recovery_watch(server, recycle_flag, poll_s: float = 30.0) -> None:
+    """Daemon thread: when the runtime has demoted this worker to CPU
+    (elastic recovery after repeated device failures) and the process is
+    SUPERVISED, periodically probe whether a fresh process can reach the
+    accelerator again; on a successful probe, take the same drain+recycle
+    path as the RSS watchdog so the supervisor restarts us onto the TPU.
+    Completes the demotion story: device dies -> serve degraded from CPU
+    -> device returns -> worker recycles back to full speed, all hands-off.
+
+    The probe never runs inside the serving process (a dead relay blocks
+    jax init for ~20 min) and a probe that cannot acquire the lease simply
+    leaves the worker serving on CPU -- fail-safe in both directions."""
+    import time
+
+    from ..runtime.device import demotion_reason
+
+    retry_s = float(os.environ.get("GIP_TPU_TPU_RETRY_S", "600"))
+    last_probe = 0.0
+    while not recycle_flag.is_set():
+        time.sleep(poll_s)
+        if demotion_reason() is None:
+            continue
+        now = time.time()
+        if now - last_probe < retry_s:
+            continue
+        last_probe = now
+        logger.info("Demoted to CPU (%s); probing accelerator in a child "
+                    "process", demotion_reason())
+        if not _probe_device_in_child(timeout_s=1800.0):
+            logger.info("Accelerator probe failed; staying on CPU "
+                        "(next probe in %.0fs)", retry_s)
+            continue
+        logger.warning(
+            "Accelerator reachable again: recycling worker to reattach "
+            "(exit %d for the supervisor)", config.EXIT_RECYCLE)
+        recycle_flag.set()
+        while getattr(server, "_httpd", None) is None:
+            time.sleep(0.1)
+        server.shutdown()
+        return
+
+
 def _rss_watchdog(server, threshold_mb: int, recycle_flag,
                   poll_s: float = 5.0) -> None:
     """Daemon thread: when RSS crosses the high-water mark, stop accepting
@@ -693,6 +758,15 @@ def main() -> None:
         threading.Thread(
             target=_rss_watchdog, args=(server, threshold, recycle),
             name="gip-rss-watchdog", daemon=True,
+        ).start()
+
+    # TPU reattach watch: only meaningful when a supervisor will restart
+    # us (unsupervised exit-43 is just death) and a device path exists.
+    retry_env = os.environ.get("GIP_TPU_TPU_RETRY_S", "").strip()
+    if (listen_fd is not None and TPU_AVAILABLE and retry_env != "0"):
+        threading.Thread(
+            target=_tpu_recovery_watch, args=(server, recycle),
+            name="gip-tpu-recovery", daemon=True,
         ).start()
 
     # Graceful SIGTERM (scripts/serve.py stop): stop accepting, drain, exit

@@ -173,3 +173,79 @@ def test_supervisor_restarts_on_recycle_and_stops_on_sigterm():
             raise
     assert sup.returncode == 0, out
     assert "restarting" in out
+
+
+def test_tpu_recovery_watch_recycles_when_probe_succeeds(monkeypatch):
+    """Demoted worker + reachable accelerator => drain + recycle request
+    (the supervisor then restarts the worker onto the TPU)."""
+    import threading
+
+    from gpu_image_processing_tpu.server import app as app_mod
+    from gpu_image_processing_tpu.runtime import device
+
+    monkeypatch.setattr(device, "demotion_reason", lambda: "test: relay died")
+    monkeypatch.setattr(app_mod, "_probe_device_in_child", lambda timeout_s: True)
+    monkeypatch.setenv("GIP_TPU_TPU_RETRY_S", "0.01")
+
+    class FakeServer:
+        def __init__(self):
+            self._httpd = object()
+            self.shut = threading.Event()
+
+        def shutdown(self):
+            self.shut.set()
+
+    server = FakeServer()
+    recycle = threading.Event()
+    t = threading.Thread(
+        target=app_mod._tpu_recovery_watch, args=(server, recycle, 0.01),
+        daemon=True)
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive()
+    assert recycle.is_set()
+    assert server.shut.is_set()
+
+
+def test_tpu_recovery_watch_stays_on_cpu_when_probe_fails(monkeypatch):
+    """A failed probe must leave the worker serving (no recycle)."""
+    import threading
+    import time
+
+    from gpu_image_processing_tpu.server import app as app_mod
+    from gpu_image_processing_tpu.runtime import device
+
+    monkeypatch.setattr(device, "demotion_reason", lambda: "test: relay died")
+    probes = []
+
+    def fake_probe(timeout_s):
+        probes.append(timeout_s)
+        return False
+
+    monkeypatch.setattr(app_mod, "_probe_device_in_child", fake_probe)
+    monkeypatch.setenv("GIP_TPU_TPU_RETRY_S", "0.01")
+
+    class FakeServer:
+        _httpd = object()
+
+        def shutdown(self):
+            raise AssertionError("must not shut down on a failed probe")
+
+    recycle = threading.Event()
+    t = threading.Thread(
+        target=app_mod._tpu_recovery_watch,
+        args=(FakeServer(), recycle, 0.01), daemon=True)
+    t.start()
+    time.sleep(1.0)
+    assert t.is_alive()  # keeps watching
+    assert len(probes) >= 2  # probed repeatedly at the retry cadence
+    assert not recycle.is_set()
+    recycle.set()  # winds the thread down
+    t.join(timeout=5)
+
+
+def test_probe_device_child_runs_on_cpu():
+    """The probe subprocess mechanism itself works (CPU backend here)."""
+    from gpu_image_processing_tpu.server.app import _probe_device_in_child
+
+    assert _probe_device_in_child(timeout_s=120.0) is True
