@@ -67,9 +67,15 @@ _G = 128
 # the round-1 value 5: scripts/exp_mxu_r34.py (5-round medians 2026-08-18,
 # interleaved rows A/B) measured mxu/vpu r=2 1.003x (tie), r=3 0.735x,
 # r=4 0.672x (resolvable, >30%); scripts/exp_mxu_gblock.py independently
-# showed the same r=3 direction (0.413 vs 0.45 ms).  r=3 is the smallest
-# radius with two agreeing rounds; r=2 is a measured tie, so it stays on
-# the VPU folded tier (which is also the bit-exact L2 kernel).
+# showed the same r=3 direction (0.413 vs 0.45 ms), and a third window
+# (end-to-end serving A/B at 1536x2048, 2026-08-18) measured L4-MXU
+# 0.199 ms vs L2-VPU 0.235 at r=3.  The single-effect noise floor is 30%
+# (CLAUDE.md) and r=3's 26.5% sits under it, but THREE independent
+# sessions agreeing in direction is the same standard that set the
+# round-1 threshold ("two independent rounds agree"), and the cost of
+# being wrong is bounded by r=2's measured tie (~10%).  r=2 stays on the
+# VPU folded tier.  Both tiers carry the ADVANCED maxdiff<=1 contract,
+# so routing only changes speed, never the numeric guarantee.
 GAUSS_MXU_MIN_RADIUS = 3
 
 

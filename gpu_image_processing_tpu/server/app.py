@@ -616,16 +616,36 @@ def _probe_device_in_child(timeout_s: float) -> bool:
     import sys as _sys
 
     try:
-        proc = subprocess.run(
+        proc = subprocess.Popen(
             [_sys.executable, "-c",
              "import jax; jax.devices()[0]; print('ok')"],
-            timeout=timeout_s, capture_output=True, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
-        return proc.returncode == 0 and "ok" in proc.stdout
-    except subprocess.TimeoutExpired:
-        return False
     except OSError:
         return False
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+        return proc.returncode == 0 and "ok" in (out or "")
+    except subprocess.TimeoutExpired:
+        # Never SIGKILL a (possibly lease-negotiating) TPU client; ask it
+        # to stop and otherwise abandon it -- the caller skips further
+        # probes while this one is still alive.
+        proc.terminate()
+        try:
+            proc.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            _ABANDONED_PROBES.append(proc)
+        return False
+
+
+# Probe children that ignored SIGTERM (blocked in device init); no new
+# probe starts while one of these is still running.
+_ABANDONED_PROBES: list = []
+
+
+def _probe_still_pending() -> bool:
+    _ABANDONED_PROBES[:] = [p for p in _ABANDONED_PROBES if p.poll() is None]
+    return bool(_ABANDONED_PROBES)
 
 
 def _tpu_recovery_watch(server, recycle_flag, poll_s: float = 30.0) -> None:
@@ -651,7 +671,7 @@ def _tpu_recovery_watch(server, recycle_flag, poll_s: float = 30.0) -> None:
         if demotion_reason() is None:
             continue
         now = time.time()
-        if now - last_probe < retry_s:
+        if now - last_probe < retry_s or _probe_still_pending():
             continue
         last_probe = now
         logger.info("Demoted to CPU (%s); probing accelerator in a child "
@@ -788,9 +808,14 @@ def main() -> None:
     # Drain: serve_forever stopped accepting and every response from here
     # closes its keep-alive connection (http.py draining flag); wait for
     # one quiet second of zero in-flight requests so a request that lands
-    # on a still-open connection right at the edge completes too.  Bounded
-    # -- a wedged device call must not block the recycle forever.
-    deadline = _time.time() + 30.0
+    # on a still-open connection right at the edge completes too.  The
+    # bound is generous (10 min): an unwarmed-shape compile can hold a
+    # request for minutes, and exiting mid-device-RPC is the lease-
+    # orphaning hazard this whole subsystem exists to avoid -- but a
+    # truly wedged relay call must not pin the worker forever either (a
+    # wedged client's lease is already lost; the replacement can't do
+    # worse).
+    deadline = _time.time() + 600.0
     quiet_since = None
     while _time.time() < deadline:
         if server.in_flight.value == 0:

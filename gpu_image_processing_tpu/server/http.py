@@ -176,33 +176,38 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
             self.end_headers()
 
         def _handle(self, method: str) -> None:
-            path, _, query_str = self.path.partition("?")
-            req = Request(method=method, path=path, headers=dict(self.headers))
-            if query_str:
-                for pair in query_str.split("&"):
-                    k, _, v = pair.partition("=")
-                    req.query[k] = v
-            length = int(self.headers.get("Content-Length") or 0)
-            body = self.rfile.read(length) if length else b""
-            ctype = self.headers.get("Content-Type", "")
-            try:
-                if body and "application/json" in ctype:
-                    req.json = json.loads(body)
-                elif body and "multipart/form-data" in ctype:
-                    req.files = parse_multipart(body, ctype)
-            except (json.JSONDecodeError, HTTPError) as exc:
-                detail = getattr(exc, "detail", f"Invalid request body: {exc}")
-                self._send(400, {"detail": detail})
-                return
-            # The response write stays inside the gauge: the recycle drain
-            # (server/app.py) must not exit the process mid-_send.
+            # The WHOLE request -- body read through response write -- sits
+            # inside the gauge: the recycle drain (server/app.py) must not
+            # exit the process mid-body-read or mid-_send.
             with gauge:
+                # Draining (worker recycle / graceful stop): whatever this
+                # request's outcome (200, 400, 500), close the keep-alive
+                # connection after it so the client's NEXT request goes to
+                # the supervisor's listen backlog (and the replacement
+                # worker) instead of dying with the exiting process.
+                if drain_evt.is_set():
+                    self.close_connection = True
+                path, _, query_str = self.path.partition("?")
+                req = Request(method=method, path=path,
+                              headers=dict(self.headers))
+                if query_str:
+                    for pair in query_str.split("&"):
+                        k, _, v = pair.partition("=")
+                        req.query[k] = v
+                length = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(length) if length else b""
+                ctype = self.headers.get("Content-Type", "")
+                try:
+                    if body and "application/json" in ctype:
+                        req.json = json.loads(body)
+                    elif body and "multipart/form-data" in ctype:
+                        req.files = parse_multipart(body, ctype)
+                except (json.JSONDecodeError, HTTPError) as exc:
+                    detail = getattr(exc, "detail",
+                                     f"Invalid request body: {exc}")
+                    self._send(400, {"detail": detail})
+                    return
                 status, payload = router.dispatch(req)
-                # Draining (worker recycle / graceful stop): finish this
-                # response, then close the keep-alive connection so the
-                # client's NEXT request goes to the supervisor's listen
-                # backlog (and the replacement worker) instead of dying
-                # with the exiting process.
                 if drain_evt.is_set():
                     self.close_connection = True
                 self._send(status, payload)

@@ -136,6 +136,11 @@ def cmd_supervise(_args) -> int:
     rapid = 0
     generation = 0
     while True:
+        # SIGTERM may land BETWEEN generations (the old backend just
+        # exited); without this check the loop would spawn a fresh backend
+        # that nothing ever stops.
+        if state["stopping"]:
+            return 0
         started = time.time()
         generation += 1
         proc = subprocess.Popen(
@@ -147,6 +152,10 @@ def cmd_supervise(_args) -> int:
             pass_fds=(lsock.fileno(),),
         )
         state["proc"] = proc
+        if state["stopping"]:
+            # Raced the spawn itself: _term captured the previous (dead)
+            # proc; stop this one too.
+            proc.terminate()
         with open(BACKEND_PID, "w") as f:
             f.write(str(proc.pid))
         rc = proc.wait()

@@ -27,23 +27,38 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run(cmd: list[str], timeout_s: int) -> tuple[bool, float, str]:
+    """Run a stage with a graceful timeout.
+
+    subprocess.run(timeout=...) SIGKILLs -- forbidden for TPU processes
+    (an orphaned relay lease stalls every later stage 5-25 min, CLAUDE.md
+    hazards).  On expiry: SIGTERM, a 120 s grace, and if the process is
+    STILL alive it is LEFT RUNNING (reported failed) rather than killed;
+    a wedged TPU client must exit on its own terms."""
     t0 = time.time()
-    try:
-        proc = subprocess.run(
-            cmd, cwd=REPO, timeout=timeout_s,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        out = proc.stdout
-        ok = proc.returncode == 0
-    except subprocess.TimeoutExpired as exc:
-        # NEVER SIGKILL a TPU process (orphaned relay lease); the run()
-        # timeout sends SIGKILL only after SIGTERM had its grace period.
-        out = (exc.stdout or b"").decode() if isinstance(exc.stdout, bytes) \
-            else (exc.stdout or "")
-        out += f"\n<timeout after {timeout_s}s>"
-        ok = False
+    import tempfile
+
+    with tempfile.TemporaryFile(mode="w+") as logf:
+        proc = subprocess.Popen(cmd, cwd=REPO, stdout=logf,
+                                stderr=subprocess.STDOUT, text=True)
+        abandoned = False
+        try:
+            rc = proc.wait(timeout=timeout_s)
+        except subprocess.TimeoutExpired:
+            proc.terminate()
+            try:
+                rc = proc.wait(timeout=120)
+            except subprocess.TimeoutExpired:
+                rc = None
+                abandoned = True
+        logf.seek(0)
+        out = logf.read()
+    if abandoned:
+        out += (f"\n<timeout after {timeout_s}s; SIGTERM ignored -- process "
+                f"pid {proc.pid} LEFT RUNNING (never SIGKILL a TPU client)>")
+    elif rc != 0:
+        out += f"\n<exit {rc}>"
     tail = "\n".join(out.strip().splitlines()[-8:])
-    return ok, time.time() - t0, tail
+    return rc == 0, time.time() - t0, tail
 
 
 def stage_serving(timeout_s: int) -> tuple[bool, float, str]:
@@ -59,11 +74,15 @@ def stage_serving(timeout_s: int) -> tuple[bool, float, str]:
         ok_client, _, tail = run(
             [sys.executable, os.path.join(REPO, "test_client.py")], 300)
         logs.append("test_client: " + (tail.splitlines()[-1] if tail else ""))
+        sys.path.insert(0, REPO)
+        from gpu_image_processing_tpu.core import config
+
         loadgen = os.path.join(REPO, "native", "build", "loadgen")
         ok_load = True
         if os.path.exists(loadgen):
-            ok_load, _, tail = run([loadgen, "127.0.0.1", "8000", "4", "20"],
-                                   300)
+            ok_load, _, tail = run(
+                [loadgen, "127.0.0.1", str(config.BACKEND_PORT), "4", "20"],
+                300)
             logs.append("loadgen: " + (tail.splitlines()[0] if tail else ""))
         return ok_client and ok_load, time.time() - t0, "\n".join(logs)
     finally:
