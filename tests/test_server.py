@@ -299,6 +299,12 @@ def test_stats_endpoint(app):
     assert body["requests_total"] >= 2
     assert "GET /api/health" in body["requests_by_route"]
     assert body["uptime_s"] >= 0
+    # Worker-recycle observability (server/app.py watchdog): live RSS is
+    # always reported; the threshold and generation are null off-relay /
+    # unsupervised.
+    assert body["rss_mb"] > 10.0
+    assert body["max_rss_mb"] is None or body["max_rss_mb"] > 0
+    assert body["worker_generation"] is None or body["worker_generation"] >= 1
 
 
 def test_degraded_mode_503(monkeypatch):
