@@ -21,6 +21,7 @@ Profiled timings never override the primary device-timed `time_ms`
 
 from __future__ import annotations
 
+import json as _json
 import logging
 import os
 import time as _time
@@ -264,6 +265,7 @@ def create_app() -> Router:
         except ImageCodecError as exc:
             raise HTTPError(400, str(exc)) from None
         height, width, channels = img.shape
+        _note_served_shape(width, height)
         try:
             out, metrics = _run_filter(req, img, req.level)
             response = FilterResponse(
@@ -291,6 +293,7 @@ def create_app() -> Router:
         except ImageCodecError as exc:
             raise HTTPError(400, str(exc)) from None
         height, width, channels = img.shape
+        _note_served_shape(width, height)
         # The reference re-encodes the original (app.py:305-309); when the
         # upload was already a rendering-neutral RGB PNG or single-scan
         # baseline RGB JPEG, the source bytes pass straight through instead
@@ -605,6 +608,64 @@ def watchdog_threshold_mb() -> int:
     return 0
 
 
+# ---------------------------------------------------------------------------
+# Warm-state handoff across worker recycles: the exiting generation records
+# the image shapes it actually served; the next generation precompiles
+# exactly those, so post-recycle first requests hit warm executables
+# instead of paying compile/load latency (observed as the p99 tail on the
+# wave spanning a recycle).
+# ---------------------------------------------------------------------------
+
+_SERVED_SHAPES: set = set()
+_SERVED_SHAPES_CAP = 32  # arbitrary-size traffic must not grow this forever
+
+
+def _note_served_shape(width: int, height: int) -> None:
+    if len(_SERVED_SHAPES) < _SERVED_SHAPES_CAP:
+        _SERVED_SHAPES.add((int(width), int(height)))
+
+
+def _warm_shapes_path() -> str:
+    return os.path.join(os.environ.get("GIP_TPU_RUN_DIR", "/tmp"),
+                        "gip_tpu_warm_shapes.json")
+
+
+def _dump_served_shapes() -> None:
+    if not _SERVED_SHAPES:
+        return
+    try:
+        with open(_warm_shapes_path(), "w") as f:
+            _json.dump(sorted(_SERVED_SHAPES), f)
+    except OSError:  # pragma: no cover - /tmp unwritable
+        pass
+
+
+def _load_warm_shapes(max_age_s: float = 3600.0) -> list[tuple[int, int]]:
+    """Previous generation's served shapes, if recent (stale traffic from
+    hours ago is not worth compile time)."""
+    path = _warm_shapes_path()
+    try:
+        if _time.time() - os.path.getmtime(path) > max_age_s:
+            return []
+        with open(path) as f:
+            raw = _json.load(f)
+        return [(int(w), int(h)) for w, h in raw][:_SERVED_SHAPES_CAP]
+    except (OSError, ValueError, TypeError):
+        return []
+
+
+def _startup_precompile_shapes(spec: str, supervised: bool) -> list[tuple[int, int]]:
+    """What to warm at boot: the explicit --precompile/env set, plus -- for
+    a supervised worker (i.e. one likely replacing a recycled generation)
+    -- the shapes the previous generation actually served."""
+    shapes = _parse_precompile(spec)
+    if supervised:
+        for wh in _load_warm_shapes():
+            if wh not in shapes:
+                shapes.append(wh)
+    return shapes
+
+
 def _probe_device_in_child(timeout_s: float) -> bool:
     """Whether a FRESH process can initialize the accelerator right now.
 
@@ -748,12 +809,23 @@ def main() -> None:
     print(f"\nStarting server on http://{args.host}:{args.port}")
     print("=" * 70 + "\n")
 
+    # Supervisor-held listener (scripts/serve.py supervise): adopt its fd
+    # so connections queue, not drop, while a recycled worker starts.
+    fd_env = os.environ.get("GIP_TPU_LISTEN_FD", "").strip()
+    listen_fd = int(fd_env) if fd_env.isdigit() else None
+    if listen_fd is not None:
+        print(f"Adopting supervisor listener (fd {listen_fd})")
+
     if TPU_AVAILABLE:
         # Absorb one-time transfer-path + compile costs before traffic.
         from ..runtime.device import warmup_transfers
 
         warmup_transfers()
-        shapes = _parse_precompile(args.precompile)
+        # Explicit --precompile/env shapes; supervised workers also warm
+        # the shapes the PREVIOUS generation served (warm-state handoff --
+        # cuts the post-recycle first-request tail).
+        shapes = _startup_precompile_shapes(args.precompile,
+                                            supervised=listen_fd is not None)
         if shapes:
             # Background: the server binds immediately; a request hitting a
             # still-warming bucket waits on the runtime build lock rather
@@ -762,13 +834,6 @@ def main() -> None:
                 target=precompile_shapes, args=(shapes,),
                 name="gip-precompile", daemon=True,
             ).start()
-
-    # Supervisor-held listener (scripts/serve.py supervise): adopt its fd
-    # so connections queue, not drop, while a recycled worker starts.
-    fd_env = os.environ.get("GIP_TPU_LISTEN_FD", "").strip()
-    listen_fd = int(fd_env) if fd_env.isdigit() else None
-    if listen_fd is not None:
-        print(f"Adopting supervisor listener (fd {listen_fd})")
 
     server = AppServer(create_app(), args.host, args.port, listen_fd=listen_fd)
     recycle = threading.Event()
@@ -826,6 +891,9 @@ def main() -> None:
         else:
             quiet_since = None
         _time.sleep(0.2)
+    # Warm-state handoff: whatever ends this worker (recycle or graceful
+    # stop), leave the served-shape list for the next generation.
+    _dump_served_shapes()
     if recycle.is_set():
         logger.info("Worker recycling (exit %d)", config.EXIT_RECYCLE)
         sys.exit(config.EXIT_RECYCLE)

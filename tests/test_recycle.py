@@ -249,3 +249,53 @@ def test_probe_device_child_runs_on_cpu():
     from gpu_image_processing_tpu.server.app import _probe_device_in_child
 
     assert _probe_device_in_child(timeout_s=120.0) is True
+
+
+def test_warm_shape_handoff_roundtrip(monkeypatch, tmp_path):
+    """The exiting generation's served shapes reach the next generation's
+    precompile list (supervised boots only)."""
+    from gpu_image_processing_tpu.server import app as app_mod
+
+    monkeypatch.setenv("GIP_TPU_RUN_DIR", str(tmp_path))
+    monkeypatch.setattr(app_mod, "_SERVED_SHAPES", set())
+    app_mod._note_served_shape(800, 600)
+    app_mod._note_served_shape(1024, 1023)
+    app_mod._note_served_shape(800, 600)  # dedup
+    app_mod._dump_served_shapes()
+
+    got = app_mod._load_warm_shapes()
+    assert sorted(got) == [(800, 600), (1024, 1023)]
+
+    # supervised boot merges them; unsupervised boot does not
+    sup = app_mod._startup_precompile_shapes("320x240", supervised=True)
+    assert (320, 240) in sup and (800, 600) in sup and (1024, 1023) in sup
+    unsup = app_mod._startup_precompile_shapes("320x240", supervised=False)
+    assert unsup == [(320, 240)]
+
+
+def test_warm_shapes_stale_file_ignored(monkeypatch, tmp_path):
+    import json as js
+    import os as oss
+
+    from gpu_image_processing_tpu.server import app as app_mod
+
+    monkeypatch.setenv("GIP_TPU_RUN_DIR", str(tmp_path))
+    path = app_mod._warm_shapes_path()
+    with open(path, "w") as f:
+        js.dump([[640, 480]], f)
+    old = time.time() - 7200
+    oss.utime(path, (old, old))
+    assert app_mod._load_warm_shapes() == []
+    # corrupt content is ignored too
+    with open(path, "w") as f:
+        f.write("not json")
+    assert app_mod._load_warm_shapes() == []
+
+
+def test_served_shape_cap(monkeypatch):
+    from gpu_image_processing_tpu.server import app as app_mod
+
+    monkeypatch.setattr(app_mod, "_SERVED_SHAPES", set())
+    for i in range(100):
+        app_mod._note_served_shape(100 + i, 100)
+    assert len(app_mod._SERVED_SHAPES) == app_mod._SERVED_SHAPES_CAP
