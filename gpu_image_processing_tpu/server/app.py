@@ -457,6 +457,7 @@ def create_app() -> Router:
             )
         batch = np.stack(decoded)
         height, width, channels = batch.shape[1:]
+        _note_served_shape(width, height)
         try:
             kwargs: dict[str, Any] = {"level": req.level}
             if req.filter == "gaussian":
