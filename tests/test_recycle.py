@@ -299,3 +299,47 @@ def test_served_shape_cap(monkeypatch):
     for i in range(100):
         app_mod._note_served_shape(100 + i, 100)
     assert len(app_mod._SERVED_SHAPES) == app_mod._SERVED_SHAPES_CAP
+
+
+def test_draining_responses_advertise_connection_close():
+    """While draining, every response carries Connection: close and the
+    server closes the keep-alive afterwards -- clients reconnect into the
+    supervisor's backlog instead of dying with the worker."""
+    import http.client
+    import json as js
+
+    from gpu_image_processing_tpu.server.http import AppServer, Router
+
+    app = Router()
+
+    @app.get("/ping")
+    def ping(_req):
+        return 200, {"pong": True}
+
+    server = AppServer(app, "127.0.0.1", 0)
+    # port 0: pick a free port via a pre-bound socket
+    import socket as so
+
+    lsock = so.socket(so.AF_INET, so.SOCK_STREAM)
+    lsock.setsockopt(so.SOL_SOCKET, so.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(8)
+    port = lsock.getsockname()[1]
+    server = AppServer(app, "127.0.0.1", port, listen_fd=os.dup(lsock.fileno()))
+    server.start_background()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/ping")
+        resp = conn.getresponse()
+        assert js.loads(resp.read()) == {"pong": True}
+        assert resp.getheader("Connection") != "close"  # keep-alive normally
+
+        server.draining.set()
+        conn.request("GET", "/ping")
+        resp = conn.getresponse()
+        assert js.loads(resp.read()) == {"pong": True}
+        assert resp.getheader("Connection") == "close"
+        conn.close()
+    finally:
+        server.shutdown()
+        lsock.close()
