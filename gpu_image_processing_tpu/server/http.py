@@ -143,6 +143,20 @@ class InFlightGauge:
             return self._n
 
 
+def _max_in_flight() -> int:
+    """Load-shedding cap: requests already inside handlers before new ones
+    get an immediate 503 (0 disables).  Protects the worker when the
+    device wedges (observed: relay windows where one execute blocks for
+    minutes) -- without a cap every new request parks another thread plus
+    its decoded buffers behind the stall."""
+    import os
+
+    try:
+        return max(0, int(os.environ.get("GIP_TPU_MAX_IN_FLIGHT", "64")))
+    except ValueError:
+        return 64
+
+
 def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None,
                        draining: Optional[threading.Event] = None):
     gauge = in_flight if in_flight is not None else InFlightGauge()
@@ -176,6 +190,17 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
             self.end_headers()
 
         def _handle(self, method: str) -> None:
+            # Load shedding: when the device is wedged, requests pile up
+            # one thread each behind the stall; past the cap, shed with an
+            # immediate 503 (and close, so retries land fresh) instead of
+            # parking unboundedly.
+            cap = _max_in_flight()
+            if cap and gauge.value >= cap:
+                self.close_connection = True
+                self._send(503, {
+                    "detail": f"Server overloaded: {gauge.value} requests "
+                              "in flight; retry shortly"})
+                return
             # The WHOLE request -- body read through response write -- sits
             # inside the gauge: the recycle drain (server/app.py) must not
             # exit the process mid-body-read or mid-_send.

@@ -343,3 +343,65 @@ def test_draining_responses_advertise_connection_close():
     finally:
         server.shutdown()
         lsock.close()
+
+
+def test_load_shedding_503_past_in_flight_cap(monkeypatch):
+    """With GIP_TPU_MAX_IN_FLIGHT=2, a third concurrent request sheds with
+    an immediate 503 instead of parking behind the stall."""
+    import http.client
+    import json as js
+    import socket as so
+    import threading
+
+    from gpu_image_processing_tpu.server.http import AppServer, Router
+
+    monkeypatch.setenv("GIP_TPU_MAX_IN_FLIGHT", "2")
+    release = threading.Event()
+    app = Router()
+
+    @app.get("/slow")
+    def slow(_req):
+        release.wait(30)
+        return 200, {"done": True}
+
+    lsock = so.socket(so.AF_INET, so.SOCK_STREAM)
+    lsock.setsockopt(so.SOL_SOCKET, so.SO_REUSEADDR, 1)
+    lsock.bind(("127.0.0.1", 0))
+    lsock.listen(8)
+    port = lsock.getsockname()[1]
+    server = AppServer(app, "127.0.0.1", port, listen_fd=os.dup(lsock.fileno()))
+    server.start_background()
+    statuses = []
+
+    def fire():
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/slow")
+        resp = conn.getresponse()
+        statuses.append((resp.status, js.loads(resp.read())))
+        conn.close()
+
+    try:
+        t1 = threading.Thread(target=fire)
+        t2 = threading.Thread(target=fire)
+        t1.start(); t2.start()
+        deadline = time.time() + 10
+        while server.in_flight.value < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert server.in_flight.value == 2
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("GET", "/slow")
+        resp = conn.getresponse()
+        body = js.loads(resp.read())
+        assert resp.status == 503
+        assert "overloaded" in body["detail"]
+        assert resp.getheader("Connection") == "close"
+        conn.close()
+
+        release.set()
+        t1.join(timeout=15); t2.join(timeout=15)
+        assert [s for s, _ in statuses] == [200, 200]
+    finally:
+        release.set()
+        server.shutdown()
+        lsock.close()
