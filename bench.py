@@ -84,6 +84,35 @@ def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C):
     return impls[filter_name]
 
 
+def program_fingerprint(filter_name: str, level: int, img) -> str:
+    """sha256 of the lowered program `measure_ms` would time.
+
+    Rows with equal fingerprints execute IDENTICAL device code, so their
+    timing samples are exchangeable (e.g. box L2 vs L4 at the bench
+    radius: the doubling-window path ignores `folded`, and the lowerings
+    are byte-identical).  Used by benchmarks/run_benchmarks.py to pool
+    same-session samples across such rows -- otherwise per-row min-merge
+    luck on this drift-prone chip (2.7x between windows) can publish the
+    relaxed tier as "slower" than the exact tier it is the same program as.
+    """
+    import hashlib
+
+    import jax
+    import numpy as np
+
+    h, w_, c = img.shape
+    if level == 1:
+        spec = [jax.ShapeDtypeStruct((h, w_ * c), np.uint8)]
+    else:
+        spec = [jax.ShapeDtypeStruct((h, w_, c), np.uint8)]
+    if filter_name == "gaussian":
+        spec.append(
+            jax.ShapeDtypeStruct((2 * GAUSS_RADIUS + 1,), np.float32))
+    fn = _apply_fn(filter_name, level, width=w_, channels=c)
+    txt = jax.jit(fn).lower(*spec).as_text()
+    return hashlib.sha256(txt.encode()).hexdigest()
+
+
 def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float:
     """Min of `rounds` slope-based device timings (see module docstring)."""
     import jax

@@ -84,6 +84,40 @@ def _merge_rows(rows, prev_rows, key_fields):
             r.update({k: v for k, v in p.items() if k != "wall_s"})
             if keep_wall is not None:
                 r["wall_s"] = keep_wall
+            if "pooled" in r and "pooled" not in p:
+                del r["pooled"]  # stored min was its own direct sample
+
+
+def _pool_identical_programs(rows, img) -> None:
+    """Share same-session samples across rows that lowered to the
+    byte-identical device program (bench.program_fingerprint): any sample
+    of one is a valid sample of the other, so each takes the group min.
+    Concretely this covers box L2 vs L4 at the bench radius (the
+    doubling-window sum path ignores `folded`), where independent per-row
+    minima otherwise drift apart on the shared chip and publish the
+    relaxed tier as slower than the exact tier it is the same program as."""
+    groups: dict = {}
+    for r in rows:
+        try:
+            fp = bench.program_fingerprint(r["filter"], r["level"], img)
+        except Exception as exc:  # pooling is an optimization, never fatal
+            print(f"fingerprint failed for {r['filter']} L{r['level']}: "
+                  f"{exc}", flush=True)
+            continue
+        groups.setdefault(fp, []).append(r)
+    for group in groups.values():
+        if len(group) < 2:
+            continue
+        best = min(r["time_ms"] for r in group)
+        names = ", ".join(f"{r['filter']} L{r['level']}" for r in group)
+        print(f"pooled identical programs ({names}): {best:.4f} ms",
+              flush=True)
+        for r in group:
+            if r["time_ms"] > best:
+                r["time_ms"] = best
+                r["speedup_vs_reference"] = round(
+                    r["reference_ms"] / best, 3)
+                r["pooled"] = True
 
 
 def main() -> int:
@@ -116,6 +150,8 @@ def main() -> int:
         })
         print(f"{fname:10} L{level}: {ms:9.3f} ms  (ref {ref_ms:7.3f} ms, "
               f"{ref_ms / ms:6.2f}x)", flush=True)
+
+    _pool_identical_programs(rows, img)
 
     # Extended (beyond the reference's table): large-radius gaussian, where
     # the ADVANCED tier routes to the MXU banded-matmul kernel

@@ -77,3 +77,67 @@ def test_row_rev_overrides_stay_ahead_of_global(rb):
     vals = list(rb._ROW_REV_OVERRIDES.values()) + list(
         rb._EXT_REV_OVERRIDES.values())
     assert all(v > rb._IMPL_REV for v in vals)
+
+def test_pool_identical_programs(rb, monkeypatch):
+    """Rows whose timed callables lowered to the byte-identical program
+    share the session min (their samples are exchangeable); distinct
+    programs never pool."""
+    import bench
+
+    fps = {("box", 2): "AAA", ("box", 4): "AAA", ("gaussian", 2): "BBB"}
+    monkeypatch.setattr(
+        bench, "program_fingerprint", lambda f, l, img: fps[(f, l)])
+    rows = [
+        {"filter": "box", "level": 2, "time_ms": 0.28,
+         "reference_ms": 2.766, "speedup_vs_reference": 9.9},
+        {"filter": "box", "level": 4, "time_ms": 0.45,
+         "reference_ms": 2.766, "speedup_vs_reference": 6.1},
+        {"filter": "gaussian", "level": 2, "time_ms": 0.31,
+         "reference_ms": 0.953, "speedup_vs_reference": 3.1},
+    ]
+    rb._pool_identical_programs(rows, img=None)
+    assert rows[1]["time_ms"] == 0.28
+    assert rows[1]["pooled"] is True
+    assert rows[1]["speedup_vs_reference"] == round(2.766 / 0.28, 3)
+    assert "pooled" not in rows[0]          # the group min itself
+    assert "pooled" not in rows[2]          # singleton group untouched
+    assert rows[2]["time_ms"] == 0.31
+
+
+def test_pool_survives_fingerprint_failure(rb, monkeypatch):
+    import bench
+
+    def boom(f, l, img):
+        raise RuntimeError("no device")
+
+    monkeypatch.setattr(bench, "program_fingerprint", boom)
+    rows = [{"filter": "box", "level": 2, "time_ms": 0.28,
+             "reference_ms": 2.766, "speedup_vs_reference": 9.9}]
+    rb._pool_identical_programs(rows, img=None)   # must not raise
+    assert rows[0]["time_ms"] == 0.28
+
+
+def test_merge_drops_stale_pooled_flag(rb):
+    """When a stored (directly measured) min beats this session's pooled
+    value, the row must not keep claiming its number came from pooling."""
+    rows = [{"filter": "box", "level": 4, "rev": 2, "time_ms": 0.30,
+             "pooled": True}]
+    prev = [{"filter": "box", "level": 4, "rev": 2, "time_ms": 0.25}]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    assert rows[0]["time_ms"] == 0.25
+    assert "pooled" not in rows[0]
+
+
+def test_box_l2_l4_fingerprints_match_at_bench_radius():
+    """The concrete pooling case: box L2 and L4 lower identically at the
+    bench radius (the doubling-window path ignores `folded`), gaussian
+    L2 vs L4 do not (folded taps are a real numeric relaxation)."""
+    import numpy as np
+
+    import bench
+
+    img = np.zeros((40, 48, 3), np.uint8)
+    assert bench.program_fingerprint("box", 2, img) == \
+        bench.program_fingerprint("box", 4, img)
+    assert bench.program_fingerprint("gaussian", 2, img) != \
+        bench.program_fingerprint("gaussian", 4, img)
