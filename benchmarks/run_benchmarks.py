@@ -276,6 +276,13 @@ def main() -> int:
             _merge_rows(extended, prev.get("extended", []), ("case",))
             print("merged with previous results (per-row min, least-"
                   "contended window)")
+            # Pool once more AFTER the merge: rows identical-by-fingerprint
+            # today have been identical for this entire impl rev (the rev
+            # gate above guarantees same-rev history measured this same
+            # timed path), so their HISTORICAL minima are exchangeable too
+            # -- e.g. box L4 inherits box L2's least-contended window
+            # instead of waiting to luck into its own.
+            _pool_identical_programs(rows, img)
         else:
             print("previous results are a different impl_rev/workload/device;"
                   " not merged")

@@ -141,3 +141,28 @@ def test_box_l2_l4_fingerprints_match_at_bench_radius():
         bench.program_fingerprint("box", 4, img)
     assert bench.program_fingerprint("gaussian", 2, img) != \
         bench.program_fingerprint("gaussian", 4, img)
+
+
+def test_post_merge_pooling_shares_historical_min(rb, monkeypatch):
+    """After the rev-gated merge, fingerprint-identical rows share the
+    stored least-contended min too (identical now + per-row rev-unchanged
+    history => identical throughout the rev, so old samples exchange)."""
+    import bench
+
+    monkeypatch.setattr(bench, "program_fingerprint",
+                        lambda f, l, img: "SAME")
+    rows = [
+        {"filter": "box", "level": 2, "rev": 2, "time_ms": 0.80,
+         "reference_ms": 2.766, "speedup_vs_reference": 3.5},
+        {"filter": "box", "level": 4, "rev": 2, "time_ms": 0.82,
+         "reference_ms": 2.766, "speedup_vs_reference": 3.4},
+    ]
+    prev = [
+        {"filter": "box", "level": 2, "rev": 2, "time_ms": 0.2856},
+        {"filter": "box", "level": 4, "rev": 2, "time_ms": 0.4555},
+    ]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    rb._pool_identical_programs(rows, img=None)
+    assert rows[0]["time_ms"] == 0.2856
+    assert rows[1]["time_ms"] == 0.2856
+    assert rows[1]["pooled"] is True
