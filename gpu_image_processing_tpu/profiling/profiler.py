@@ -43,8 +43,12 @@ _TPU_GENERATION_PEAKS = {
     "v6e": (1640.0, 459.0, 918.0),
 }
 
-# Non-TPU hosts get rough placeholder peaks: percentages there are only for
-# exercising the UI path in tests, never reported as hardware truth.
+# Non-TPU hosts have NO trustworthy peak table, so they get no utilization
+# percentages at all (same contract as an unknown TPU generation) -- a
+# CPU-demoted serving process must not render guessed percentages as
+# hardware truth (ncu reads real clocks instead: ncu_profiler.py:559-626).
+# Tests exercising the UI percentage path opt in via GIP_TPU_TEST_PEAKS=1,
+# which enables these rough placeholders.
 _FALLBACK_PEAKS = {"cpu": (50.0, 0.5, 0.5), "gpu": (500.0, 20.0, 40.0)}
 
 
@@ -95,8 +99,13 @@ def device_peaks(device_kind: Optional[str] = None,
     if plat == "tpu":
         gen = _tpu_generation(device_kind)
         peaks = _TPU_GENERATION_PEAKS.get(gen) if gen else None
-    else:
+    elif os.environ.get("GIP_TPU_TEST_PEAKS", "0") == "1":
+        # Test-only: placeholder peaks so the UI percentage path has
+        # coverage on the CPU mesh.  Production off-TPU (e.g. a demoted
+        # serving worker) falls through to None -> percentages omitted.
         peaks = _FALLBACK_PEAKS.get(plat, _FALLBACK_PEAKS["cpu"])
+    else:
+        peaks = None
 
     if peaks is None:
         if all(v is not None for v in env):
@@ -490,9 +499,14 @@ def profile_filter(
         metrics["occupancy"]["Achieved Occupancy (% of peak HBM bandwidth)"] = dram_pct
         metrics["config"]["Peak HBM Bandwidth (Gbyte/s)"] = peak_hbm_gbps
     else:
+        plat = platform()
+        if plat == "tpu":
+            reason = ("unknown device generation %r"
+                      % (getattr(default_device(), "device_kind", ""),))
+        else:
+            reason = "no trusted peak table for platform %r" % (plat,)
         metrics["config"]["Peak Table"] = (
-            "unknown device generation %r: utilization percentages omitted"
-            % (getattr(default_device(), "device_kind", ""),)
+            reason + ": utilization percentages omitted"
         )
 
     # Per-kernel rows, by tier (the ncu analog of per-kernel Duration rows,

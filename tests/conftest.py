@@ -10,6 +10,11 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME and the
 # config flag below do take effect.
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Off-TPU, utilization percentages are omitted in production (no trusted
+# peak table); tests opt in to placeholder peaks so the UI percentage path
+# keeps coverage on the CPU mesh.  test_models_profiling clears this to
+# assert the production omission.
+os.environ.setdefault("GIP_TPU_TEST_PEAKS", "1")
 # Test images are small; without this pin the size-based tier routing would
 # serve every level-2 case from the XLA tier and the Pallas kernels would
 # lose their interpreter coverage.  Routing itself is tested explicitly in

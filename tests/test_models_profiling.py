@@ -153,6 +153,43 @@ def test_profile_omits_percentages_on_unknown_chip(rng, monkeypatch):
     assert common["time_ms"] > 0
 
 
+def test_off_tpu_omits_percentages_without_test_override(rng, monkeypatch):
+    """Production off-TPU (e.g. a CPU-demoted serving worker) must not
+    render placeholder peaks as hardware truth: without the test-only
+    GIP_TPU_TEST_PEAKS override, cpu/gpu platforms get no peak table and
+    profile_filter omits every utilization percentage (VERDICT r2 item 4;
+    the reference's ncu reads real clocks, ncu_profiler.py:559-626)."""
+    from gpu_image_processing_tpu.profiling import profiler as prof
+
+    monkeypatch.delenv("GIP_TPU_TEST_PEAKS", raising=False)
+    for var in ("GIP_TPU_PEAK_HBM_GBPS", "GIP_TPU_PEAK_F32_TFLOPS",
+                "GIP_TPU_PEAK_BF16_TFLOPS"):
+        monkeypatch.delenv(var, raising=False)
+    assert prof.device_peaks("cpu", plat="cpu") is None
+    assert prof.device_peaks("gpu", plat="gpu") is None
+    # The env peak triple still opts a known deployment in explicitly.
+    monkeypatch.setenv("GIP_TPU_PEAK_HBM_GBPS", "100")
+    monkeypatch.setenv("GIP_TPU_PEAK_F32_TFLOPS", "1")
+    monkeypatch.setenv("GIP_TPU_PEAK_BF16_TFLOPS", "2")
+    assert prof.device_peaks("cpu", plat="cpu") == (100.0, 1.0, 2.0)
+    for var in ("GIP_TPU_PEAK_HBM_GBPS", "GIP_TPU_PEAK_F32_TFLOPS",
+                "GIP_TPU_PEAK_BF16_TFLOPS"):
+        monkeypatch.delenv(var, raising=False)
+
+    img = make_image(rng, 16, 20, 3)
+    deep = prof.profile_filter(img, "box", 2, radius=2)
+    assert "DRAM Throughput (% of peak)" not in deep["memory"]
+    assert "Compute Throughput (% of peak f32)" not in deep["execution"]
+    assert deep["occupancy"] == {}
+    assert "no trusted peak table" in deep["config"]["Peak Table"]
+    common = get_common_metrics(deep, ncu_data=deep)
+    assert "occupancy_pct" not in common
+    assert "dram_throughput_pct" not in common
+    assert common["time_ms"] > 0
+    # Absolute (non-percentage) throughput rows survive: they are measured.
+    assert "memory_throughput_gbps" in common
+
+
 def test_utilization_pct_uses_io_floor(rng):
     """Utilization percentages must come from the definitely-moved IO
     bytes, not XLA's cost-model 'bytes accessed' (which counts
