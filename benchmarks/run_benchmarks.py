@@ -16,7 +16,15 @@ inside a congested window; the min across sessions is the least-contended
 window, matching the reference's idle-GPU CUDA-event conditions (bench.py
 already takes the min across rounds within one run for the same reason).
 Only rows measuring the same implementation may merge -- bump _IMPL_REV
-whenever a timed code path changes so stale minima are discarded.
+whenever a timed code path changes so stale minima are discarded; rows
+additionally persist the lowered-program fingerprint, and a stored row
+whose fingerprint differs from today's never merges even at the same rev
+(a forgotten rev bump is detected instead of silently pooling stale minima).
+
+Dispersion: every row keeps `sessions` (this row's direct per-session
+samples), `median_ms` (the number a fresh run should reproduce within
+noise), and `n_sessions`, alongside `time_ms` (the min -- "best observed").
+README quotes the median; the min is reported as best-observed.
 """
 
 from __future__ import annotations
@@ -73,12 +81,30 @@ def _merge_rows(rows, prev_rows, key_fields):
 
     Rows merge only when their impl revs match (a stored row without a
     `rev` field predates per-row revs and carries the file's global
-    impl_rev, which the caller has already checked equals _IMPL_REV)."""
+    impl_rev, which the caller has already checked equals _IMPL_REV) AND,
+    when both sides carry a lowered-program fingerprint, the fingerprints
+    match -- the exchangeability claim is checked, not assumed on rev-bump
+    discipline alone.  Also accumulates each row's per-session sample
+    history (`sessions`) for dispersion reporting."""
     prev = {tuple(r.get(k) for k in key_fields): r for r in prev_rows}
     for r in rows:
         p = prev.get(tuple(r.get(k) for k in key_fields))
         if p and p.get("rev", _IMPL_REV) != r.get("rev", _IMPL_REV):
             continue
+        if (p and r.get("fingerprint") and p.get("fingerprint")
+                and r["fingerprint"] != p["fingerprint"]):
+            key = tuple(r.get(k) for k in key_fields)
+            print(f"WARNING {key}: stored fingerprint differs at the same "
+                  f"rev (missed rev bump?); history discarded", flush=True)
+            continue
+        if p:
+            # Stored sample history; a pre-dispersion row contributes its
+            # time_ms as one sample UNLESS it was pooled (then the stored
+            # min was not this row's own direct measurement).
+            hist = p.get("sessions")
+            if hist is None:
+                hist = [] if p.get("pooled") else [p["time_ms"]]
+            mine = r.get("sessions", [r["time_ms"]])
         if p and p.get("time_ms", float("inf")) < r["time_ms"]:
             keep_wall = r.get("wall_s")
             r.update({k: v for k, v in p.items() if k != "wall_s"})
@@ -86,6 +112,14 @@ def _merge_rows(rows, prev_rows, key_fields):
                 r["wall_s"] = keep_wall
             if "pooled" in r and "pooled" not in p:
                 del r["pooled"]  # stored min was its own direct sample
+                r.pop("pooled_from", None)
+        if p:
+            r["sessions"] = (hist + mine)[-_MAX_SESSIONS:]
+
+
+# Per-session sample history cap: enough for dispersion (median stabilizes
+# well before this) without the results file growing unboundedly.
+_MAX_SESSIONS = 24
 
 
 def _pool_identical_programs(rows, img) -> None:
@@ -95,20 +129,28 @@ def _pool_identical_programs(rows, img) -> None:
     Concretely this covers box L2 vs L4 at the bench radius (the
     doubling-window sum path ignores `folded`), where independent per-row
     minima otherwise drift apart on the shared chip and publish the
-    relaxed tier as slower than the exact tier it is the same program as."""
+    relaxed tier as slower than the exact tier it is the same program as.
+
+    Side effect: stores each row's `fingerprint`, which _merge_rows then
+    uses to gate historical merging on checked program identity."""
     groups: dict = {}
     for r in rows:
-        try:
-            fp = bench.program_fingerprint(r["filter"], r["level"], img)
-        except Exception as exc:  # pooling is an optimization, never fatal
-            print(f"fingerprint failed for {r['filter']} L{r['level']}: "
-                  f"{exc}", flush=True)
-            continue
+        fp = r.get("fingerprint")
+        if not fp:
+            try:
+                fp = bench.program_fingerprint(r["filter"], r["level"], img)
+            except Exception as exc:  # pooling is an optimization, never fatal
+                print(f"fingerprint failed for {r['filter']} L{r['level']}: "
+                      f"{exc}", flush=True)
+                continue
+            r["fingerprint"] = fp
         groups.setdefault(fp, []).append(r)
     for group in groups.values():
         if len(group) < 2:
             continue
         best = min(r["time_ms"] for r in group)
+        src = min(group, key=lambda r: r["time_ms"])
+        src_name = f"{src['filter']} L{src['level']}"
         names = ", ".join(f"{r['filter']} L{r['level']}" for r in group)
         print(f"pooled identical programs ({names}): {best:.4f} ms",
               flush=True)
@@ -118,6 +160,24 @@ def _pool_identical_programs(rows, img) -> None:
                 r["speedup_vs_reference"] = round(
                     r["reference_ms"] / best, 3)
                 r["pooled"] = True
+                r["pooled_from"] = src_name
+
+
+def _finalize_dispersion(rows) -> None:
+    """Emit {median_ms, n_sessions} from each row's own direct sample
+    history.  `time_ms` stays the cross-session MIN (best observed /
+    least-contended window); `median_ms` is what a fresh run should
+    reproduce within noise -- README quotes the median (VERDICT r2 #2)."""
+    import statistics
+
+    for r in rows:
+        s = [round(float(v), 4) for v in r.get("sessions", [r["time_ms"]])]
+        r["sessions"] = s[-_MAX_SESSIONS:]
+        r["median_ms"] = round(statistics.median(r["sessions"]), 4)
+        r["n_sessions"] = len(r["sessions"])
+        if "reference_ms" in r:
+            r["speedup_median"] = round(
+                r["reference_ms"] / r["median_ms"], 3)
 
 
 def main() -> int:
@@ -144,6 +204,7 @@ def main() -> int:
             "level": level,
             "rev": _row_rev((fname, level)),
             "time_ms": round(ms, 4),
+            "sessions": [round(ms, 4)],
             "reference_ms": ref_ms,
             "speedup_vs_reference": round(ref_ms / ms, 3),
             "wall_s": round(time.time() - t0, 1),
@@ -210,7 +271,8 @@ def main() -> int:
         s = sorted(ext_samples[label])
         ms = s[len(s) // 2]
         extended.append({"case": label, "rev": _ext_rev(label),
-                         "time_ms": round(ms, 4)})
+                         "time_ms": round(ms, 4),
+                         "sessions": [round(ms, 4)]})
         print(f"{label}: {ms:.3f} ms", flush=True)
     bms = sorted(batch_samples)[len(batch_samples) // 2] / BATCH
     _c = f"gaussian r3 L2 batch{BATCH} (per image)"
@@ -218,6 +280,7 @@ def main() -> int:
         "case": _c,
         "rev": _ext_rev(_c),
         "time_ms": round(bms, 4),
+        "sessions": [round(bms, 4)],
         "images_per_sec": round(1000.0 / bms, 1),
     })
     print(f"gaussian r3 L2 batch{BATCH}: {bms:.3f} ms/image "
@@ -236,6 +299,7 @@ def main() -> int:
         "case": _c,
         "rev": _ext_rev(_c),
         "time_ms": round(ms_small, 4),
+        "sessions": [round(ms_small, 4)],
         "fps": round(1000.0 / ms_small, 1),
         "reference_ms": REF_EX_MS,
         "speedup_vs_reference": round(REF_EX_MS / ms_small, 3),
@@ -251,6 +315,7 @@ def main() -> int:
         "case": _c,
         "rev": _ext_rev(_c),
         "time_ms": round(sms, 4),
+        "sessions": [round(sms, 4)],
         "images_per_sec": round(1000.0 / sms, 1),
         "reference_fps": REF_EX_FPS,
         "throughput_vs_reference": round((1000.0 / sms) / REF_EX_FPS, 3),
@@ -286,15 +351,19 @@ def main() -> int:
         else:
             print("previous results are a different impl_rev/workload/device;"
                   " not merged")
+    _finalize_dispersion(rows)
+    _finalize_dispersion(extended)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     print(f"\nwritten: {args.out}")
 
-    print("\n| Filter | Level | This framework (ms) | Reference (ms) | Speedup |")
-    print("|---|---|---|---|---|")
+    print("\n| Filter | Level | Median (ms) | Best (ms) | Reference (ms) "
+          "| Speedup (median) | Sessions |")
+    print("|---|---|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['filter']} | {r['level']} | {r['time_ms']:.3f} "
-              f"| {r['reference_ms']:.3f} | {r['speedup_vs_reference']:.2f}x |")
+        print(f"| {r['filter']} | {r['level']} | {r['median_ms']:.3f} "
+              f"| {r['time_ms']:.3f} | {r['reference_ms']:.3f} "
+              f"| {r['speedup_median']:.2f}x | {r['n_sessions']} |")
     return 0
 
 

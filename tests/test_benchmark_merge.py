@@ -128,6 +128,100 @@ def test_merge_drops_stale_pooled_flag(rb):
     assert "pooled" not in rows[0]
 
 
+def test_fingerprint_mismatch_blocks_merge_even_at_same_rev(rb, capsys):
+    """ADVICE r2: 'identical rev => identical program' is only as good as
+    the manual rev-bump discipline.  A stored row whose persisted
+    fingerprint differs from today's must not merge (and must warn) even
+    when the revs match -- exchangeability is checked, not assumed."""
+    rows = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.7,
+             "sessions": [0.7], "fingerprint": "NEW"}]
+    prev = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.3,
+             "sessions": [0.3], "fingerprint": "OLD"}]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    assert rows[0]["time_ms"] == 0.7
+    assert rows[0]["sessions"] == [0.7]  # history discarded too
+    assert "missed rev bump" in capsys.readouterr().out
+    # A prev row WITHOUT a stored fingerprint (pre-dispersion format)
+    # still merges on the rev gate alone.
+    rows2 = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.7,
+              "sessions": [0.7], "fingerprint": "NEW"}]
+    prev2 = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.3}]
+    rb._merge_rows(rows2, prev2, ("filter", "level"))
+    assert rows2[0]["time_ms"] == 0.3
+
+
+def test_merge_accumulates_session_history(rb):
+    rows = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.7,
+             "sessions": [0.7], "fingerprint": "F"}]
+    prev = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.3,
+             "sessions": [0.5, 0.3], "fingerprint": "F"}]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    assert rows[0]["sessions"] == [0.5, 0.3, 0.7]
+    assert rows[0]["time_ms"] == 0.3
+    rb._finalize_dispersion(rows)
+    assert rows[0]["median_ms"] == 0.5
+    assert rows[0]["n_sessions"] == 3
+
+
+def test_merge_pre_dispersion_prev_contributes_one_sample(rb):
+    """A stored row predating `sessions` contributes its time_ms as one
+    direct sample -- unless it was pooled (the min wasn't its own)."""
+    rows = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.7,
+             "sessions": [0.7]}]
+    prev = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.3}]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    assert rows[0]["sessions"] == [0.3, 0.7]
+
+    rows2 = [{"filter": "box", "level": 4, "rev": 2, "time_ms": 0.7,
+              "sessions": [0.7]}]
+    prev2 = [{"filter": "box", "level": 4, "rev": 2, "time_ms": 0.3,
+              "pooled": True}]
+    rb._merge_rows(rows2, prev2, ("filter", "level"))
+    assert rows2[0]["sessions"] == [0.7]
+    assert rows2[0]["time_ms"] == 0.3  # the pooled min still merges
+
+
+def test_session_history_is_capped(rb):
+    rows = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.7,
+             "sessions": [0.7]}]
+    prev = [{"filter": "box", "level": 2, "rev": 2, "time_ms": 0.1,
+             "sessions": [0.1 * i for i in range(1, 40)]}]
+    rb._merge_rows(rows, prev, ("filter", "level"))
+    assert len(rows[0]["sessions"]) == rb._MAX_SESSIONS
+    assert rows[0]["sessions"][-1] == 0.7  # newest sample survives the cap
+
+
+def test_pooled_rows_record_source(rb, monkeypatch):
+    """ADVICE r2: a pooled row names the row its min came from."""
+    import bench
+
+    monkeypatch.setattr(bench, "program_fingerprint",
+                        lambda f, l, img: "SAME")
+    rows = [
+        {"filter": "box", "level": 2, "time_ms": 0.28,
+         "reference_ms": 2.766, "speedup_vs_reference": 9.9},
+        {"filter": "box", "level": 4, "time_ms": 0.45,
+         "reference_ms": 2.766, "speedup_vs_reference": 6.1},
+    ]
+    rb._pool_identical_programs(rows, img=None)
+    assert rows[1]["pooled_from"] == "box L2"
+    assert "pooled_from" not in rows[0]
+    # Fingerprints persisted on the rows for the merge gate.
+    assert rows[0]["fingerprint"] == "SAME"
+    assert rows[1]["fingerprint"] == "SAME"
+
+
+def test_finalize_dispersion_defaults(rb):
+    """Rows without history (fresh file) get a 1-sample median equal to
+    their own measurement; speedups computed from the median too."""
+    rows = [{"filter": "box", "level": 2, "time_ms": 0.4,
+             "reference_ms": 2.0, "speedup_vs_reference": 5.0}]
+    rb._finalize_dispersion(rows)
+    assert rows[0]["median_ms"] == 0.4
+    assert rows[0]["n_sessions"] == 1
+    assert rows[0]["speedup_median"] == 5.0
+
+
 def test_box_l2_l4_fingerprints_match_at_bench_radius():
     """The concrete pooling case: box L2 and L4 lower identically at the
     bench radius (the doubling-window path ignores `folded`), gaussian
