@@ -40,11 +40,21 @@ _GRAY_R = np.float32(0.299)
 _GRAY_G = np.float32(0.587)
 _GRAY_B = np.float32(0.114)
 
-# Box windows with radius >= this use doubling sums in the optimized tiers
-# (measured: 1.47x at r=5 up to 2.33x at r=15).  Shared by the Pallas
-# kernels (ops/pallas/blur.py::_use_doubling) and the dispatch layer; lives
-# here so no consumer needs a Mosaic import.
+# Box windows with radius >= this use doubling sums INSIDE the Pallas
+# kernels (ops/pallas/blur.py::_use_doubling; measured in-kernel: 1.47x at
+# r=5 up to 2.33x at r=15).  Lives here so no consumer needs a Mosaic
+# import.
 BOX_DOUBLING_MIN_RADIUS = 4
+
+# The XLA interleaved tier has a much HIGHER crossover on silicon: the
+# shifted-slice doubling materializes log2(taps) padded intermediates in
+# HBM (the Pallas kernels keep them in VMEM), so the op-count win only
+# beats the traffic cost at large radii.  Measured on the v5e
+# (scripts/exp_box_doubling_xla_tier.py, 2026-08-19, interleaved arms,
+# bit-equality gated): 7 MP r=5 0.59x, r=9 0.81x (doubling SLOWER),
+# r=15 1.28x, r=28 2.88x (faster); 1 MP r=9 ~3x faster but small-shape
+# samples were noise-limited.  r=15 is where doubling never loses.
+BOX_DOUBLING_MIN_RADIUS_XLA = 15
 
 
 def _pad_pixels_lr(x: jnp.ndarray, radius: int, channels: int) -> jnp.ndarray:

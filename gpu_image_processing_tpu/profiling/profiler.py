@@ -186,7 +186,7 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
 
         return fn
 
-    doubling = lvl >= 2 and radius >= il.BOX_DOUBLING_MIN_RADIUS
+    doubling = lvl >= 2 and radius >= il.BOX_DOUBLING_MIN_RADIUS_XLA
 
     def fn(rows):
         inv = box_inv_taps_f32(radius)

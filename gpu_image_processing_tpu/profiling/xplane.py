@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import glob
 import os
+import struct
 from dataclasses import dataclass, field
 from typing import Any, Iterator, Optional
 
@@ -90,10 +91,25 @@ def _iter_fields(buf: bytes) -> Iterator[tuple[int, int, Any]]:
 
 
 @dataclass
+class XStat:
+    """One XStat payload: a typed value keyed by stat_metadata id.
+
+    `ref` marks ref_value stats, whose value is ANOTHER stat_metadata id
+    naming the value (the xplane string-interning scheme); resolve via
+    XPlane.stat_name before use.
+    """
+
+    metadata_id: int = 0
+    value: Any = None
+    ref: bool = False
+
+
+@dataclass
 class XEvent:
     metadata_id: int = 0
     offset_ps: int = 0
     duration_ps: int = 0
+    stats: list[XStat] = field(default_factory=list)
 
 
 @dataclass

@@ -126,7 +126,7 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
         if filter_name == "box":
             return lambda rows: il.box_rows(
                 rows, radius, c,
-                doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS)
+                doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS_XLA)
         lvl = 1 if level == 4 else 2
         return lambda rows: il.sobel_rows(rows, lvl, w_, c)
 
@@ -316,7 +316,7 @@ def _trace_batch(filter_name: str, level: int, radius: int,
         return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
     if filter_name == "box":
         return lambda rows: il.box_rows(
-            rows, radius, c, doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS)
+            rows, radius, c, doubling=radius >= il.BOX_DOUBLING_MIN_RADIUS_XLA)
     return lambda rows: il.sobel_rows(
         rows, 1 if level == 4 else 2, w_, c)
 

@@ -73,12 +73,21 @@ def test_box_doubling_exact(radius, c):
 
 
 def test_box_doubling_xla_tier_exact(monkeypatch):
-    # Force the XLA tier (small-image routing) at a doubling radius.
+    # Force the XLA tier (small-image routing) at its doubling radius.
+    # The XLA tier's crossover is r=15 (BOX_DOUBLING_MIN_RADIUS_XLA: the
+    # shifted-slice doubling materializes log2(taps) HBM intermediates, so
+    # on silicon it loses below r=15 -- exp_box_doubling_xla_tier.py);
+    # below that it serves the sequential tap order.
+    from gpu_image_processing_tpu.ops.interleaved import (
+        BOX_DOUBLING_MIN_RADIUS_XLA,
+    )
+
     monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "2500000")
     rng = np.random.default_rng(77)
     img = rng.integers(0, 256, (38, 47, 3), dtype=np.uint8)
-    out, _ = RUNTIME.box_blur(img, radius=9, level=2)
-    np.testing.assert_array_equal(out, oracle.box_blur(img, 9))
+    for radius in (9, BOX_DOUBLING_MIN_RADIUS_XLA):
+        out, _ = RUNTIME.box_blur(img, radius=radius, level=2)
+        np.testing.assert_array_equal(out, oracle.box_blur(img, radius))
 
 
 def test_fma_boundary_envelope_characterization():
