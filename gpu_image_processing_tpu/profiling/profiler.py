@@ -529,6 +529,41 @@ def profile_filter(
         metrics["profiler"] = "jax_xplane_trace"
         for n in names:
             metrics["execution"][f"Duration {n} (ms)"] = trace_kernels[n]["avg_ms"]
+
+        # Per-op XStat harvest (VERDICT r2 item 3): the trace events carry
+        # XLA's per-op counters (flops, bytes accessed, ... -- whatever the
+        # plane provides), the ncu-table analog of per-kernel counters
+        # (ncu_profiler.py:406-723).  Stats are summed over the capture
+        # window by the parser; divide by count for per-execution values.
+        op_stats: dict[str, dict[str, float]] = {}
+        trace_flops = trace_bytes = 0.0
+        for n in names:
+            rec = trace_kernels[n]
+            stats = rec.get("stats")
+            if not stats or not rec.get("count"):
+                continue
+            per_exec = {k: v / rec["count"] for k, v in stats.items()}
+            op_stats[n] = per_exec
+            f = per_exec.get("flops") or per_exec.get("model_flops") or 0.0
+            b = (per_exec.get("bytes accessed")
+                 or per_exec.get("bytes_accessed") or 0.0)
+            trace_flops += f
+            trace_bytes += b
+            if b and rec["avg_ms"] > 0:
+                # Measured per-op bandwidth: XLA's own bytes over the op's
+                # own measured duration -- the per-kernel "% of
+                # speed-of-light" ingredient ncu reports directly.
+                metrics["occupancy"][f"Bandwidth {n} (Gbyte/s, trace)"] = (
+                    b / (rec["avg_ms"] / 1e3) / 1e9
+                )
+        if op_stats:
+            metrics["trace_op_stats"] = op_stats
+            if trace_flops:
+                metrics["execution"]["Trace FLOPs (per exec)"] = trace_flops
+            if trace_bytes:
+                metrics["memory"]["Trace Bytes Accessed (per exec)"] = (
+                    trace_bytes
+                )
     elif per_pass is not None and (per_pass[0] + per_pass[1]) > 0:
         # Rescaled so the pair sums to the fused kernel's measured total.
         share = per_pass[0] / (per_pass[0] + per_pass[1])

@@ -36,6 +36,7 @@ from ..utils.image import (
     ImageCodecError,
     decode_base64_image,
     decode_base64_image_ex,
+    decode_tier_counts,
     encode_image_to_base64,
     load_image_file,
 )
@@ -179,6 +180,10 @@ def create_app() -> Router:
             "worker_generation": int(os.environ["GIP_TPU_WORKER_GENERATION"])
             if os.environ.get("GIP_TPU_WORKER_GENERATION", "").isdigit()
             else None,
+            # Which decoder tier served each upload (native C++ codec vs
+            # PIL fallback vs failed): a native-tier coverage regression
+            # shows up here instead of silently riding the fallback.
+            "decode_tiers": decode_tier_counts(),
         }
 
     @app.get("/")

@@ -30,6 +30,30 @@ class ImageCodecError(ValueError):
     pass
 
 
+# Decoder-tier observability (VERDICT r2 item 6): which decoder actually
+# served each request.  Without this, a native-tier coverage regression
+# (every request silently falling to PIL) would be invisible in production.
+# Exposed through /api/stats.  Plain int increments under the GIL are
+# atomic enough for monitoring counters; no lock needed.
+_DECODE_TIERS = ("native_png", "native_jpeg", "pil", "failed")
+_decode_tier_counts = {t: 0 for t in _DECODE_TIERS}
+
+
+def _count_decode(tier: str) -> None:
+    _decode_tier_counts[tier] += 1
+
+
+def decode_tier_counts() -> dict:
+    """Snapshot of per-tier decode counts since process start."""
+    return dict(_decode_tier_counts)
+
+
+def reset_decode_tier_counts() -> None:
+    """Test helper; production counters are process-lifetime."""
+    for t in _DECODE_TIERS:
+        _decode_tier_counts[t] = 0
+
+
 def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
     """Normalize a native-decoded (H, W, C) u8 array to RGB (app.py:80-83)."""
     if arr.shape[2] == 1:
@@ -187,8 +211,10 @@ def decode_base64_image_ex(
         if raw is None:
             raw = base64.b64decode(base64_str)
     except (binascii.Error, ValueError, UnicodeEncodeError) as exc:
+        _count_decode("failed")
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if not raw:
+        _count_decode("failed")
         raise ImageCodecError("Failed to decode image: empty payload")
 
     arr = native_codec.png_decode(raw)
@@ -199,6 +225,7 @@ def decode_base64_image_ex(
         # PIL is absent; with PIL present libjpeg-turbo is ~8x faster.
         arr = native_codec.jpeg_decode(raw)
     if arr is not None:
+        _count_decode("native_jpeg" if is_jpeg else "native_png")
         passthrough = None
         if want_passthrough and arr.shape[2] == 3:
             if raw[:4] == b"\x89PNG" and _png_chunks_neutral(raw):
@@ -226,12 +253,16 @@ def decode_base64_image_ex(
         if is_jpeg and PIL_AVAILABLE:
             fallback = native_codec.jpeg_decode(raw)
             if fallback is not None:
+                _count_decode("native_jpeg")
                 return _normalize_rgb(fallback), None
+        _count_decode("failed")
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if arr.ndim == 2:
         arr = np.repeat(arr[:, :, None], 3, axis=2)
     if arr.dtype != np.uint8:
+        _count_decode("failed")
         raise ImageCodecError(f"Failed to decode image: unsupported pixel type {arr.dtype}")
+    _count_decode("pil")
     return arr, passthrough
 
 

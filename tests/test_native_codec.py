@@ -190,7 +190,11 @@ def test_codec_pipeline_jpeg_progressive_falls_back(rng):
 
 def test_palette_png_falls_back_to_pil(rng):
     # Palette-mode PNGs are outside the native decoder's subset; the PIL
-    # fallback must produce a normalized RGB array.
+    # fallback must produce a normalized RGB array -- and the decode-tier
+    # counters must attribute the request to the PIL tier.
+    from gpu_image_processing_tpu.utils import image as image_util
+
+    image_util.reset_decode_tier_counts()
     img = make_image(rng, 10, 11, 3)
     pal = Image.fromarray(img).convert("P", palette=Image.ADAPTIVE)
     buf = io.BytesIO()
@@ -198,6 +202,28 @@ def test_palette_png_falls_back_to_pil(rng):
     data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
     arr = decode_base64_image(data_url)
     assert arr.shape == (10, 11, 3)
+    assert image_util.decode_tier_counts()["pil"] == 1
+    assert image_util.decode_tier_counts()["native_png"] == 0
+
+
+def test_gif_still_decodes_via_pil(rng):
+    """GIF coverage (stb decodes GIF natively, stb_image.h:118-139): here
+    a GIF still rides the PIL tier by design -- PIL's LZW decode is
+    C-speed and also covers animated-first-frame and WebP, which stb
+    cannot; the tier counters make the fallback visible.  Recorded in
+    PARITY.md (decoder-breadth note)."""
+    from gpu_image_processing_tpu.utils import image as image_util
+
+    image_util.reset_decode_tier_counts()
+    img = make_image(rng, 12, 13, 3)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="GIF")
+    data_url = ("data:image/gif;base64,"
+                + base64.b64encode(buf.getvalue()).decode())
+    arr = decode_base64_image(data_url)
+    assert arr.shape == (12, 13, 3)
+    # GIF is palette-quantized (<=256 colors), not lossless for photos.
+    assert image_util.decode_tier_counts()["pil"] == 1
 
 
 def test_16bit_png_falls_back(rng):

@@ -305,6 +305,30 @@ def test_stats_endpoint(app):
     assert body["rss_mb"] > 10.0
     assert body["max_rss_mb"] is None or body["max_rss_mb"] > 0
     assert body["worker_generation"] is None or body["worker_generation"] >= 1
+    assert set(body["decode_tiers"]) == {
+        "native_png", "native_jpeg", "pil", "failed"}
+
+
+def test_stats_decode_tiers_count_serving_decodes(app, small_rgb):
+    """Decoder-tier observability (VERDICT r2 item 6): /api/stats shows
+    which decoder served each upload, so a native-tier coverage
+    regression is visible instead of silently riding the PIL fallback."""
+    from gpu_image_processing_tpu.utils import image as image_util
+
+    image_util.reset_decode_tier_counts()
+    # A plain RGB PNG decodes in the native tier.
+    app.dispatch(Request(method="POST", path="/api/process", json={
+        "image": _png_b64(small_rgb), "filter": "box", "level": 1,
+        "radius": 2}))
+    # Garbage counts as failed.
+    status, _ = app.dispatch(Request(method="POST", path="/api/process",
+                                     json={"image": "!!!notbase64$$$",
+                                           "filter": "box", "level": 1}))
+    assert status == 400
+    _, body = app.dispatch(Request(method="GET", path="/api/stats"))
+    tiers = body["decode_tiers"]
+    assert tiers["native_png"] >= 1
+    assert tiers["failed"] >= 1
 
 
 def test_degraded_mode_503(monkeypatch):

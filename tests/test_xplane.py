@@ -40,15 +40,39 @@ def _field(fnum: int, wtype: int, payload: bytes) -> bytes:
     tag = _varint((fnum << 3) | wtype)
     if wtype == 0:
         return tag + payload  # payload already varint-encoded
+    if wtype in (1, 5):
+        return tag + payload  # fixed64/fixed32: raw bytes, no length
     return tag + _varint(len(payload)) + payload
 
 
-def _event(metadata_id: int, offset_ps: int, duration_ps: int) -> bytes:
-    return (
+def _stat(metadata_id: int, *, double=None, u64=None, i64=None, s=None,
+          ref=None) -> bytes:
+    import struct
+
+    buf = _field(1, 0, _varint(metadata_id))
+    if double is not None:
+        buf += _field(2, 1, struct.pack("<d", double))
+    if u64 is not None:
+        buf += _field(3, 0, _varint(u64))
+    if i64 is not None:
+        buf += _field(4, 0, _varint(i64 & ((1 << 64) - 1)))
+    if s is not None:
+        buf += _field(5, 2, s.encode())
+    if ref is not None:
+        buf += _field(7, 0, _varint(ref))
+    return buf
+
+
+def _event(metadata_id: int, offset_ps: int, duration_ps: int,
+           stats: list[bytes] = ()) -> bytes:
+    buf = (
         _field(1, 0, _varint(metadata_id))
         + _field(2, 0, _varint(offset_ps))
         + _field(3, 0, _varint(duration_ps))
     )
+    for st in stats:
+        buf += _field(4, 2, st)
+    return buf
 
 
 def _line(name: str, events: list[bytes]) -> bytes:
@@ -65,12 +89,20 @@ def _event_metadata_entry(mid: int, name: str, display: str = "") -> bytes:
     return _field(1, 0, _varint(mid)) + _field(2, 2, meta)
 
 
-def _plane(name: str, lines: list[bytes], metadata: list[bytes]) -> bytes:
+def _stat_metadata_entry(sid: int, name: str) -> bytes:
+    meta = _field(1, 0, _varint(sid)) + _field(2, 2, name.encode())
+    return _field(1, 0, _varint(sid)) + _field(2, 2, meta)
+
+
+def _plane(name: str, lines: list[bytes], metadata: list[bytes],
+           stat_metadata: list[bytes] = ()) -> bytes:
     buf = _field(2, 2, name.encode())
     for ln in lines:
         buf += _field(3, 2, ln)
     for m in metadata:
         buf += _field(4, 2, m)
+    for m in stat_metadata:
+        buf += _field(5, 2, m)
     return buf
 
 
@@ -127,6 +159,61 @@ def test_parse_synthetic_xspace():
     assert agg["gaussian_rows_kernel"]["total_ms"] == pytest.approx(1.2)
     assert agg["gaussian_rows_kernel"]["avg_ms"] == pytest.approx(0.6)
     assert agg["pad_fusion"]["total_ms"] == pytest.approx(0.1)
+
+
+def test_xstat_payloads_harvested():
+    """XEvent field-4 XStat payloads reach the aggregate: numeric stats
+    sum across executions (divide by count for per-exec), string and
+    ref-interned stats land in attrs (VERDICT r2 item 3; ncu's per-kernel
+    counter table, ncu_profiler.py:406-723)."""
+    dev = _plane(
+        "/device:TPU:0",
+        [
+            _line(
+                "XLA Ops",
+                [
+                    _event(7, 0, 500_000_000, stats=[
+                        _stat(20, u64=1000),          # flops
+                        _stat(21, double=2048.5),     # bytes accessed
+                        _stat(22, s="fusion"),        # hlo_category (str)
+                        _stat(24, i64=-3),            # negative int64
+                    ]),
+                    _event(7, 600_000_000, 700_000_000, stats=[
+                        _stat(20, u64=1000),
+                        _stat(21, double=2048.5),
+                        _stat(23, ref=25),            # ref-interned string
+                    ]),
+                ],
+            ),
+        ],
+        [_event_metadata_entry(7, "fusion.1", "gaussian_rows_kernel")],
+        [
+            _stat_metadata_entry(20, "flops"),
+            _stat_metadata_entry(21, "bytes accessed"),
+            _stat_metadata_entry(22, "hlo_category"),
+            _stat_metadata_entry(23, "equation"),
+            _stat_metadata_entry(24, "delta"),
+            _stat_metadata_entry(25, "interned value"),
+        ],
+    )
+    planes = xplane.parse_xspace_bytes(_xspace([dev]))
+    agg = xplane.kernel_durations_from_planes(planes)
+    k = agg["gaussian_rows_kernel"]
+    assert k["count"] == 2
+    assert k["stats"]["flops"] == 2000                  # summed
+    assert k["stats"]["bytes accessed"] == pytest.approx(4097.0)
+    assert k["stats"]["delta"] == -3                    # two's complement
+    assert k["attrs"]["hlo_category"] == "fusion"
+    assert k["attrs"]["equation"] == "interned value"   # ref resolved
+
+
+def test_events_without_stats_unchanged():
+    """Events carrying no stats aggregate exactly as before (no 'stats'
+    key invented)."""
+    planes = xplane.parse_xspace_bytes(_synthetic_tpu_space())
+    agg = xplane.kernel_durations_from_planes(planes)
+    assert "stats" not in agg["gaussian_rows_kernel"]
+    assert "attrs" not in agg["gaussian_rows_kernel"]
 
 
 def test_noise_ops_filtered(tmp_path):
@@ -199,6 +286,40 @@ def test_trace_tier_tags_and_rows(rng, monkeypatch):
     assert common["kernels_profiled"] == ["gaussian_rows_kernel", "pad_fusion"]
     # The trace must never displace the primary device-timed total.
     assert common["time_ms"] == deep["total_kernel_duration_ms"]
+
+
+def test_trace_op_stats_surface_in_categorized_dict(rng, monkeypatch):
+    """Harvested per-op stats reach the categorized dict: per-exec flops
+    and bytes totals plus per-op measured bandwidth rows (VERDICT r2 #3)."""
+    from gpu_image_processing_tpu.profiling import profiler as prof
+
+    fake = {
+        "gaussian_rows_kernel": {
+            "count": 4, "total_ms": 2.0, "avg_ms": 0.5,
+            "stats": {"flops": 4000, "bytes accessed": 4.0e6,
+                      "program_id": 4 * 7},
+            "attrs": {"hlo_category": "fusion"},
+        },
+        "pad_fusion": {"count": 4, "total_ms": 0.4, "avg_ms": 0.1},
+    }
+    monkeypatch.setattr(prof, "_trace_kernel_breakdown", lambda key, fn: fake)
+    img = make_image(rng, 16, 20, 3)
+    deep = prof.profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    assert deep["duration_source"] == "xplane_trace"
+    # Summed-over-window stats divided back to per-execution values.
+    ops = deep["trace_op_stats"]
+    assert ops["gaussian_rows_kernel"]["flops"] == 1000
+    assert ops["gaussian_rows_kernel"]["bytes accessed"] == 1.0e6
+    assert "pad_fusion" not in ops  # no stats -> no row invented
+    assert deep["execution"]["Trace FLOPs (per exec)"] == 1000
+    assert deep["memory"]["Trace Bytes Accessed (per exec)"] == 1.0e6
+    # Measured per-op bandwidth: 1e6 bytes / 0.5 ms = 2 GB/s.
+    bw = deep["occupancy"]["Bandwidth gaussian_rows_kernel (Gbyte/s, trace)"]
+    assert bw == pytest.approx(2.0)
+    # No new flat common keys invented (the UI renders these section rows
+    # through the deep-dict Other sweep).
+    common = get_common_metrics(deep, ncu_data=deep)
+    assert common["kernel_duration_source"] == "xplane_trace"
 
 
 def test_estimate_tier_tagged_on_cpu(rng):
