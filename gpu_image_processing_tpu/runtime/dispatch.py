@@ -232,6 +232,50 @@ def _trace_batch_mesh(filter_name: str, level: int, radius: int,
     )
 
 
+def _mesh_spatial_devices(height: int) -> int:
+    """Device count for row-sharded single-image serving, or 0.
+
+    Opt-in (GIP_TPU_MESH_SPATIAL=1): with several chips attached, the
+    single-image endpoints (/api/process, /api/process-all's per-level
+    siblings gaussian_blur/box_blur/sobel_edge_detection) split the
+    image's ROWS over an sp-only mesh -- each chip filters a contiguous
+    row band and the vertical pass's halo rows ride ICI via ppermute
+    (parallel/spatial.py; the multi-chip analog of the reference's
+    shared-memory halo tiles, image_filters.cu:489-513).  Only images
+    with at least GIP_TPU_MESH_SPATIAL_MIN_ROWS_PER_SHARD rows per chip
+    (default 64) route here: below that the collective + per-shard
+    launch overhead dwarfs the row work, and tiny images already
+    underfill one chip.  The fused all-levels program stays single-chip
+    (its per-level loop-delta timing is orthogonal to sharding).
+    """
+    if os.environ.get("GIP_TPU_MESH_SPATIAL", "0") != "1":
+        return 0
+    from .device import demotion_reason
+
+    if demotion_reason() is not None:
+        return 0  # same rationale as _mesh_batch_devices
+    n = len(jax.devices())
+    if n <= 1:
+        return 0
+    try:
+        min_rows = int(
+            os.environ.get("GIP_TPU_MESH_SPATIAL_MIN_ROWS_PER_SHARD", "64"))
+    except ValueError:
+        min_rows = 64
+    return n if height >= n * min_rows else 0
+
+
+def _mesh_spatial_shardings(n_dev: int):
+    """(mesh, row-sharded (B,H,W,C) sharding, replicated sharding)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_dev, dp=1, sp=n_dev)
+    return (mesh, NamedSharding(mesh, P(None, "sp", None, None)),
+            NamedSharding(mesh, P()))
+
+
 def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
@@ -753,6 +797,11 @@ class FilterRuntime:
         weights = gaussian_kernel_f32(radius, float(sigma))
 
         def attempt():
+            n_sp = _mesh_spatial_devices(height)
+            if n_sp:
+                return self._run_spatial_attempt(
+                    "gaussian", lvl, image, height, width, channels, radius,
+                    weights, true_h, true_w, False, n_sp)
             key = executable_cache_key("gaussian", lvl, height, width,
                                         channels, radius)
             exe = self._get(
@@ -787,6 +836,11 @@ class FilterRuntime:
         height, width = image.shape[:2]
 
         def attempt():
+            n_sp = _mesh_spatial_devices(height)
+            if n_sp:
+                return self._run_spatial_attempt(
+                    "box", lvl, image, height, width, channels, radius,
+                    None, true_h, true_w, False, n_sp)
             key = executable_cache_key("box", lvl, height, width, channels,
                                         radius)
             exe = self._get(
@@ -817,6 +871,11 @@ class FilterRuntime:
         height, width = image.shape[:2]
 
         def attempt():
+            n_sp = _mesh_spatial_devices(height)
+            if n_sp:
+                return self._run_spatial_attempt(
+                    "sobel", lvl, image, height, width, channels, 0,
+                    None, true_h, true_w, bucketed, n_sp)
             key = executable_cache_key("sobel", lvl, height, width, channels)
             exe = self._get(
                 key,
@@ -942,6 +1001,57 @@ class FilterRuntime:
             return results
 
         return self._serve(attempt)
+
+    def _run_spatial_attempt(self, filter_name, lvl, image, height, width,
+                             channels, radius, weights, true_h, true_w,
+                             bucketed, n_dev):
+        """Row-sharded single-image serving (GIP_TPU_MESH_SPATIAL=1).
+
+        The host edge-pads H up to the mesh-divisible shape so the
+        committed operand needs no in-graph pad or reshard (the same
+        pad-and-crop trick shape bucketing uses; edge rows are the exact
+        clamp-to-edge tap content, so outputs stay bit-identical to
+        single-chip).  H2D happens with the row sharding BEFORE the timed
+        call, preserving the kernels-only timing contract.
+        """
+        halo = 1 if filter_name == "sobel" else radius
+        # Spatial gaussian/box run the planar fused kernels whose outputs
+        # are bit-identical across levels; sobel's gray quantization keeps
+        # its level nuance (L4 relaxes to L1 numerics, as in _rows_optimized).
+        sobel_level = ({1: 1, 2: 2, 4: 1}.get(lvl, 2)
+                       if filter_name == "sobel" else 2)
+        key = ("spatial", filter_name, sobel_level, height, width, channels,
+               radius if filter_name != "sobel" else None, n_dev,
+               _pallas_disabled())
+        mesh, img_sh, repl_sh = _mesh_spatial_shardings(n_dev)
+        h_target = n_dev * max(-(-height // n_dev), halo)
+
+        def build() -> FilterExecutable:
+            from ..parallel.spatial import make_sharded_filter
+
+            return FilterExecutable(make_sharded_filter(
+                mesh, filter_name, radius=radius, level=sobel_level))
+
+        exe = self._get(key, build)
+        img4 = image.reshape(1, height, width, channels)
+        if h_target != height:
+            img4 = np.pad(
+                img4, ((0, 0), (0, h_target - height), (0, 0), (0, 0)),
+                mode="edge")
+        args = [jax.device_put(img4, img_sh)]
+        if weights is not None:
+            args.append(jax.device_put(weights, repl_sh))
+        jax.block_until_ready(args)
+        out, ms = exe(*args)
+        out = out.reshape(h_target, width, channels)[:true_h, :true_w]
+        if filter_name == "sobel" and (bucketed or h_target != height):
+            # The padded rows treated the true bottom border as interior;
+            # restore the reference's border zeroing (every border pixel is
+            # zero in the reference output, so re-zeroing all four sides is
+            # exact).
+            out = _zero_true_border(np.ascontiguousarray(out))
+        return out, compute_metrics(
+            ms, true_w, true_h, channels, FILTERS[filter_name].bytes_factor)
 
     # -- batched serving path (TPU extension; the reference is strictly
     #    one-image-per-request, backend/app.py:332) ------------------------

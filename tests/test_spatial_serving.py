@@ -1,0 +1,86 @@
+"""Row-sharded single-image serving (GIP_TPU_MESH_SPATIAL=1, VERDICT r2
+item 5): the serving endpoints route large images through the
+parallel/spatial.py ppermute-halo path over all attached devices, and the
+outputs stay BIT-IDENTICAL to single-chip serving.
+
+Runs on the 8-virtual-CPU-device mesh from conftest.py."""
+
+import numpy as np
+import pytest
+
+from gpu_image_processing_tpu.runtime.dispatch import RUNTIME
+
+
+@pytest.fixture
+def spatial_env(monkeypatch):
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    # Keep test images small: 8 rows per shard is enough to exercise the
+    # halo exchange without conftest-scale slowdowns.
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL_MIN_ROWS_PER_SHARD", "8")
+
+
+def _single_chip(filter_name, img, **kw):
+    out, _ = RUNTIME.run(filter_name, img, **kw)
+    return out
+
+
+def _spatial_keys():
+    return [k for k in RUNTIME._cache if k[0] == "spatial"]
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_gaussian_spatial_bit_equal(spatial_env, monkeypatch, level):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (100, 97, 3), np.uint8)  # H uneven vs sp=8
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
+    want = _single_chip("gaussian", img, sigma=2.0, radius=3, level=level)
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    before = len(_spatial_keys())
+    got = _single_chip("gaussian", img, sigma=2.0, radius=3, level=level)
+    assert len(_spatial_keys()) > before or before > 0, "spatial path not taken"
+    np.testing.assert_array_equal(got, want)
+
+
+def test_box_spatial_bit_equal(spatial_env, monkeypatch):
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (96, 64, 4), np.uint8)   # H divisible, RGBA
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
+    want = _single_chip("box", img, radius=5, level=2)
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    got = _single_chip("box", img, radius=5, level=2)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_spatial_bit_equal(spatial_env, monkeypatch, level):
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (101, 80, 3), np.uint8)  # padded bottom row
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
+    want = _single_chip("sobel", img, level=level)
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    got = _single_chip("sobel", img, level=level)
+    np.testing.assert_array_equal(got, want)
+    assert (got[-1] == 0).all() and (got[0] == 0).all()
+
+
+def test_small_images_stay_single_chip(spatial_env, monkeypatch):
+    """Below the per-shard row floor the single-chip path serves (the
+    spatial overhead would dominate); no spatial executable is built.
+    At the default 64-rows-per-shard floor a bucketed 64-row image is far
+    below the 8-device minimum of 512 rows."""
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL_MIN_ROWS_PER_SHARD")
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (32, 40, 3), np.uint8)
+    before = _spatial_keys()
+    RUNTIME.box_blur(img, radius=3, level=2)
+    assert _spatial_keys() == before
+
+
+def test_grayscale_spatial(spatial_env, monkeypatch):
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (88, 50, 1), np.uint8)
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
+    want = _single_chip("gaussian", img, sigma=1.0, radius=2, level=2)
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    got = _single_chip("gaussian", img, sigma=1.0, radius=2, level=2)
+    np.testing.assert_array_equal(got, want)
