@@ -166,8 +166,16 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             if filter_name == "box":
                 return lambda rows: box_pallas_rows(
                     rows, radius, c, interpret=interp, folded=folded)
+            sobel_lvl = 1 if level == 4 else 2
+            from ..ops.pallas.sobel_mxu import sobel_mxu_rows, use_mxu_sobel
+
+            # Level-2 color: MXU gray compaction removes the every-lane
+            # 3x redundancy (0.361x measured, exp_sobel_gray_repack.py).
+            if use_mxu_sobel(w_, c, sobel_lvl):
+                return lambda rows: sobel_mxu_rows(
+                    rows, w_, c, interpret=interp)
             return lambda rows: sobel_pallas_rows(
-                rows, w_, c, level=1 if level == 4 else 2, interpret=interp)
+                rows, w_, c, level=sobel_lvl, interpret=interp)
         except ImportError:  # pragma: no cover - env without Mosaic
             pass
 
@@ -352,9 +360,17 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                 if filter_name == "box":
                     return lambda rows: box_pallas_rows_batch(
                         rows, radius, c, interpret=interp, folded=folded)
+                sobel_lvl = 1 if level == 4 else 2
+                from ..ops.pallas.sobel_mxu import (
+                    sobel_mxu_rows_batch,
+                    use_mxu_sobel,
+                )
+
+                if use_mxu_sobel(w_, c, sobel_lvl):
+                    return lambda rows: sobel_mxu_rows_batch(
+                        rows, w_, c, interpret=interp)
                 return lambda rows: sobel_pallas_rows_batch(
-                    rows, w_, c, level=1 if level == 4 else 2,
-                    interpret=interp)
+                    rows, w_, c, level=sobel_lvl, interpret=interp)
 
     if filter_name == "gaussian":
         return lambda rows, w: il.gaussian_rows(rows, w, radius, c)

@@ -121,6 +121,26 @@ def main() -> int:
     m4, _ = RUNTIME.gaussian_blur(img, sigma=4.0, radius=15, level=4)
     check("gauss L4 r15 (MXU) gate<=1",
           np.abs(m2.astype(int) - m4.astype(int)).max() <= 1)
+    # MXU sobel tier (level-2 color rows; auto-routed on TPU): gate vs the
+    # every-lane baseline kernel at a full-width serving shape.  The c3/c4
+    # L2 oracle gates above already exercised the routed tier; this pins
+    # the tier-vs-baseline delta to quantization-tie flips only.
+    import jax as _jax
+
+    from gpu_image_processing_tpu.ops.pallas.sobel import sobel_pallas_rows
+    from gpu_image_processing_tpu.ops.pallas.sobel_mxu import (
+        sobel_mxu_rows, use_mxu_sobel)
+
+    check("sobel L2 MXU tier routed on silicon", use_mxu_sobel(3239, 3, 2))
+    simg = rng.integers(0, 256, (96, 3239, 3), np.uint8).reshape(96, -1)
+    a = np.asarray(_jax.jit(lambda r: sobel_mxu_rows(r, 3239, 3))(simg))
+    bl = np.asarray(_jax.jit(
+        lambda r: sobel_pallas_rows(r, 3239, 3, level=2))(simg))
+    sd = np.abs(a.astype(int) - bl.astype(int))
+    check("sobel L2 MXU vs baseline gate",
+          sd.max() <= 6 and (sd > 0).mean() <= 1e-3,
+          f"max={sd.max()} frac={(sd > 0).mean():.1e}")
+
     # Full-width radius-15 serving shape (the VMEM stack regression case:
     # the 31-tap rows kernel must pick a tile height that compiles).
     wide = rng.integers(0, 256, (96, 3239, 3), np.uint8)
