@@ -53,7 +53,10 @@ _IMPL_REV = 2
 # ("sobel", 1) rev 3 = input-replicated phase-0 gray (1.38x, 2026-08-17).
 # ("gaussian", 4) rev 3 = MXU G=128 blocks + threshold r>=3 (the L4 r=3 row
 #   now times the MXU tier instead of the folded VPU kernel, 2026-08-18).
-_ROW_REV_OVERRIDES = {("sobel", 1): 3, ("gaussian", 4): 3}
+_ROW_REV_OVERRIDES = {("sobel", 1): 3, ("gaussian", 4): 3,
+                      # ("sobel", 2) rev 3 = MXU gray-compaction tier
+                      # (0.361x, 2026-08-19, exp_sobel_gray_repack.py).
+                      ("sobel", 2): 3}
 
 # Same, for the extended cases (keyed by case label).  History:
 # r15 MXU rev 3 = G=128 blocks (0.76 -> ~0.47 ms, 2026-08-18).
