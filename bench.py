@@ -85,15 +85,28 @@ def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C):
 
 
 def program_fingerprint(filter_name: str, level: int, img) -> str:
-    """sha256 of the lowered program `measure_ms` would time.
+    """sha256 of the traced program (jaxpr) `measure_ms` would time.
 
     Rows with equal fingerprints execute IDENTICAL device code, so their
     timing samples are exchangeable (e.g. box L2 vs L4 at the bench
-    radius: the doubling-window path ignores `folded`, and the lowerings
-    are byte-identical).  Used by benchmarks/run_benchmarks.py to pool
-    same-session samples across such rows -- otherwise per-row min-merge
-    luck on this drift-prone chip (2.7x between windows) can publish the
-    relaxed tier as "slower" than the exact tier it is the same program as.
+    radius: the doubling-window path ignores `folded`, so the traces are
+    identical).  Used by benchmarks/run_benchmarks.py to pool same-session
+    samples across such rows -- otherwise per-row min-merge luck on this
+    drift-prone chip (2.7x between windows) can publish the relaxed tier
+    as "slower" than the exact tier it is the same program as.
+
+    Hashes the JAXPR, not `.lower().as_text()`: the Mosaic custom-call
+    lowering embeds per-trace naming (observed on the v5e 2026-08-19: two
+    traces of the SAME code in one process hash differently, and every
+    Pallas-tier row's text hash changed between sessions while the
+    XLA-tier rows' stayed fixed), so a text hash silently never pools on
+    the device it exists for -- caught by the on-silicon identity check
+    in scripts/tpu_validation.py.  The jaxpr string is trace-deterministic
+    (stable var naming, no instance counters), identical jaxprs lower to
+    identical modules under the deterministic compiler, and it captures
+    everything routing can change (kernel bodies, tile geometry, scratch
+    shapes, interpret flags, compiler params).  jax version + backend are
+    folded in so fingerprints never match across toolchains or platforms.
     """
     import hashlib
 
@@ -109,7 +122,8 @@ def program_fingerprint(filter_name: str, level: int, img) -> str:
         spec.append(
             jax.ShapeDtypeStruct((2 * GAUSS_RADIUS + 1,), np.float32))
     fn = _apply_fn(filter_name, level, width=w_, channels=c)
-    txt = jax.jit(fn).lower(*spec).as_text()
+    txt = (f"jax={jax.__version__} backend={jax.default_backend()}\n"
+           + str(jax.make_jaxpr(fn)(*spec)))
     return hashlib.sha256(txt.encode()).hexdigest()
 
 

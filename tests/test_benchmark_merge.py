@@ -223,7 +223,7 @@ def test_finalize_dispersion_defaults(rb):
 
 
 def test_box_l2_l4_fingerprints_match_at_bench_radius():
-    """The concrete pooling case: box L2 and L4 lower identically at the
+    """The concrete pooling case: box L2 and L4 trace identically at the
     bench radius (the doubling-window path ignores `folded`), gaussian
     L2 vs L4 do not (folded taps are a real numeric relaxation)."""
     import numpy as np
@@ -235,6 +235,30 @@ def test_box_l2_l4_fingerprints_match_at_bench_radius():
         bench.program_fingerprint("box", 4, img)
     assert bench.program_fingerprint("gaussian", 2, img) != \
         bench.program_fingerprint("gaussian", 4, img)
+
+
+def test_fingerprint_trace_deterministic_and_tpu_path(monkeypatch):
+    """The r2 text-hash fingerprint was per-trace nondeterministic under
+    the Mosaic lowering (every Pallas-tier row re-hashed differently on
+    the v5e, so pooling silently never fired on silicon -- caught by the
+    tpu_validation identity check 2026-08-19).  The jaxpr fingerprint
+    must be (a) identical across repeated traces in one process and
+    (b) box-L2==L4 on the REAL TPU path too (interpret=False), which
+    jaxpr tracing lets us prove without hardware."""
+    import numpy as np
+
+    import bench
+    from gpu_image_processing_tpu.ops.pallas import api as pallas_api
+
+    img = np.zeros((40, 48, 3), np.uint8)
+    assert bench.program_fingerprint("box", 2, img) == \
+        bench.program_fingerprint("box", 2, img)
+
+    # Force the registry onto the interpret=False kernels (what silicon
+    # serves); tracing them needs no TPU, only executing them would.
+    monkeypatch.setattr(pallas_api, "is_tpu", lambda: True)
+    assert bench.program_fingerprint("box", 2, img) == \
+        bench.program_fingerprint("box", 4, img)
 
 
 def test_post_merge_pooling_shares_historical_min(rb, monkeypatch):
