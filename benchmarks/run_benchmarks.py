@@ -167,17 +167,37 @@ def _pool_identical_programs(rows, img) -> None:
 
 
 def _finalize_dispersion(rows) -> None:
-    """Emit {median_ms, n_sessions} from each row's own direct sample
-    history.  `time_ms` stays the cross-session MIN (best observed /
-    least-contended window); `median_ms` is what a fresh run should
-    reproduce within noise -- README quotes the median (VERDICT r2 #2)."""
+    """Emit {median_ms, n_sessions} from each row's sample history.
+    `time_ms` stays the cross-session MIN (best observed / least-contended
+    window); `median_ms` is what a fresh run should reproduce within noise
+    -- README quotes the median (VERDICT r2 #2).
+
+    Medians of fingerprint-identical rows are taken over the UNION of the
+    group's session samples -- the same exchangeability argument that
+    pools the min: the rows time the identical device program, so pooling
+    only the min while medianing disjoint per-row session lists would
+    reintroduce (on the now-headline median) the per-row window-luck
+    artifact pooling exists to remove.  `sessions` stays each row's own
+    direct history; `median_pooled_over` records the union size when it
+    differs."""
     import statistics
 
     for r in rows:
         s = [round(float(v), 4) for v in r.get("sessions", [r["time_ms"]])]
         r["sessions"] = s[-_MAX_SESSIONS:]
-        r["median_ms"] = round(statistics.median(r["sessions"]), 4)
+    union: dict = {}
+    for r in rows:
+        fp = r.get("fingerprint")
+        if fp:
+            union.setdefault(fp, []).extend(r["sessions"])
+    for r in rows:
+        pool = union.get(r.get("fingerprint")) or r["sessions"]
+        r["median_ms"] = round(statistics.median(pool), 4)
         r["n_sessions"] = len(r["sessions"])
+        if len(pool) > len(r["sessions"]):
+            r["median_pooled_over"] = len(pool)
+        else:
+            r.pop("median_pooled_over", None)
         if "reference_ms" in r:
             r["speedup_median"] = round(
                 r["reference_ms"] / r["median_ms"], 3)

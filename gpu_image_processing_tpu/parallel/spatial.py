@@ -225,11 +225,29 @@ def _specs(mesh: Mesh):
     return batch_spec
 
 
+def spatial_halo(filter_name: str, radius: int) -> int:
+    """Halo rows each shard needs from its neighbor (sobel: 1; blurs: r)."""
+    return 1 if filter_name == "sobel" else radius
+
+
+def spatial_h_target(h: int, sp: int, filter_name: str, radius: int) -> int:
+    """The mesh-divisible padded height `make_sharded_filter` computes.
+
+    Exposed so callers that pre-pad on the HOST (runtime/dispatch.py's
+    spatial serving, which must commit the operand already divisible so no
+    in-graph pad/reshard lands in the timed program) use the SAME formula
+    the in-graph pad would -- a divergence here would silently reintroduce
+    the reshard into the measured call.
+    """
+    return sp * max(-(-h // sp), spatial_halo(filter_name, radius))
+
+
 def make_sharded_filter(
     mesh: Mesh,
     filter_name: str,
     radius: int = 3,
     level: int = 2,
+    use_pallas: bool = True,
 ):
     """Build a jitted (dp, sp)-sharded batch filter step.
 
@@ -252,17 +270,14 @@ def make_sharded_filter(
     sharding = NamedSharding(mesh, spec)
 
     if filter_name == "gaussian":
-        body = partial(_gaussian_body, radius=radius)
+        body = partial(_gaussian_body, radius=radius, use_pallas=use_pallas)
         in_specs = (spec, P())
-        halo = radius
     elif filter_name == "box":
-        body = partial(_box_body, radius=radius)
+        body = partial(_box_body, radius=radius, use_pallas=use_pallas)
         in_specs = (spec,)
-        halo = radius
     elif filter_name == "sobel":
-        body = partial(_sobel_body, level=level)
+        body = partial(_sobel_body, level=level, use_pallas=use_pallas)
         in_specs = (spec,)
-        halo = 1
     else:
         raise ValueError(f"Unknown filter: {filter_name}")
 
@@ -274,7 +289,7 @@ def make_sharded_filter(
     def fn(batch, *rest):
         b, h = batch.shape[0], batch.shape[1]
         pad_b = -b % dp
-        h_target = sp * max(-(-h // sp), halo)
+        h_target = spatial_h_target(h, sp, filter_name, radius)
         pad_h = h_target - h
         if pad_b or pad_h:
             batch = jnp.pad(

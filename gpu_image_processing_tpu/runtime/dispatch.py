@@ -99,9 +99,14 @@ def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
     executable with it, and tests assert against it — hand-built copies
     drift whenever a routing flag is added (it has happened)."""
     if filter_name == "sobel":
+        from ..ops.pallas.sobel_mxu import use_mxu_sobel
+
+        # Same level mapping _rows_optimized applies before consulting the
+        # predicate (L4 relaxes to L1 numerics, which never ride the MXU).
+        mxu = use_mxu_sobel(width, channels, 1 if lvl == 4 else 2)
         return ("sobel", lvl, height, width, channels,
                 _routed_to_xla(lvl, height, width, "sobel"),
-                _pallas_disabled())
+                _pallas_disabled(), mxu)
     return (filter_name, lvl, height, width, channels, radius,
             _routed_to_xla(lvl, height, width, filter_name),
             _pallas_disabled())
@@ -1030,7 +1035,8 @@ class FilterRuntime:
         single-chip).  H2D happens with the row sharding BEFORE the timed
         call, preserving the kernels-only timing contract.
         """
-        halo = 1 if filter_name == "sobel" else radius
+        from ..parallel.spatial import make_sharded_filter, spatial_h_target
+
         # Spatial gaussian/box run the planar fused kernels whose outputs
         # are bit-identical across levels; sobel's gray quantization keeps
         # its level nuance (L4 relaxes to L1 numerics, as in _rows_optimized).
@@ -1040,13 +1046,15 @@ class FilterRuntime:
                radius if filter_name != "sobel" else None, n_dev,
                _pallas_disabled())
         mesh, img_sh, repl_sh = _mesh_spatial_shardings(n_dev)
-        h_target = n_dev * max(-(-height // n_dev), halo)
+        # Same formula the builder's in-graph pad uses: the host pad must
+        # land the operand already divisible or a reshard enters the timed
+        # program (kernels-only timing contract).
+        h_target = spatial_h_target(height, n_dev, filter_name, radius)
 
         def build() -> FilterExecutable:
-            from ..parallel.spatial import make_sharded_filter
-
             return FilterExecutable(make_sharded_filter(
-                mesh, filter_name, radius=radius, level=sobel_level))
+                mesh, filter_name, radius=radius, level=sobel_level,
+                use_pallas=not _pallas_disabled()))
 
         exe = self._get(key, build)
         img4 = image.reshape(1, height, width, channels)

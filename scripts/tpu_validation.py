@@ -105,14 +105,18 @@ def main() -> int:
     b2, _ = RUNTIME.box_blur(img, radius=5, level=2)
     b4, _ = RUNTIME.box_blur(img, radius=5, level=4)
     check("box L4 gate<=1", np.abs(b2.astype(int) - b4.astype(int)).max() <= 1)
-    # Benchmark-pooling precondition, proven on the DEVICE lowering: box
-    # L2 and L4 at the bench radius must lower to the byte-identical
-    # program (run_benchmarks.py pools their timing samples; the pytest
-    # proof only covers the CPU/interpret lowering -- Mosaic could
-    # diverge, in which case pooling must be known-dead, not assumed-live).
+    # Benchmark-pooling precondition under ON-SILICON ROUTING: box L2 and
+    # L4 at the bench radius must trace to the identical jaxpr with the
+    # real-TPU tier registry active (run_benchmarks.py pools their timing
+    # samples).  Historical note: this check originally hashed the lowered
+    # module text and CAUGHT that fingerprint being per-trace
+    # nondeterministic under Mosaic (pooling silently dead on silicon,
+    # 2026-08-19); bench.program_fingerprint now hashes the jaxpr, which is
+    # trace-deterministic -- so what this asserts is routing/trace identity,
+    # not byte identity of the Mosaic lowering.
     import bench
     bench_img = np.zeros((bench.H, bench.W, bench.C), np.uint8)
-    check("box L2/L4 bench fingerprints identical (device lowering)",
+    check("box L2/L4 bench fingerprints identical (on-TPU routing)",
           bench.program_fingerprint("box", 2, bench_img)
           == bench.program_fingerprint("box", 4, bench_img))
     # radius >= GAUSS_MXU_MIN_RADIUS routes the ADVANCED gaussian to the

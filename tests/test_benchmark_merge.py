@@ -284,3 +284,29 @@ def test_post_merge_pooling_shares_historical_min(rb, monkeypatch):
     assert rows[0]["time_ms"] == 0.2856
     assert rows[1]["time_ms"] == 0.2856
     assert rows[1]["pooled"] is True
+
+
+def test_finalize_dispersion_pools_medians_across_identical_programs(rb):
+    """Fingerprint-identical rows must median over the UNION of their
+    session samples (the min already pools; a median over disjoint
+    per-row lists would republish the window-luck artifact on the
+    headline number)."""
+    rows = [
+        {"filter": "box", "level": 2, "time_ms": 0.3, "reference_ms": 2.766,
+         "sessions": [0.3, 0.32], "fingerprint": "fp-same"},
+        {"filter": "box", "level": 4, "time_ms": 0.3, "reference_ms": 2.766,
+         "sessions": [0.9, 0.95], "fingerprint": "fp-same"},
+        {"filter": "sobel", "level": 2, "time_ms": 0.2, "reference_ms": 0.528,
+         "sessions": [0.2], "fingerprint": "fp-other"},
+    ]
+    rb._finalize_dispersion(rows)
+    # union [0.3, 0.32, 0.9, 0.95] -> median 0.61 for BOTH box rows
+    assert rows[0]["median_ms"] == rows[1]["median_ms"] == 0.61
+    assert rows[0]["median_pooled_over"] == 4
+    # own direct histories stay per-row
+    assert rows[0]["sessions"] == [0.3, 0.32]
+    assert rows[1]["sessions"] == [0.9, 0.95]
+    assert rows[0]["n_sessions"] == 2
+    # singleton fingerprint group: plain per-row median, no pooled marker
+    assert rows[2]["median_ms"] == 0.2
+    assert "median_pooled_over" not in rows[2]

@@ -129,3 +129,23 @@ def test_dispatch_routes_mxu_when_forced(monkeypatch):
     got = np.asarray(jax.jit(fn)(img.reshape(64, -1))).reshape(64, 80, 3)
     assert calls == [(80, 3)]
     _assert_gate(got, oracle.sobel(img, 2))
+
+
+def test_mxu_routing_is_in_the_executable_cache_key(monkeypatch):
+    """Flipping GIP_TPU_SOBEL_MXU must change the sobel cache key, or a
+    cached executable built under the other routing keeps serving the
+    stale tier for the process lifetime (the key's own rule: every
+    routing flag lives in the key)."""
+    from gpu_image_processing_tpu.runtime.dispatch import executable_cache_key
+
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    k_on = executable_cache_key("sobel", 2, 64, 128, 3)
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+    k_off = executable_cache_key("sobel", 2, 64, 128, 3)
+    assert k_on != k_off
+    # L4 relaxes to L1 numerics and never rides the MXU: forcing the flag
+    # must NOT fork its key.
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    k4_on = executable_cache_key("sobel", 4, 64, 128, 3)
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+    assert k4_on == executable_cache_key("sobel", 4, 64, 128, 3)

@@ -35,9 +35,15 @@ def test_gaussian_spatial_bit_equal(spatial_env, monkeypatch, level):
     monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
     want = _single_chip("gaussian", img, sigma=2.0, radius=3, level=level)
     monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
-    before = len(_spatial_keys())
+    # Drop any spatial executables earlier tests (or the other level
+    # parametrization -- gaussian's spatial key is level-independent) left
+    # behind, so "a spatial gaussian key exists afterwards" can only be
+    # satisfied by THIS call actually routing spatially.
+    for k in _spatial_keys():
+        RUNTIME._cache.pop(k, None)
     got = _single_chip("gaussian", img, sigma=2.0, radius=3, level=level)
-    assert len(_spatial_keys()) > before or before > 0, "spatial path not taken"
+    assert any(k[1] == "gaussian" for k in _spatial_keys()), \
+        "spatial path not taken"
     np.testing.assert_array_equal(got, want)
 
 
@@ -83,4 +89,31 @@ def test_grayscale_spatial(spatial_env, monkeypatch):
     want = _single_chip("gaussian", img, sigma=1.0, radius=2, level=2)
     monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
     got = _single_chip("gaussian", img, sigma=1.0, radius=2, level=2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_disable_pallas_reaches_spatial_bodies(spatial_env, monkeypatch):
+    """GIP_TPU_DISABLE_PALLAS must route the spatial bodies onto their
+    pure-jnp branches (it used to sit in the cache key only, silently
+    ignored by the built executable).  The Pallas entry point is patched
+    to a raiser: if the sharded build still imports-and-calls it, this
+    test fails at trace time; the output must also stay bit-identical."""
+    import gpu_image_processing_tpu.ops.pallas.blur as pb
+
+    rng = np.random.default_rng(16)
+    img = rng.integers(0, 256, (96, 60, 3), np.uint8)
+    monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
+    want = _single_chip("box", img, radius=3, level=2)
+
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
+    monkeypatch.setenv("GIP_TPU_DISABLE_PALLAS", "1")
+
+    def boom(*a, **kw):
+        raise AssertionError("Pallas kernel called with GIP_TPU_DISABLE_PALLAS=1")
+
+    monkeypatch.setattr(pb, "_separable_blur_planar", boom)
+    for k in _spatial_keys():
+        RUNTIME._cache.pop(k, None)
+    got = _single_chip("box", img, radius=3, level=2)
+    assert any(k[1] == "box" for k in _spatial_keys()), "spatial path not taken"
     np.testing.assert_array_equal(got, want)
