@@ -117,5 +117,39 @@ for trial in range(N // 2):
         print(f"[g{trial}] GAUSS MISMATCH h={h} w={w} c={c} r={r} s={sigma:.2f} lvl={lvl} maxdiff={d}")
         fails += 1
 
+# MXU sobel tier (ops/pallas/sobel_mxu.py), forced onto the CPU
+# interpret backend: randomized widths/channels probe the banded-matmul
+# compaction/expansion geometry (gray-block counts, tail masking,
+# 128-lane alignment) beyond the suite's fixed shapes.  Gate: the same
+# maxdiff <= 6 FMA/quantization envelope as the every-lane color path
+# (the silicon matrix measured maxdiff 2 for this tier).
+os.environ["GIP_TPU_SOBEL_MXU"] = "1"
+from gpu_image_processing_tpu.ops.pallas.sobel_mxu import use_mxu_sobel
+from gpu_image_processing_tpu.runtime.dispatch import _bucket
+
+mxu_routed = 0
+for trial in range(N // 3):
+    h = int(rng.integers(4, 160))
+    w = int(rng.integers(3, 300))
+    c = int(rng.choice([3, 4]))
+    img = rng.integers(0, 256, (h, w, c), np.uint8)
+    try:
+        out, _ = RUNTIME.sobel_edge_detection(img, level=2)
+    except Exception as exc:
+        print(f"[m{trial}] EXC h={h} w={w} c={c}: {exc}")
+        fails += 1
+        continue
+    mxu_routed += bool(use_mxu_sobel(_bucket(w), c, 2))
+    want = oracle.sobel(img, 2)
+    d = int(np.abs(out.astype(int) - want.astype(int)).max())
+    if d > 6:
+        print(f"[m{trial}] MXU SOBEL MISMATCH h={h} w={w} c={c} maxdiff={d}")
+        fails += 1
+os.environ.pop("GIP_TPU_SOBEL_MXU", None)
+if mxu_routed == 0:
+    print("MXU sobel section never routed to the MXU tier")
+    fails += 1
+print(f"mxu sobel: {mxu_routed}/{N // 3} trials rode the MXU tier")
+
 print(f"SOAK DONE: {fails} failures")
 sys.exit(1 if fails else 0)
