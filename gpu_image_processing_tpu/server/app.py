@@ -873,6 +873,12 @@ def main() -> None:
         threading.Thread(target=_stop, daemon=True).start()
 
     signal.signal(signal.SIGTERM, _term)
+    # Terminal Ctrl-C delivers SIGINT to the whole foreground process
+    # group (start_servers.py runs the worker attached): the default
+    # KeyboardInterrupt would unwind mid-RPC and orphan the device lease
+    # (CLAUDE.md relay hazard) -- route it through the same graceful
+    # stop-accept/drain path as SIGTERM.
+    signal.signal(signal.SIGINT, _term)
 
     server.serve_forever()
 

@@ -119,6 +119,10 @@ def cmd_supervise(_args) -> int:
             proc.terminate()
 
     signal.signal(signal.SIGTERM, _term)
+    # Foreground mode (start_servers.py) leaves the supervisor in the
+    # terminal's process group: treat Ctrl-C's SIGINT as the same orderly
+    # stop (the backend child handles its own SIGINT by draining).
+    signal.signal(signal.SIGINT, _term)
 
     # The supervisor owns the listening socket and lends it to every backend
     # generation (GIP_TPU_LISTEN_FD): connections arriving mid-recycle queue
