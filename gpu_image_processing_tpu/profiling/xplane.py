@@ -127,6 +127,9 @@ class XPlane:
     lines: list[XLine] = field(default_factory=list)
     event_metadata: dict[int, str] = field(default_factory=dict)
     event_display: dict[int, str] = field(default_factory=dict)
+    # Metadata-level (invariant) stats per event metadata id: the per-op
+    # cost counters on XLA:TPU planes (flops, bytes_accessed, ...).
+    event_stats: dict[int, list[XStat]] = field(default_factory=dict)
     stat_metadata: dict[int, str] = field(default_factory=dict)
 
     def event_name(self, metadata_id: int) -> str:
@@ -198,10 +201,20 @@ def _parse_line(buf: bytes) -> XLine:
     return line
 
 
-def _parse_event_metadata_entry(buf: bytes) -> tuple[int, str, str]:
-    """map<int64, XEventMetadata> entry -> (id, name, display_name)."""
+def _parse_event_metadata_entry(
+    buf: bytes,
+) -> tuple[int, str, str, list[XStat]]:
+    """map<int64, XEventMetadata> entry -> (id, name, display_name, stats).
+
+    XEventMetadata (xplane.proto field 5) carries the op's INVARIANT
+    XStats -- on XLA:TPU planes this is where the per-op cost counters
+    live (flops, bytes_accessed, raw_bytes_accessed, hlo_category, ...);
+    only per-occurrence stats ride the XEvents themselves.  Dropping this
+    field (as the first decoder did) silently reduced the harvest to
+    timing stats."""
     key = 0
     name = display = ""
+    stats: list[XStat] = []
     for fnum, wtype, val in _iter_fields(buf):
         if fnum == 1 and wtype == 0:
             key = val
@@ -211,7 +224,9 @@ def _parse_event_metadata_entry(buf: bytes) -> tuple[int, str, str]:
                     name = v2.decode("utf-8", "replace")
                 elif f2 == 3 and w2 == 2:
                     display = v2.decode("utf-8", "replace")
-    return key, name, display
+                elif f2 == 5 and w2 == 2:
+                    stats.append(_parse_stat(v2))
+    return key, name, display, stats
 
 
 def _parse_stat_metadata_entry(buf: bytes) -> tuple[int, str]:
@@ -238,10 +253,12 @@ def _parse_plane(buf: bytes) -> XPlane:
         elif fnum == 3 and wtype == 2:
             plane.lines.append(_parse_line(val))
         elif fnum == 4 and wtype == 2:
-            key, name, display = _parse_event_metadata_entry(val)
+            key, name, display, md_stats = _parse_event_metadata_entry(val)
             plane.event_metadata[key] = name
             if display:
                 plane.event_display[key] = display
+            if md_stats:
+                plane.event_stats[key] = md_stats
         elif fnum == 5 and wtype == 2:
             key, name = _parse_stat_metadata_entry(val)
             plane.stat_metadata[key] = name
@@ -348,7 +365,14 @@ def kernel_durations_from_planes(
                 slot = agg.setdefault(name, {"count": 0, "total_ms": 0.0})
                 slot["count"] += 1
                 slot["total_ms"] += ev.duration_ps / 1e9  # ps -> ms
-                for st in ev.stats:
+                # Per-occurrence stats (XEvent.stats) PLUS the op's
+                # invariant metadata-level stats (XEventMetadata.stats --
+                # where XLA:TPU attaches flops / bytes_accessed / ...).
+                # Both are accumulated once per occurrence, so every
+                # numeric stat stays a window SUM (divide by count for
+                # per-execution values).
+                md = plane.event_stats.get(ev.metadata_id, ())
+                for st in (*ev.stats, *md):
                     sname = plane.stat_name(st.metadata_id)
                     sval = plane.stat_value(st)
                     if isinstance(sval, bool):

@@ -82,10 +82,13 @@ def _line(name: str, events: list[bytes]) -> bytes:
     return buf
 
 
-def _event_metadata_entry(mid: int, name: str, display: str = "") -> bytes:
+def _event_metadata_entry(mid: int, name: str, display: str = "",
+                          stats: list[bytes] = ()) -> bytes:
     meta = _field(1, 0, _varint(mid)) + _field(2, 2, name.encode())
     if display:
         meta += _field(3, 2, display.encode())
+    for st in stats:  # XEventMetadata.stats (field 5): invariant stats
+        meta += _field(5, 2, st)
     return _field(1, 0, _varint(mid)) + _field(2, 2, meta)
 
 
@@ -205,6 +208,52 @@ def test_xstat_payloads_harvested():
     assert k["stats"]["delta"] == -3                    # two's complement
     assert k["attrs"]["hlo_category"] == "fusion"
     assert k["attrs"]["equation"] == "interned value"   # ref resolved
+
+
+def test_metadata_level_stats_harvested():
+    """XEventMetadata.stats (field 5) is where XLA:TPU attaches the per-op
+    INVARIANT cost counters (flops, bytes_accessed -- measured on the v5e
+    2026-08-19: the events themselves carry only timing stats, so a
+    decoder reading only XEvent.stats harvests no cost data at all).
+    Metadata stats accumulate once per occurrence, exactly like event
+    stats, and combine with them."""
+    dev = _plane(
+        "/device:TPU:0",
+        [
+            _line(
+                "XLA Ops",
+                [
+                    _event(7, 0, 500_000_000, stats=[
+                        _stat(26, u64=77),            # per-occurrence stat
+                    ]),
+                    _event(7, 600_000_000, 700_000_000),
+                ],
+            ),
+        ],
+        [
+            _event_metadata_entry(7, "fusion.1", "gaussian_rows_kernel",
+                                  stats=[
+                                      _stat(20, u64=1000),   # flops
+                                      _stat(21, double=2048.5),
+                                      _stat(22, s="fusion"),
+                                  ]),
+        ],
+        [
+            _stat_metadata_entry(20, "flops"),
+            _stat_metadata_entry(21, "bytes accessed"),
+            _stat_metadata_entry(22, "hlo_category"),
+            _stat_metadata_entry(26, "occ_bytes"),
+        ],
+    )
+    planes = xplane.parse_xspace_bytes(_xspace([dev]))
+    assert planes[0].event_stats[7]  # parsed onto the plane
+    agg = xplane.kernel_durations_from_planes(planes)
+    k = agg["gaussian_rows_kernel"]
+    assert k["count"] == 2
+    assert k["stats"]["flops"] == 2000          # invariant stat x 2 occurrences
+    assert k["stats"]["bytes accessed"] == pytest.approx(4097.0)
+    assert k["stats"]["occ_bytes"] == 77        # event-level still harvested
+    assert k["attrs"]["hlo_category"] == "fusion"
 
 
 def test_events_without_stats_unchanged():
