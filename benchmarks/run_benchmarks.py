@@ -54,8 +54,14 @@ _IMPL_REV = 2
 # ("gaussian", 4) rev 3 = MXU G=128 blocks + threshold r>=3 (the L4 r=3 row
 #   now times the MXU tier instead of the folded VPU kernel, 2026-08-18).
 _ROW_REV_OVERRIDES = {("sobel", 1): 3, ("gaussian", 4): 3,
-                      # ("sobel", 2) rev 3 = MXU gray-compaction tier
-                      # (0.361x, 2026-08-19, exp_sobel_gray_repack.py).
+                      # ("sobel", 2) rev 3 = precautionary reset when the
+                      # MXU gray-compaction tier landed on the SERVED rows
+                      # path (2026-08-19).  In fact bench L2 times the
+                      # PLANAR sobel_pallas (fused.register_all), which
+                      # that commit did not touch -- the reset discarded
+                      # valid rev-2 history out of caution.  Kept at 3:
+                      # reverting now would orphan the rev-3 samples the
+                      # file already holds.
                       ("sobel", 2): 3}
 
 # Same, for the extended cases (keyed by case label).  History:
