@@ -99,11 +99,15 @@ def test_disable_pallas_reaches_spatial_bodies(spatial_env, monkeypatch):
     to a raiser: if the sharded build still imports-and-calls it, this
     test fails at trace time; the output must also stay bit-identical."""
     import gpu_image_processing_tpu.ops.pallas.blur as pb
+    import gpu_image_processing_tpu.ops.pallas.sobel as ps
 
     rng = np.random.default_rng(16)
     img = rng.integers(0, 256, (96, 60, 3), np.uint8)
+    cases = (("box", dict(radius=3, level=2)),
+             ("gaussian", dict(sigma=1.5, radius=2, level=2)),
+             ("sobel", dict(level=2)))
     monkeypatch.delenv("GIP_TPU_MESH_SPATIAL", raising=False)
-    want = _single_chip("box", img, radius=3, level=2)
+    want = {f: _single_chip(f, img, **kw) for f, kw in cases}
 
     monkeypatch.setenv("GIP_TPU_MESH_SPATIAL", "1")
     monkeypatch.setenv("GIP_TPU_DISABLE_PALLAS", "1")
@@ -112,8 +116,11 @@ def test_disable_pallas_reaches_spatial_bodies(spatial_env, monkeypatch):
         raise AssertionError("Pallas kernel called with GIP_TPU_DISABLE_PALLAS=1")
 
     monkeypatch.setattr(pb, "_separable_blur_planar", boom)
+    monkeypatch.setattr(ps, "sobel_pallas_batch", boom)
     for k in _spatial_keys():
         RUNTIME._cache.pop(k, None)
-    got = _single_chip("box", img, radius=3, level=2)
-    assert any(k[1] == "box" for k in _spatial_keys()), "spatial path not taken"
-    np.testing.assert_array_equal(got, want)
+    for f, kw in cases:
+        got = _single_chip(f, img, **kw)
+        np.testing.assert_array_equal(got, want[f])
+    assert {k[1] for k in _spatial_keys()} == {"box", "gaussian", "sobel"}, \
+        "spatial path not taken for every filter"
