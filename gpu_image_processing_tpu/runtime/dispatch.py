@@ -91,6 +91,23 @@ def _pallas_disabled() -> bool:
     return os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") == "1"
 
 
+def _sobel_mxu_routed(lvl: int, width: int, channels: int) -> bool:
+    """The sobel MXU-tier routing bit for executable cache keys.
+
+    Levels 1 and 4 serve the LEVEL-1 numerics (float gray, no u8
+    quantization) and never ride the MXU tier, so their keys must not
+    fork when GIP_TPU_SOBEL_MXU flips; only level 2 consults the
+    predicate.  Guarded import: an env without Mosaic must fall through
+    to the XLA tier (as the trace builders do), not crash at key time."""
+    if lvl != 2:
+        return False
+    try:
+        from ..ops.pallas.sobel_mxu import use_mxu_sobel
+    except ImportError:  # pragma: no cover - env without Mosaic
+        return False
+    return use_mxu_sobel(width, channels, 2)
+
+
 def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
                          channels: int, radius: int | None = None) -> tuple:
     """The single-image executable cache key for a BUCKETED shape.
@@ -99,11 +116,7 @@ def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
     executable with it, and tests assert against it — hand-built copies
     drift whenever a routing flag is added (it has happened)."""
     if filter_name == "sobel":
-        from ..ops.pallas.sobel_mxu import use_mxu_sobel
-
-        # Same level mapping _rows_optimized applies before consulting the
-        # predicate (L4 relaxes to L1 numerics, which never ride the MXU).
-        mxu = use_mxu_sobel(width, channels, 1 if lvl == 4 else 2)
+        mxu = _sobel_mxu_routed(lvl, width, channels)
         return ("sobel", lvl, height, width, channels,
                 _routed_to_xla(lvl, height, width, "sobel"),
                 _pallas_disabled(), mxu)
@@ -997,7 +1010,9 @@ class FilterRuntime:
             )
             key = ("all_levels", filter_name, lvls, height, width, channels,
                    radius if filter_name != "sobel" else None, routing,
-                   _pallas_disabled())
+                   _pallas_disabled(),
+                   tuple(_sobel_mxu_routed(lv, width, channels) for lv in lvls)
+                   if filter_name == "sobel" else None)
             exe = self._get(
                 key,
                 lambda: FusedLevelsExecutable([trace_fn(lv) for lv in lvls]),
@@ -1139,7 +1154,9 @@ class FilterRuntime:
         mesh_n = _mesh_batch_devices()
         key = ("batch", filter_name, lvl, batch, height, width, channels,
                radius if filter_name != "sobel" else None, mesh_n,
-               _pallas_disabled())
+               _pallas_disabled(),
+               _sobel_mxu_routed(lvl, width, channels)
+               if filter_name == "sobel" else None)
 
         def build() -> FilterExecutable:
             if mesh_n:

@@ -822,6 +822,21 @@ def main() -> None:
     if listen_fd is not None:
         print(f"Adopting supervisor listener (fd {listen_fd})")
 
+    # Init-window signal safety: device init below (warmup_transfers can
+    # block minutes in a relay RPC on this host) must never be unwound by
+    # a signal -- a mid-RPC exit orphans the device lease (CLAUDE.md).
+    # Record the request; it is honored as a graceful stop the moment the
+    # real handler is installed after init.
+    stop_requested: dict = {"sig": None}
+
+    def _early_stop(sig, _frm):
+        stop_requested["sig"] = sig
+        print("stop requested; finishing device init, then exiting cleanly",
+              flush=True)
+
+    signal.signal(signal.SIGTERM, _early_stop)
+    signal.signal(signal.SIGINT, _early_stop)
+
     if TPU_AVAILABLE:
         # Absorb one-time transfer-path + compile costs before traffic.
         from ..runtime.device import warmup_transfers
@@ -879,6 +894,10 @@ def main() -> None:
     # (CLAUDE.md relay hazard) -- route it through the same graceful
     # stop-accept/drain path as SIGTERM.
     signal.signal(signal.SIGINT, _term)
+    if stop_requested["sig"] is not None:
+        # A stop arrived during device init: honor it now (serve_forever
+        # starts, sees the shutdown request, and exits into the drain).
+        _term(stop_requested["sig"], None)
 
     server.serve_forever()
 

@@ -38,7 +38,10 @@ def main() -> int:
 
     procs: list[tuple[str, subprocess.Popen]] = []
 
-    def cleanup(signum=None, frame=None):
+    def cleanup(signum=None, frame=None, rc: int = 0):
+        """Stop both children; exit 0 only for a signal-requested stop
+        (failure paths call cleanup(rc=1) so `start_servers.py && ...`
+        and CI see the failed launch)."""
         print("\nShutting down servers...")
         for name, proc in procs:
             if proc.poll() is None:
@@ -53,7 +56,7 @@ def main() -> int:
                 # its graceful exit instead.
                 print(f"  {proc.pid} still draining; leaving it to exit")
         print("Servers stopped.")
-        sys.exit(0)
+        sys.exit(rc)
 
     signal.signal(signal.SIGINT, cleanup)
     signal.signal(signal.SIGTERM, cleanup)
@@ -64,8 +67,7 @@ def main() -> int:
     print(f"Backend starting (supervisor pid {backend.pid}) ...")
     if not serve.wait_healthy():
         print("Backend failed to become healthy")
-        cleanup()
-        return 1
+        cleanup(rc=1)
     print(f"Backend  : http://127.0.0.1:{config.BACKEND_PORT}")
 
     if serve.port_in_use(config.FRONTEND_PORT):
@@ -87,7 +89,7 @@ def main() -> int:
             if proc.poll() is not None:
                 print(f"{name} exited (code {proc.returncode}); "
                       f"shutting down")
-                cleanup()
+                cleanup(rc=1 if proc.returncode else 0)
     return 0
 
 

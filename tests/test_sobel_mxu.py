@@ -143,9 +143,28 @@ def test_mxu_routing_is_in_the_executable_cache_key(monkeypatch):
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
     k_off = executable_cache_key("sobel", 2, 64, 128, 3)
     assert k_on != k_off
-    # L4 relaxes to L1 numerics and never rides the MXU: forcing the flag
-    # must NOT fork its key.
+    # Levels 1 and 4 serve the level-1 numerics and never ride the MXU:
+    # forcing the flag must NOT fork their keys (a fork would recompile
+    # an identical executable).
+    for lvl in (1, 4):
+        monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+        k_lvl = executable_cache_key("sobel", lvl, 64, 128, 3)
+        monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+        assert k_lvl == executable_cache_key("sobel", lvl, 64, 128, 3)
+
+
+def test_mxu_routing_in_all_levels_and_batch_keys(monkeypatch):
+    """The fused all-levels and batch executables consult use_mxu_sobel in
+    their trace builders, so their cache keys must carry the routing bit
+    too -- a mid-process GIP_TPU_SOBEL_MXU flip must rebuild them, not
+    serve the stale tier from cache."""
+    from gpu_image_processing_tpu.runtime.dispatch import _sobel_mxu_routed
+
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
-    k4_on = executable_cache_key("sobel", 4, 64, 128, 3)
+    assert _sobel_mxu_routed(2, 128, 3) is True
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
-    assert k4_on == executable_cache_key("sobel", 4, 64, 128, 3)
+    assert _sobel_mxu_routed(2, 128, 3) is False
+    # Non-L2 levels never consult the flag.
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    assert _sobel_mxu_routed(1, 128, 3) is False
+    assert _sobel_mxu_routed(4, 128, 3) is False
