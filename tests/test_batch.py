@@ -121,8 +121,9 @@ def test_batch_mesh_serving(rng, monkeypatch):
     for i in range(6):
         np.testing.assert_array_equal(out[i], oracle.gaussian_blur(imgs[i], w, 3))
     assert metrics.time_ms > 0
-    # the mesh executable is cached under its own key (device count baked in)
-    assert any(k[0] == "batch" and len(jax.devices()) in k[-2:]
+    # the mesh executable is cached under its own key (device count baked in;
+    # position-independent: the key has since grown routing fields)
+    assert any(k[0] == "batch" and len(jax.devices()) in k
                for k in RUNTIME._cache)
 
     out, _ = RUNTIME.run_batch("box", imgs, level=2, radius=4)
