@@ -527,8 +527,25 @@ def profile_filter(
         metrics["trace_kernel_stats"] = trace_kernels
         metrics["duration_source"] = "xplane_trace"
         metrics["profiler"] = "jax_xplane_trace"
+
+        # Human-facing metric labels use the op's short name ("%fusion.1"
+        # from "%fusion.1 = u8[...] custom-call(...)"): on real TPU planes
+        # the event name is the FULL HLO instruction text, which would put
+        # multi-hundred-character keys into the UI metric table.  The full
+        # text stays available in trace_kernel_stats / kernel_durations_ms
+        # for programmatic consumers.  Collisions (two ops shortening
+        # identically, or no " = " to split on) fall back to the full name.
+        shorts: dict[str, str] = {}
+        used: set[str] = set()
         for n in names:
-            metrics["execution"][f"Duration {n} (ms)"] = trace_kernels[n]["avg_ms"]
+            s = n.split(" = ")[0]
+            if not s.startswith("%") or s in used:
+                s = n
+            used.add(s)
+            shorts[n] = s
+        for n in names:
+            metrics["execution"][f"Duration {shorts[n]} (ms)"] = (
+                trace_kernels[n]["avg_ms"])
 
         # Per-op XStat harvest (VERDICT r2 item 3): the trace events carry
         # XLA's per-op counters (flops, bytes accessed, ... -- whatever the
@@ -553,7 +570,8 @@ def profile_filter(
                 # Measured per-op bandwidth: XLA's own bytes over the op's
                 # own measured duration -- the per-kernel "% of
                 # speed-of-light" ingredient ncu reports directly.
-                metrics["occupancy"][f"Bandwidth {n} (Gbyte/s, trace)"] = (
+                metrics["occupancy"][
+                    f"Bandwidth {shorts[n]} (Gbyte/s, trace)"] = (
                     b / (rec["avg_ms"] / 1e3) / 1e9
                 )
         if op_stats:

@@ -383,3 +383,33 @@ def test_estimate_tier_tagged_on_cpu(rng):
     )
     common = get_common_metrics(deep, ncu_data=deep)
     assert common["kernel_duration_source"] == deep["duration_source"]
+
+
+def test_hlo_instruction_names_shorten_in_ui_keys(rng, monkeypatch):
+    """Real TPU planes name events with the FULL HLO instruction text;
+    UI-facing keys (Duration/Bandwidth rows) use the short op name, while
+    programmatic dicts (kernel_durations_ms, trace_kernel_stats) keep the
+    full text.  Display-style names and short-name collisions fall back
+    to the full name."""
+    from gpu_image_processing_tpu.profiling import profiler as prof
+
+    long1 = "%_lambda_.1 = u8[1,64,640] custom-call(u8[1,66,768] %pad.0)"
+    long2 = "%pad.0 = u8[1,66,768] pad(u8[1,64,640] %bitcast.1)"
+    fake = {
+        long1: {"count": 2, "total_ms": 1.0, "avg_ms": 0.5,
+                "stats": {"bytes_accessed": 2_000_000.0}},
+        long2: {"count": 2, "total_ms": 0.2, "avg_ms": 0.1},
+        "display_named_kernel": {"count": 2, "total_ms": 0.1, "avg_ms": 0.05},
+    }
+    monkeypatch.setattr(prof, "_trace_kernel_breakdown", lambda key, fn: fake)
+    img = make_image(rng, 16, 20, 3)
+    deep = prof.profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    assert "Duration %_lambda_.1 (ms)" in deep["execution"]
+    assert "Duration %pad.0 (ms)" in deep["execution"]
+    assert "Duration display_named_kernel (ms)" in deep["execution"]
+    assert f"Duration {long1} (ms)" not in deep["execution"]
+    assert any(k.startswith("Bandwidth %_lambda_.1 ")
+               for k in deep["occupancy"])
+    # programmatic keys keep the full HLO text
+    assert long1 in deep["kernel_durations_ms"]
+    assert long1 in deep["trace_kernel_stats"]
