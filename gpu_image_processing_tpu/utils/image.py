@@ -35,7 +35,17 @@ class ImageCodecError(ValueError):
 # (every request silently falling to PIL) would be invisible in production.
 # Exposed through /api/stats.  Plain int increments under the GIL are
 # atomic enough for monitoring counters; no lock needed.
-_DECODE_TIERS = ("native_png", "native_jpeg", "pil", "failed")
+_DECODE_TIERS = (
+    "native_png",
+    "native_jpeg",
+    "native_gif",
+    "native_bmp",
+    "native_psd",
+    "native_hdr",
+    "native_pic",
+    "pil",
+    "failed",
+)
 _decode_tier_counts = {t: 0 for t in _DECODE_TIERS}
 
 
@@ -52,6 +62,32 @@ def reset_decode_tier_counts() -> None:
     """Test helper; production counters are process-lifetime."""
     for t in _DECODE_TIERS:
         _decode_tier_counts[t] = 0
+
+
+# Native decoders beyond PNG/JPEG, keyed by magic-byte sniff.  Two routing
+# classes (parity target: stb's format sweep, /root/reference/external/
+# stb_image.h:118-139):
+#   * PIL-less formats (HDR, PIC): native runs FIRST — without it these
+#     uploads fail outright, PIL has no decoder for either.
+#   * PIL-covered formats (GIF, BMP, PSD): PIL runs first (its C decoders
+#     are battle-tested and fast); native is the fallback when PIL is
+#     absent or rejects the file, keeping the serving path PIL-optional.
+def _sniff_native_first(raw: bytes):
+    if raw[:2] == b"#?":
+        return native_codec.hdr_decode, "native_hdr"
+    if raw[:4] == b"\x53\x80\xf6\x34":
+        return native_codec.pic_decode, "native_pic"
+    return None, None
+
+
+def _sniff_native_fallback(raw: bytes):
+    if raw[:6] in (b"GIF87a", b"GIF89a"):
+        return native_codec.gif_decode, "native_gif"
+    if raw[:2] == b"BM":
+        return native_codec.bmp_decode, "native_bmp"
+    if raw[:4] == b"8BPS":
+        return native_codec.psd_decode, "native_psd"
+    return None, None
 
 
 def _normalize_rgb(arr: np.ndarray) -> np.ndarray:
@@ -218,14 +254,23 @@ def decode_base64_image_ex(
         raise ImageCodecError("Failed to decode image: empty payload")
 
     arr = native_codec.png_decode(raw)
+    tier = "native_png"
     is_jpeg = arr is None and len(raw) > 3 and raw[:2] == b"\xff\xd8"
     if is_jpeg and not PIL_AVAILABLE:
         # Baseline JPEG decodes in the native tier too (gray + YCbCr,
         # 4:4:4/4:2:2/4:2:0/4:1:1, restart markers) — used standalone when
         # PIL is absent; with PIL present libjpeg-turbo is ~8x faster.
         arr = native_codec.jpeg_decode(raw)
+        tier = "native_jpeg"
+    if arr is None:
+        fn, t = _sniff_native_first(raw)
+        if fn is None and not PIL_AVAILABLE:
+            fn, t = _sniff_native_fallback(raw)
+        if fn is not None:
+            arr = fn(raw)
+            tier = t
     if arr is not None:
-        _count_decode("native_jpeg" if is_jpeg else "native_png")
+        _count_decode(tier)
         passthrough = None
         if want_passthrough and arr.shape[2] == 3:
             if raw[:4] == b"\x89PNG" and _png_chunks_neutral(raw):
@@ -250,11 +295,17 @@ def decode_base64_image_ex(
     except Exception as exc:
         # Only meaningful when PIL was actually tried: without PIL the
         # native decoder already ran (and returned None) above.
-        if is_jpeg and PIL_AVAILABLE:
-            fallback = native_codec.jpeg_decode(raw)
-            if fallback is not None:
-                _count_decode("native_jpeg")
-                return _normalize_rgb(fallback), None
+        if PIL_AVAILABLE:
+            fb_fn, fb_tier = (
+                (native_codec.jpeg_decode, "native_jpeg")
+                if is_jpeg
+                else _sniff_native_fallback(raw)
+            )
+            if fb_fn is not None:
+                fallback = fb_fn(raw)
+                if fallback is not None:
+                    _count_decode(fb_tier)
+                    return _normalize_rgb(fallback), None
         _count_decode("failed")
         raise ImageCodecError(f"Failed to decode image: {exc}") from None
     if arr.ndim == 2:
@@ -316,11 +367,26 @@ def load_image_file(data: bytes) -> tuple[np.ndarray, int, int]:
         if arr is None and len(data) > 3 and data[:2] == b"\xff\xd8":
             arr = native_codec.jpeg_decode(data)
         if arr is None:
+            for sniff in (_sniff_native_first, _sniff_native_fallback):
+                fn, _ = sniff(data)
+                if fn is not None:
+                    arr = fn(data)
+                    break
+        if arr is None:
             raise ImageCodecError(
                 "Cannot decode upload: native codec unavailable (or format "
-                "outside its PNG/JPEG subset) and PIL not installed")
+                "outside its native subset) and PIL not installed")
         arr = _normalize_rgb(arr)
         return arr, arr.shape[1], arr.shape[0]
+    if data[:2] == b"#?" or data[:4] == b"\x53\x80\xf6\x34":
+        # HDR / PIC: PIL has no decoder; the native tier is the only path.
+        arr = None
+        fn, _ = _sniff_native_first(data)
+        if fn is not None:
+            arr = fn(data)
+        if arr is not None:
+            arr = _normalize_rgb(arr)
+            return arr, arr.shape[1], arr.shape[0]
     image = Image.open(io.BytesIO(data))
     if image.mode not in ("RGB", "L"):
         image = _pil_to_rgb(image)

@@ -67,6 +67,24 @@ def load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int),
     ]
+    # Decoders added after the first library revision share one signature;
+    # hasattr-guard each so a stale build of the .so still loads.
+    for fn_name in (
+        "gip_gif_decode",
+        "gip_bmp_decode",
+        "gip_psd_decode",
+        "gip_hdr_decode",
+        "gip_pic_decode",
+    ):
+        fn = getattr(lib, fn_name, None)
+        if fn is not None:
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
     try:
         lib.gip_jpeg_encode.restype = ctypes.c_int
         lib.gip_jpeg_encode.argtypes = [
@@ -183,6 +201,60 @@ def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
     finally:
         lib.gip_free(buf)
     return np.frombuffer(raw, dtype=np.uint8).reshape(h.value, w.value, c.value)
+
+
+def _decode_out_params(fn_name: str, data: bytes) -> Optional[np.ndarray]:
+    """Shared ctypes plumbing for the (buf, len) -> (HWC u8) decoders."""
+    lib = load()
+    if lib is None:
+        return None
+    fn = getattr(lib, fn_name, None)
+    if fn is None:  # stale build of the library
+        return None
+    buf = ctypes.c_void_p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = fn(data, len(data), ctypes.byref(buf),
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(buf, h.value * w.value * c.value)
+    finally:
+        lib.gip_free(buf)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h.value, w.value, c.value)
+
+
+def gif_decode(data: bytes) -> Optional[np.ndarray]:
+    """GIF87a/89a first frame composited onto the logical screen -> HWC u8
+    (RGB, or RGBA when the frame declares a transparent index).  Parity
+    target: stb_image's GIF path (/root/reference/external/stb_image.h:126)."""
+    return _decode_out_params("gip_gif_decode", data)
+
+
+def bmp_decode(data: bytes) -> Optional[np.ndarray]:
+    """BMP (1/4/8-bit palette, 16/24/32-bit BI_RGB/BI_BITFIELDS) -> HWC u8.
+    RLE-compressed BMPs return None (PIL fallback handles them)."""
+    return _decode_out_params("gip_bmp_decode", data)
+
+
+def psd_decode(data: bytes) -> Optional[np.ndarray]:
+    """PSD composite image (RGB/gray, 8/16-bit, RAW or PackBits) -> HWC u8."""
+    return _decode_out_params("gip_psd_decode", data)
+
+
+def hdr_decode(data: bytes) -> Optional[np.ndarray]:
+    """Radiance HDR (RGBE, old + new RLE) -> HWC u8 RGB via the stb-default
+    LDR tone map (scale 1, gamma 2.2).  PIL has no HDR path: without this
+    tier .hdr uploads fail outright."""
+    return _decode_out_params("gip_hdr_decode", data)
+
+
+def pic_decode(data: bytes) -> Optional[np.ndarray]:
+    """Softimage PIC (8-bit packets, uncompressed/mixed RLE) -> HWC u8.
+    PIL has no PIC path either; native is the only tier for it."""
+    return _decode_out_params("gip_pic_decode", data)
 
 
 def b64_encode(data: bytes) -> Optional[bytes]:

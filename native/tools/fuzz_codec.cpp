@@ -19,6 +19,8 @@
 #include <string>
 #include <vector>
 
+#include "fuzz_seeds.h"
+
 extern "C" {
 void gip_free(void*);
 long long gip_base64_decode(const char*, size_t, uint8_t*);
@@ -28,6 +30,11 @@ int gip_jpeg_encode(const uint8_t*, int, int, int, int, uint8_t**, size_t*);
 int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_tga_write(const char*, const uint8_t*, int, int, int);
 int gip_tga_read(const char*, uint8_t**, int*, int*, int*);
+int gip_gif_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_bmp_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_psd_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_hdr_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_pic_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 }
 
 namespace {
@@ -168,6 +175,30 @@ void run_decoders(const std::vector<uint8_t>& d) {
     }
     gip_free(out);
   }
+  // The gip_formats decoders: same memory-safety bar, dims sanity-checked.
+  struct FmtFn {
+    const char* name;
+    int (*fn)(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+    int cmin, cmax;
+  };
+  static const FmtFn kFmts[] = {
+      {"gif_decode", gip_gif_decode, 3, 4},
+      {"bmp_decode", gip_bmp_decode, 3, 4},
+      {"psd_decode", gip_psd_decode, 1, 4},
+      {"hdr_decode", gip_hdr_decode, 3, 3},
+      {"pic_decode", gip_pic_decode, 3, 4},
+  };
+  for (const auto& fmt : kFmts) {
+    out = nullptr;
+    if (fmt.fn(d.data(), d.size(), &out, &h, &w, &c) == 0) {
+      if (h <= 0 || w <= 0 || c < fmt.cmin || c > fmt.cmax) {
+        std::fprintf(stderr, "%s returned bad dims %dx%dx%d\n", fmt.name, h, w,
+                     c);
+        std::abort();
+      }
+      gip_free(out);
+    }
+  }
   // base64: caller contract is an output buffer sized (n/4 + 1) * 3
   // (utils/native_codec.py::b64_decode) -- fuzz against exactly that.
   std::vector<uint8_t> b64out((d.size() / 4 + 1) * 3);
@@ -228,6 +259,12 @@ int main(int argc, char** argv) {
   // RLE bottom-up TGA (the variant our writer never emits).
   corpus.push_back({0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 2, 0, 24, 0,
                     0x81, 0, 0, 255, 0x01, 0, 255, 0, 255, 0, 0});
+  // Format seeds for the gip_formats decoders (generated valid files
+  // covering RLE / interlace / bitfields paths; see fuzz_seeds.h).
+#define GIP_ADD_SEED(n) \
+  corpus.push_back(std::vector<uint8_t>(kSeed_##n, kSeed_##n + sizeof kSeed_##n));
+  GIP_FORMAT_SEEDS(GIP_ADD_SEED)
+#undef GIP_ADD_SEED
   // A base64-looking text seed.
   {
     const char* t = "aGVsbG8gd29ybGQ=\nQUJDRA==";

@@ -1,0 +1,676 @@
+"""Native decoders for the remaining stb_image format set (gip_formats.cpp).
+
+The reference's C++ tier decodes GIF/BMP/PSD/HDR/PIC through vendored stb
+(/root/reference/external/stb_image.h:118-139); these tests pin the native
+TPU-stack equivalents.  Cross-validation strategy per format:
+
+* GIF / BMP / PSD -- decode the same bytes with PIL and require byte
+  equality (PIL is an independent implementation).
+* HDR / PIC -- PIL has no decoder; inputs are hand-built in the test and
+  compared against an independent numpy expectation.
+
+Formats PIL cannot WRITE (interlaced GIF, 16-bit BMP, RLE PSD, HDR, PIC)
+are built by minimal encoders local to this file, so the decoders' RLE and
+interlace paths are exercised without any checked-in binary blobs.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from gpu_image_processing_tpu.utils import image as image_utils
+from gpu_image_processing_tpu.utils import native_codec
+
+needs_native = pytest.mark.skipif(
+    not native_codec.available(), reason="native codec not built"
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+# ---------------------------------------------------------------------------
+# Minimal encoders (test-local; the product only ever DECODES these formats)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_trivial(indices, min_code_size):
+    """Valid GIF LZW: CLEAR before every literal so the table never grows.
+
+    Grossly inefficient (that's fine for a test) but spec-conformant: the
+    decoder must handle clear codes at any point.
+    """
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    bits = []
+    for k in indices:
+        for code in (clear, int(k)):
+            for b in range(width):
+                bits.append((code >> b) & 1)
+    for b in range(width):
+        bits.append((end >> b) & 1)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        byte = 0
+        for j, bit in enumerate(bits[i : i + 8]):
+            byte |= bit << j
+        out.append(byte)
+    return bytes(out)
+
+
+def _gif_bytes(idx, palette, interlace=False, transparent=None):
+    """Single-frame GIF89a covering the whole screen, global color table."""
+    h, w = idx.shape
+    pal_bits = max(2, int(np.ceil(np.log2(len(palette)))))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | (pal_bits - 1), 0, 0])
+    for i in range(1 << pal_bits):
+        out += bytes(palette[i]) if i < len(palette) else b"\0\0\0"
+    if transparent is not None:
+        out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+    out += bytes([0x2C]) + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0x00])
+    rows = idx
+    if interlace:
+        order = (
+            list(range(0, h, 8))
+            + list(range(4, h, 8))
+            + list(range(2, h, 4))
+            + list(range(1, h, 2))
+        )
+        rows = idx[order]
+    mcs = max(2, pal_bits)
+    out += bytes([mcs])
+    data = _lzw_trivial(rows.ravel(), mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def _packbits(row):
+    """PackBits with real run packets (not literal-only)."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and row[i + run] == row[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out += bytes([256 - (run - 1), row[i]])
+            i += run
+        else:
+            j = i
+            while (
+                j < n
+                and j - i < 128
+                and not (j + 2 < n and row[j] == row[j + 1] == row[j + 2])
+            ):
+                j += 1
+            out += bytes([j - i - 1]) + bytes(row[i:j])
+            i = j
+    return bytes(out)
+
+
+def _psd_bytes(arr, depth=8, compression=0):
+    """Composite-only PSD: RGB(A) or grayscale, RAW or PackBits RLE."""
+    h, w = arr.shape[:2]
+    nch = 1 if arr.ndim == 2 else arr.shape[2]
+    mode = 1 if nch <= 2 else 3
+    out = bytearray(b"8BPS")
+    out += struct.pack(">H", 1) + b"\0" * 6
+    out += struct.pack(">HIIHH", nch, h, w, depth, mode)
+    out += struct.pack(">I", 0) * 3  # color mode / resources / layers
+    out += struct.pack(">H", compression)
+    planes = [arr] if arr.ndim == 2 else [arr[:, :, k] for k in range(nch)]
+    if compression == 0:
+        for p in planes:
+            if depth == 16:
+                out += (p.astype(">u2") * 257).tobytes()
+            else:
+                out += p.tobytes()
+    else:
+        rows = [
+            _packbits(p[y].tobytes()) for p in planes for y in range(h)
+        ]
+        for r in rows:
+            out += struct.pack(">H", len(r))
+        for r in rows:
+            out += r
+    return bytes(out)
+
+
+def _hdr_bytes(rgbe, new_rle=False):
+    """Radiance HDR from an (H, W, 4) RGBE array."""
+    h, w = rgbe.shape[:2]
+    out = bytearray(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+    out += f"-Y {h} +X {w}\n".encode()
+    if not new_rle:
+        out += rgbe.tobytes()
+        return bytes(out)
+    for y in range(h):
+        out += bytes([2, 2, (w >> 8) & 0xFF, w & 0xFF])
+        for k in range(4):
+            plane = rgbe[y, :, k]
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and plane[x + run] == plane[x] and run < 127:
+                    run += 1
+                if run >= 4:
+                    out += bytes([128 + run, plane[x]])
+                    x += run
+                else:
+                    lit = min(128, w - x)
+                    out += bytes([lit]) + plane[x : x + lit].tobytes()
+                    x += lit
+    return bytes(out)
+
+
+def _pic_header(w, h):
+    out = bytearray(struct.pack(">I", 0x5380F634))
+    out += b"\0" * 4 + b"\0" * 80 + b"PICT"
+    out += struct.pack(">HH", w, h) + b"\0" * 4 + struct.pack(">HH", 3, 0)
+    return out
+
+
+def _pic_bytes_uncompressed(arr):
+    h, w, c = arr.shape
+    out = _pic_header(w, h)
+    mask = 0xE0 if c == 3 else 0xF0
+    out += bytes([0, 8, 0, mask])
+    for y in range(h):
+        out += arr[y].tobytes()
+    return bytes(out)
+
+
+def _pic_bytes_rle(arr):
+    """Mixed-RLE PIC with a chained RGB + alpha packet pair."""
+    h, w, c = arr.shape
+    assert c == 4
+    out = _pic_header(w, h)
+    out += bytes([1, 8, 2, 0xE0])  # chained, RLE, RGB
+    out += bytes([0, 8, 2, 0x10])  # final, RLE, alpha
+
+    def rle_rows(plane_w, get_px, nch):
+        chunk = bytearray()
+        x = 0
+        while x < plane_w:
+            px = get_px(x)
+            run = 1
+            while x + run < plane_w and get_px(x + run) == px and run < 1000:
+                run += 1
+            if run >= 2:
+                if run > 128:
+                    chunk += bytes([128]) + struct.pack(">H", run)
+                else:
+                    chunk += bytes([127 + run])
+                chunk += bytes(px)
+                x += run
+            else:
+                lit = 1
+                while (
+                    x + lit < plane_w
+                    and lit < 128
+                    and not (
+                        x + lit + 1 < plane_w
+                        and get_px(x + lit) == get_px(x + lit + 1)
+                    )
+                ):
+                    lit += 1
+                chunk += bytes([lit - 1])
+                for i in range(lit):
+                    chunk += bytes(get_px(x + i))
+                x += lit
+        return bytes(chunk)
+
+    for y in range(h):
+        row = arr[y]
+        out += rle_rows(w, lambda x: tuple(int(v) for v in row[x, :3]), 3)
+        out += rle_rows(w, lambda x: (int(row[x, 3]),), 1)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# GIF
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_gif_matches_pil(rng):
+    arr = rng.integers(0, 255, size=(23, 31, 3), dtype=np.uint8)
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE, colors=200)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    mine = native_codec.gif_decode(buf.getvalue())
+    pil = np.array(Image.open(buf).convert("RGB"))
+    assert mine is not None and mine.shape[2] == 3
+    np.testing.assert_array_equal(mine, pil)
+
+
+@needs_native
+def test_gif_transparency_matches_pil(rng):
+    arr = rng.integers(0, 255, size=(19, 27, 3), dtype=np.uint8)
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE, colors=100)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF", transparency=5)
+    mine = native_codec.gif_decode(buf.getvalue())
+    pil = np.array(Image.open(buf).convert("RGBA"))
+    assert mine is not None and mine.shape[2] == 4
+    np.testing.assert_array_equal(mine, pil)
+
+
+@needs_native
+def test_gif_interlaced(rng):
+    # PIL cannot write interlaced GIFs; hand-build one and check that the
+    # 4-pass row deinterleave reconstructs the source (PIL cross-checks it).
+    pal = [(i * 7 % 256, i * 31 % 256, i * 13 % 256) for i in range(16)]
+    idx = rng.integers(0, 16, size=(21, 17), dtype=np.uint8)
+    data = _gif_bytes(idx, pal, interlace=True)
+    mine = native_codec.gif_decode(data)
+    expected = np.array([[pal[k] for k in row] for row in idx], dtype=np.uint8)
+    assert mine is not None
+    np.testing.assert_array_equal(mine, expected)
+    pil = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(pil, expected)
+
+
+@needs_native
+def test_gif_real_lzw_stream(rng):
+    # PIL's encoder emits a REAL adaptive-dictionary LZW stream (unlike the
+    # clear-per-pixel trivial encoder above): growing code widths, KwKwK.
+    arr = np.tile(rng.integers(0, 255, size=(4, 8, 3), dtype=np.uint8), (16, 16, 1))
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE, colors=64)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    mine = native_codec.gif_decode(buf.getvalue())
+    pil = np.array(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(mine, pil)
+
+
+@needs_native
+def test_gif_header_bomb_rejected():
+    bomb = b"GIF89a" + struct.pack("<HH", 0xFFFF, 0xFFFF) + bytes([0, 0, 0])
+    assert native_codec.gif_decode(bomb) is None
+
+
+@needs_native
+def test_gif_truncated_rejected(rng):
+    pal = [(i, i, i) for i in range(4)]
+    idx = rng.integers(0, 4, size=(9, 9), dtype=np.uint8)
+    data = _gif_bytes(idx, pal)
+    assert native_codec.gif_decode(data[: len(data) // 2]) is None
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_bmp24_matches_pil(rng):
+    arr = rng.integers(0, 255, size=(23, 31, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="BMP")
+    mine = native_codec.bmp_decode(buf.getvalue())
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_bmp8_palette_matches_pil(rng):
+    arr = rng.integers(0, 255, size=(13, 29, 3), dtype=np.uint8)
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE, colors=150)
+    buf = io.BytesIO()
+    im.save(buf, format="BMP")
+    mine = native_codec.bmp_decode(buf.getvalue())
+    pil = np.array(Image.open(buf).convert("RGB"))
+    np.testing.assert_array_equal(mine, pil)
+
+
+def _bmp_bytes(w, h, bpp, pixel_rows, compression=0, masks=b"", top_down=False):
+    row_bytes = ((w * bpp + 31) // 32) * 4
+    data = bytearray()
+    for row in pixel_rows if top_down else reversed(pixel_rows):
+        data += row + b"\0" * (row_bytes - len(row))
+    off = 14 + 40 + len(masks)
+    out = bytearray(b"BM")
+    out += struct.pack("<IHHI", off + len(data), 0, 0, off)
+    out += struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
+        len(data), 2835, 2835, 0, 0,
+    )
+    out += masks + data
+    return bytes(out)
+
+
+@needs_native
+def test_bmp16_565_bitfields(rng):
+    # 16-bit R5G6B5 via BI_BITFIELDS (PIL writes only 24-bit, so hand-build
+    # and cross-check against PIL's own 16-bit decoder).
+    w, h = 11, 7
+    px = rng.integers(0, 1 << 16, size=(h, w), dtype=np.uint16)
+    rows = [px[y].astype("<u2").tobytes() for y in range(h)]
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    data = _bmp_bytes(w, h, 16, rows, compression=3, masks=masks)
+    mine = native_codec.bmp_decode(data)
+    assert mine is not None
+
+    def rep(x, bits):  # stb-style bit replication to 8 bits
+        v = x << (8 - bits)
+        return v | (v >> bits)
+
+    expected = np.stack(
+        [
+            rep((px >> 11) & 31, 5),
+            rep((px >> 5) & 63, 6),
+            rep(px & 31, 5),
+        ],
+        axis=-1,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(mine, expected)
+    # PIL truncates (x*255//31) instead of bit-replicating; both legitimate
+    # conventions, so the cross-implementation gate is <=1.
+    pil = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert np.abs(mine.astype(int) - pil.astype(int)).max() <= 1
+
+
+@needs_native
+def test_bmp32_alpha_and_topdown(rng):
+    w, h = 9, 5
+    arr = rng.integers(0, 255, size=(h, w, 4), dtype=np.uint8)
+    arr[..., 3] = rng.integers(1, 255, size=(h, w))  # real alpha plane
+    rows = [
+        b"".join(
+            bytes([arr[y, x, 2], arr[y, x, 1], arr[y, x, 0], arr[y, x, 3]])
+            for x in range(w)
+        )
+        for y in range(h)
+    ]
+    data = _bmp_bytes(w, h, 32, rows, top_down=True)
+    mine = native_codec.bmp_decode(data)
+    assert mine is not None and mine.shape == (h, w, 4)
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_bmp32_zero_alpha_means_opaque(rng):
+    w, h = 6, 4
+    arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    rows = [
+        b"".join(
+            bytes([arr[y, x, 2], arr[y, x, 1], arr[y, x, 0], 0])
+            for x in range(w)
+        )
+        for y in range(h)
+    ]
+    mine = native_codec.bmp_decode(_bmp_bytes(w, h, 32, rows))
+    assert mine is not None and mine.shape == (h, w, 4)
+    np.testing.assert_array_equal(mine[..., :3], arr)
+    assert (mine[..., 3] == 255).all()
+
+
+@needs_native
+def test_bmp4_and_bmp1_palette():
+    # 4-bit: 2 pixels per byte, high nibble first; 1-bit: MSB first.
+    pal4 = b"".join(
+        bytes([i * 16, i * 8, i * 4, 0]) for i in range(16)
+    )  # BGRX quads
+    rows4 = [bytes([0x01, 0x23, 0xF0]), bytes([0xAB, 0xCD, 0xE0])]
+    out4 = bytearray(b"BM")
+    data4 = bytearray()
+    for row in reversed(rows4):
+        data4 += row + b"\0" * (((5 * 4 + 31) // 32) * 4 - len(row))
+    off = 14 + 40 + len(pal4)
+    out4 += struct.pack("<IHHI", off + len(data4), 0, 0, off)
+    out4 += struct.pack("<IiiHHIIiiII", 40, 5, 2, 1, 4, 0, len(data4), 0, 0, 16, 0)
+    out4 += pal4 + data4
+    mine = native_codec.bmp_decode(bytes(out4))
+    pil = np.array(Image.open(io.BytesIO(bytes(out4))).convert("RGB"))
+    np.testing.assert_array_equal(mine, pil)
+
+
+@needs_native
+def test_bmp_rle_falls_back():
+    # compression=1 (RLE8) is outside the native subset -> None (PIL tier).
+    data = _bmp_bytes(4, 2, 8, [b"\0\0\0\0", b"\0\0\0\0"], compression=1)
+    assert native_codec.bmp_decode(data) is None
+
+
+@needs_native
+def test_bmp_header_bomb_rejected():
+    out = bytearray(b"BM") + struct.pack("<IHHI", 0xFFFFFF, 0, 0, 54)
+    out += struct.pack("<IiiHHIIiiII", 40, 2**30, 2**30, 1, 24, 0, 0, 0, 0, 0, 0)
+    assert native_codec.bmp_decode(bytes(out)) is None
+
+
+# ---------------------------------------------------------------------------
+# PSD
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_psd_raw_rgb_matches_pil(rng):
+    arr = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    data = _psd_bytes(arr)
+    mine = native_codec.psd_decode(data)
+    pil = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(mine, arr)
+    np.testing.assert_array_equal(pil, arr)
+
+
+@needs_native
+def test_psd_rle_rgb_matches_pil(rng):
+    # Runs + literals through the PackBits path; PIL independently decodes.
+    base = rng.integers(0, 256, size=(17, 41, 3), dtype=np.uint8)
+    base[:, 10:30] = 77  # guaranteed runs
+    data = _psd_bytes(base, compression=1)
+    mine = native_codec.psd_decode(data)
+    pil = np.array(Image.open(io.BytesIO(data)).convert("RGB"))
+    np.testing.assert_array_equal(mine, base)
+    np.testing.assert_array_equal(pil, base)
+
+
+@needs_native
+def test_psd_rgba(rng):
+    arr = rng.integers(0, 256, size=(7, 11, 4), dtype=np.uint8)
+    mine = native_codec.psd_decode(_psd_bytes(arr))
+    assert mine is not None and mine.shape == (7, 11, 4)
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_psd_grayscale(rng):
+    arr = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    mine = native_codec.psd_decode(_psd_bytes(arr))
+    assert mine is not None and mine.shape == (8, 9, 1)
+    np.testing.assert_array_equal(mine[:, :, 0], arr)
+
+
+@needs_native
+def test_psd_16bit_takes_high_byte(rng):
+    arr = rng.integers(0, 256, size=(6, 7, 3), dtype=np.uint8)
+    mine = native_codec.psd_decode(_psd_bytes(arr, depth=16))
+    # The encoder writes v*257 (= v<<8 | v), so the high byte is v exactly.
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_psd_header_bomb_rejected():
+    hdr = b"8BPS" + struct.pack(">H", 1) + b"\0" * 6
+    hdr += struct.pack(">HIIHH", 3, 2**30, 2**30, 8, 3)
+    hdr += struct.pack(">I", 0) * 3 + struct.pack(">H", 0)
+    assert native_codec.psd_decode(hdr) is None
+
+
+# ---------------------------------------------------------------------------
+# HDR (no PIL decoder exists; expectations are computed independently)
+# ---------------------------------------------------------------------------
+
+
+def _hdr_expected_u8(rgbe):
+    e = rgbe[..., 3].astype(np.int32)
+    f = rgbe[..., :3].astype(np.float64) * np.exp2(e - 136)[..., None]
+    f[e == 0] = 0.0
+    z = np.power(f, 1 / 2.2) * 255.0 + 0.5
+    return np.clip(z, 0, 255).astype(np.uint8)
+
+
+def _safe_rgbe(rng, h, w):
+    rgbe = rng.integers(0, 256, size=(h, w, 4), dtype=np.uint8)
+    rgbe[..., 3] = rng.integers(100, 140, size=(h, w))
+    # avoid colliding with the old-format (1,1,1,n) run marker
+    hit = (rgbe[..., 0] == 1) & (rgbe[..., 1] == 1) & (rgbe[..., 2] == 1)
+    rgbe[..., 0][hit] = 2
+    return rgbe
+
+
+@needs_native
+def test_hdr_flat_old_format(rng):
+    rgbe = _safe_rgbe(rng, 5, 6)
+    mine = native_codec.hdr_decode(_hdr_bytes(rgbe))
+    np.testing.assert_array_equal(mine, _hdr_expected_u8(rgbe))
+
+
+@needs_native
+def test_hdr_new_rle(rng):
+    rgbe = _safe_rgbe(rng, 7, 33)
+    rgbe[:, 5:25, 0] = 44  # guaranteed runs in the red plane
+    mine = native_codec.hdr_decode(_hdr_bytes(rgbe, new_rle=True))
+    np.testing.assert_array_equal(mine, _hdr_expected_u8(rgbe))
+
+
+@needs_native
+def test_hdr_old_style_run_marker():
+    # (1,1,1,n) repeats the previous pixel n times within a scanline; the
+    # shift state resets on each literal pixel.
+    w, h = 4, 2
+    head = f"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y {h} +X {w}\n".encode()
+    px = bytes([64, 128, 255, 130])
+    px2 = bytes([10, 20, 30, 128])
+    stream = (
+        px + bytes([1, 1, 1, 3])    # row 0: literal + run of 3
+        + px2 + bytes([1, 1, 1, 3])  # row 1: literal + run of 3
+    )
+    rgbe = np.frombuffer(px * 4 + px2 * 4, dtype=np.uint8).reshape(h, w, 4)
+    mine = native_codec.hdr_decode(head + stream)
+    np.testing.assert_array_equal(mine, _hdr_expected_u8(rgbe))
+
+
+@needs_native
+def test_hdr_zero_exponent_is_black():
+    w, h = 2, 1
+    head = f"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y {h} +X {w}\n".encode()
+    data = head + bytes([200, 200, 200, 0, 10, 20, 30, 128])
+    mine = native_codec.hdr_decode(data)
+    assert (mine[0, 0] == 0).all()
+
+
+@needs_native
+def test_hdr_rejects_other_orientations():
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n+Y 1 +X 1\n" + bytes(4)
+    assert native_codec.hdr_decode(head) is None
+
+
+@needs_native
+def test_hdr_header_bomb_rejected():
+    head = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 99999 +X 99999\n"
+    assert native_codec.hdr_decode(head) is None
+
+
+# ---------------------------------------------------------------------------
+# PIC (no PIL decoder exists)
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_pic_uncompressed_rgb(rng):
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    mine = native_codec.pic_decode(_pic_bytes_uncompressed(arr))
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_pic_rle_rgba_chained_packets(rng):
+    arr = rng.integers(0, 256, size=(6, 200, 4), dtype=np.uint8)
+    arr[:, 20:180, :3] = 99  # long run -> exercises the 128/u16be count path
+    arr[:, 50:150, 3] = 255
+    mine = native_codec.pic_decode(_pic_bytes_rle(arr))
+    assert mine is not None and mine.shape == (6, 200, 4)
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_pic_header_bomb_rejected():
+    out = _pic_header(0xFFFF, 0xFFFF) + bytes([0, 8, 0, 0xE0])
+    assert native_codec.pic_decode(bytes(out)) is None
+
+
+# ---------------------------------------------------------------------------
+# Serving-path routing + tier counters
+# ---------------------------------------------------------------------------
+
+
+def _b64(data):
+    import base64
+
+    return base64.b64encode(data).decode()
+
+
+@needs_native
+def test_hdr_serves_via_native_tier(rng):
+    # PIL cannot decode HDR: without the native tier this upload FAILS.
+    rgbe = _safe_rgbe(rng, 4, 9)
+    image_utils.reset_decode_tier_counts()
+    arr = image_utils.decode_base64_image(_b64(_hdr_bytes(rgbe)))
+    assert arr.shape == (4, 9, 3)
+    assert image_utils.decode_tier_counts()["native_hdr"] == 1
+
+
+@needs_native
+def test_pic_serves_via_native_tier(rng):
+    arr0 = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    image_utils.reset_decode_tier_counts()
+    arr = image_utils.decode_base64_image(_b64(_pic_bytes_uncompressed(arr0)))
+    np.testing.assert_array_equal(arr, arr0)
+    assert image_utils.decode_tier_counts()["native_pic"] == 1
+
+
+def test_gif_still_serves_via_pil_tier(rng):
+    # GIF keeps PIL first (measured-preferred); the native tier is fallback.
+    arr = rng.integers(0, 255, size=(9, 11, 3), dtype=np.uint8)
+    im = Image.fromarray(arr).convert("P", palette=Image.ADAPTIVE, colors=32)
+    buf = io.BytesIO()
+    im.save(buf, format="GIF")
+    image_utils.reset_decode_tier_counts()
+    out = image_utils.decode_base64_image(_b64(buf.getvalue()))
+    assert out.shape[2] == 3
+    assert image_utils.decode_tier_counts()["pil"] == 1
+
+
+@needs_native
+def test_load_image_file_hdr(rng):
+    rgbe = _safe_rgbe(rng, 3, 8)
+    arr, w, h = image_utils.load_image_file(_hdr_bytes(rgbe))
+    assert (h, w) == (3, 8) and arr.shape == (3, 8, 3)
+    np.testing.assert_array_equal(arr, _hdr_expected_u8(rgbe))
+
+
+@needs_native
+def test_normalized_rgb_from_native_gif_alpha(rng):
+    # RGBA GIF through the serving decode path must land as RGB.
+    pal = [(i * 3 % 256, i * 5 % 256, i * 7 % 256) for i in range(8)]
+    idx = rng.integers(0, 8, size=(6, 6), dtype=np.uint8)
+    data = _gif_bytes(idx, pal, transparent=2)
+    mine = native_codec.gif_decode(data)
+    assert mine is not None and mine.shape[2] == 4
+    arr = image_utils.decode_base64_image(_b64(data))
+    assert arr.shape == (6, 6, 3)
