@@ -333,8 +333,10 @@ uint8_t scale_field(uint32_t v, uint32_t mask) {
   uint32_t m = mask >> shift;
   uint32_t x = (v & mask) >> shift;
   // Bit-replicate to 8 bits: works for any contiguous mask width 1..8.
+  // A hostile 32-bit-wide mask would otherwise drive m >> 32 (UB, found
+  // by the fuzzer).
   int width = 0;
-  while ((m >> width) & 1) ++width;
+  while (width < 32 && ((m >> width) & 1)) ++width;
   if (width >= 8) return (uint8_t)(x >> (width - 8));
   uint32_t out = x << (8 - width);
   int filled = width;

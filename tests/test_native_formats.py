@@ -439,6 +439,21 @@ def test_bmp4_and_bmp1_palette():
 
 
 @needs_native
+def test_bmp_hostile_full_width_masks():
+    # Fuzzer-found: a 32-bit-wide BI_BITFIELDS mask drove a shift-by-32
+    # (UB).  Decode must survive and produce the identity-scaled field.
+    w, h = 2, 1
+    rows = [struct.pack("<II", 0x01020304, 0xA0B0C0D0)]
+    masks = struct.pack("<III", 0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF)
+    data = _bmp_bytes(w, h, 32, rows, compression=3, masks=masks)
+    mine = native_codec.bmp_decode(data)
+    assert mine is not None and mine.shape == (1, 2, 3)
+    # width-32 field: value >> (32-8) == top byte, same for every channel
+    np.testing.assert_array_equal(mine[0, 0], [0x01, 0x01, 0x01])
+    np.testing.assert_array_equal(mine[0, 1], [0xA0, 0xA0, 0xA0])
+
+
+@needs_native
 def test_bmp_rle_falls_back():
     # compression=1 (RLE8) is outside the native subset -> None (PIL tier).
     data = _bmp_bytes(4, 2, 8, [b"\0\0\0\0", b"\0\0\0\0"], compression=1)
