@@ -33,13 +33,18 @@ Measured on v5e (scripts/exp_sobel_gray_repack.py, 5 interleaved rounds in
 one process, README 7 MP workload): 0.361x the every-lane kernel -- well
 past the 30% drift noise floor.
 
-Numerics contract: the tier targets level 2 color images (C > 1), whose
-CPU/TPU acceptance gate is already maxdiff <= 6 on <= 0.1% of pixels vs
-the strict-order oracle (tests/sobel_tolerance.py, tpu_validation.py) --
-the compact gray's f32-ulp wiggle lives inside the same gate.  Grayscale
-(C == 1) stays on the exact every-lane kernel: it has no redundancy to
-remove and its gate is exact equality.  Level 1 / ADVANCED-as-L1 keep
-f32 gray semantics on the baseline kernel.
+Numerics contract: the tier serves color images (C > 1) at two numerics
+levels.  `level=2` quantizes the compact gray to u8 in-kernel (the
+shared-memory tile-load rounding, image_filters.cu:1444); its CPU/TPU
+acceptance gate is already maxdiff <= 6 on <= 0.1% of pixels vs the
+strict-order oracle (tests/sobel_tolerance.py, tpu_validation.py) and
+the compact gray's f32-ulp wiggle lives inside it.  `level=1` (the
+ADVANCED serving tier's numerics) keeps the gray in f32 -- the compact
+gray IS an f32 value within 1-2 ulp of the sequential Rec.601 chain, so
+skipping the quantization is the whole change; its gate is the ADVANCED
+maxdiff <= 1.  Grayscale (C == 1) stays on the exact every-lane kernel
+at every level: it has no redundancy to remove and its gate is exact
+equality.  Request-level 1 (naive parity tier) never routes here.
 """
 
 from __future__ import annotations
@@ -105,11 +110,15 @@ def sobel_mxu_feasible(width: int, channels: int) -> bool:
 def use_mxu_sobel(width: int, channels: int, level: int) -> bool:
     """THE routing predicate for the rows sobel MXU tier.
 
-    Auto: level-2 color images on a real TPU, when the working set fits.
-    GIP_TPU_SOBEL_MXU=1 forces the tier on any backend (CPU interpret
-    tests drive it this way); =0 disables it.
+    `level` is the NUMERICS level (2 = u8-quantized gray, 1 = f32 gray —
+    what the ADVANCED serving tier requests); request-level 1 is served
+    by the naive tier and never consults this predicate.  Auto: color
+    images on a real TPU, when the working set fits.  GIP_TPU_SOBEL_MXU=1
+    forces the tier on any backend (CPU interpret tests drive it this
+    way); =0 disables it.
     """
-    if level != 2 or channels <= 1 or not sobel_mxu_feasible(width, channels):
+    if (level not in (1, 2) or channels <= 1
+            or not sobel_mxu_feasible(width, channels)):
         return False
     force = os.environ.get("GIP_TPU_SOBEL_MXU")
     if force is not None:
@@ -144,7 +153,7 @@ def _band_stack(channels: int) -> jnp.ndarray:
 def _sobel_mxu_kernel(s_ref, in_ref, out_ref, tile_u8, x16, gbuf, mq, sem,
                       *, channels: int, tile_rows: int, copy_rows: int,
                       height: int, width: int, n_gb: int, n_ob: int,
-                      wpad: int, interp: bool):
+                      wpad: int, interp: bool, level: int):
     b = pl.program_id(0)
     i = pl.program_id(1)
     copy = pltpu.make_async_copy(
@@ -169,8 +178,10 @@ def _sobel_mxu_kernel(s_ref, in_ref, out_ref, tile_u8, x16, gbuf, mq, sem,
             acc = acc + jnp.dot(up(sl_x), up(s_ref[t]),
                                 preferred_element_type=jnp.float32)
         gbuf[:, g * 128 : (g + 1) * 128] = acc
-    # Level-2 u8 gray quantization during the "load" (:1444).
-    gbuf[:, :] = jnp.floor(gbuf[:, :] + jnp.float32(0.5))
+    if level == 2:
+        # Level-2 u8 gray quantization during the "load" (:1444).
+        # Level 1 (the ADVANCED serving numerics) keeps the f32 gray.
+        gbuf[:, :] = jnp.floor(gbuf[:, :] + jnp.float32(0.5))
     g_ = gbuf[:, :]
 
     # 2. Taps at 1x lanes on the compact plane (:1555-1584 numerics).
@@ -215,8 +226,12 @@ def sobel_mxu_rows_batch(
     rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
     width: int, channels: int,
     interpret: bool = False,
+    level: int = 2,
 ) -> jnp.ndarray:
-    """Level-2 serving Sobel on interleaved rows, MXU tier; (B, H, W*C)."""
+    """Serving Sobel on interleaved rows, MXU tier; (B, H, W*C).
+
+    ``level`` is the numerics level: 2 = u8-quantized gray, 1 = f32 gray
+    (what the ADVANCED request level serves)."""
     b, height, wf = rows_u8.shape
     cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
     tile_rows = min(_pick_tile_rows(width, channels, wf),
@@ -236,7 +251,8 @@ def sobel_mxu_rows_batch(
         functools.partial(
             _sobel_mxu_kernel, channels=channels, tile_rows=tile_rows,
             copy_rows=copy_rows, height=height, width=width,
-            n_gb=n_gb, n_ob=n_ob, wpad=wpad, interp=interpret),
+            n_gb=n_gb, n_ob=n_ob, wpad=wpad, interp=interpret,
+            level=level),
         grid=(b, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # band stack
@@ -261,7 +277,8 @@ def sobel_mxu_rows_batch(
 
 
 def sobel_mxu_rows(rows_u8: jnp.ndarray, width: int, channels: int,
-                   interpret: bool = False) -> jnp.ndarray:
-    """(H, W*C) interleaved uint8 rows -> same, level-2 edge map."""
+                   interpret: bool = False, level: int = 2) -> jnp.ndarray:
+    """(H, W*C) interleaved uint8 rows -> same edge map (numerics level
+    2 = u8 gray, 1 = f32 gray)."""
     return sobel_mxu_rows_batch(rows_u8[None], width, channels,
-                                interpret=interpret)[0]
+                                interpret=interpret, level=level)[0]

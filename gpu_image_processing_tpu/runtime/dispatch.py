@@ -94,18 +94,19 @@ def _pallas_disabled() -> bool:
 def _sobel_mxu_routed(lvl: int, width: int, channels: int) -> bool:
     """The sobel MXU-tier routing bit for executable cache keys.
 
-    Levels 1 and 4 serve the LEVEL-1 numerics (float gray, no u8
-    quantization) and never ride the MXU tier, so their keys must not
-    fork when GIP_TPU_SOBEL_MXU flips; only level 2 consults the
-    predicate.  Guarded import: an env without Mosaic must fall through
-    to the XLA tier (as the trace builders do), not crash at key time."""
-    if lvl != 2:
+    Request levels 2 (u8-quantized gray) and 4 (ADVANCED: f32 gray) ride
+    the MXU tier on color images; request level 1 serves the naive-parity
+    tier and never consults the predicate, so its keys must not fork when
+    GIP_TPU_SOBEL_MXU flips.  Guarded import: an env without Mosaic must
+    fall through to the XLA tier (as the trace builders do), not crash at
+    key time."""
+    if lvl not in (2, 4):
         return False
     try:
         from ..ops.pallas.sobel_mxu import use_mxu_sobel
     except ImportError:  # pragma: no cover - env without Mosaic
         return False
-    return use_mxu_sobel(width, channels, 2)
+    return use_mxu_sobel(width, channels, 2 if lvl == 2 else 1)
 
 
 def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
@@ -187,11 +188,12 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             sobel_lvl = 1 if level == 4 else 2
             from ..ops.pallas.sobel_mxu import sobel_mxu_rows, use_mxu_sobel
 
-            # Level-2 color: MXU gray compaction removes the every-lane
-            # 3x redundancy (0.361x measured, exp_sobel_gray_repack.py).
+            # Color: MXU gray compaction removes the every-lane 3x
+            # redundancy (0.361x measured, exp_sobel_gray_repack.py).
+            # Level 2 quantizes the compact gray; ADVANCED keeps it f32.
             if use_mxu_sobel(w_, c, sobel_lvl):
                 return lambda rows: sobel_mxu_rows(
-                    rows, w_, c, interpret=interp)
+                    rows, w_, c, interpret=interp, level=sobel_lvl)
             return lambda rows: sobel_pallas_rows(
                 rows, w_, c, level=sobel_lvl, interpret=interp)
         except ImportError:  # pragma: no cover - env without Mosaic
@@ -386,7 +388,7 @@ def _trace_batch(filter_name: str, level: int, radius: int,
 
                 if use_mxu_sobel(w_, c, sobel_lvl):
                     return lambda rows: sobel_mxu_rows_batch(
-                        rows, w_, c, interpret=interp)
+                        rows, w_, c, interpret=interp, level=sobel_lvl)
                 return lambda rows: sobel_pallas_rows_batch(
                     rows, w_, c, level=sobel_lvl, interpret=interp)
 

@@ -145,6 +145,19 @@ def main() -> int:
           sd.max() <= 6 and (sd > 0).mean() <= 1e-3,
           f"max={sd.max()} frac={(sd > 0).mean():.1e}")
 
+    # ADVANCED (f32-gray) MXU sobel: routed for L4 color rows; gate vs the
+    # every-lane level-1-numerics baseline is the ADVANCED maxdiff<=1
+    # (only an isolated floor(mag+0.5) tie can flip, by exactly 1).
+    check("sobel L4 MXU tier routed on silicon", use_mxu_sobel(3239, 3, 1))
+    a4 = np.asarray(_jax.jit(
+        lambda r: sobel_mxu_rows(r, 3239, 3, level=1))(simg))
+    bl4 = np.asarray(_jax.jit(
+        lambda r: sobel_pallas_rows(r, 3239, 3, level=1))(simg))
+    sd4 = np.abs(a4.astype(int) - bl4.astype(int))
+    check("sobel L4 MXU vs baseline gate<=1",
+          sd4.max() <= 1 and (sd4 > 0).mean() <= 1e-3,
+          f"max={sd4.max()} frac={(sd4 > 0).mean():.1e}")
+
     # Full-width radius-15 serving shape (the VMEM stack regression case:
     # the 31-tap rows kernel must pick a tile height that compiles).
     wide = rng.integers(0, 256, (96, 3239, 3), np.uint8)

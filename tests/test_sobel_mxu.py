@@ -39,6 +39,18 @@ def _assert_gate(got, want):
         f"sobel flipped elements {(d > 0).sum()} > {limit}"
 
 
+def _assert_gate_l4(got, want):
+    """ADVANCED gate: f32 gray differs from the sequential chain by ulps,
+    so only an isolated floor(mag+0.5) tie can flip -- by exactly 1."""
+    got, want = np.asarray(got), np.asarray(want)
+    h, w, c = got.shape
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1, f"sobel L4 maxdiff {d.max()} > 1"
+    limit = 9 * c * max(2, round(1e-3 * h * w))
+    assert (d > 0).sum() <= limit, \
+        f"sobel L4 flipped elements {(d > 0).sum()} > {limit}"
+
+
 def _run_rows(img):
     h, w, c = img.shape
     got = np.asarray(jax.jit(
@@ -98,12 +110,15 @@ def test_routing_predicate(monkeypatch):
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
     assert use_mxu_sobel(3239, 3, 2)
     assert use_mxu_sobel(3239, 4, 2)
-    # Never for grayscale (exact-equality gate; no redundancy to remove),
-    # level 1 / ADVANCED-as-L1 (f32 gray semantics), or forced-off.
+    # ADVANCED numerics (f32 gray, numerics level 1) rides the tier too.
+    assert use_mxu_sobel(3239, 3, 1)
+    # Never for grayscale (exact-equality gate; no redundancy to remove)
+    # or forced-off.
     assert not use_mxu_sobel(3239, 1, 2)
-    assert not use_mxu_sobel(3239, 3, 1)
+    assert not use_mxu_sobel(3239, 1, 1)
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
     assert not use_mxu_sobel(3239, 3, 2)
+    assert not use_mxu_sobel(3239, 3, 1)
 
 
 def test_dispatch_routes_mxu_when_forced(monkeypatch):
@@ -118,17 +133,23 @@ def test_dispatch_routes_mxu_when_forced(monkeypatch):
     calls = []
     orig = sm.sobel_mxu_rows
 
-    def spy(rows, width, channels, interpret=False):
-        calls.append((width, channels))
-        return orig(rows, width, channels, interpret=interpret)
+    def spy(rows, width, channels, interpret=False, level=2):
+        calls.append((width, channels, level))
+        return orig(rows, width, channels, interpret=interpret, level=level)
 
     monkeypatch.setattr(sm, "sobel_mxu_rows", spy)
     fn = dispatch._rows_optimized("sobel", 2, 0, 64, 80, 3)
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (64, 80, 3), np.uint8)
     got = np.asarray(jax.jit(fn)(img.reshape(64, -1))).reshape(64, 80, 3)
-    assert calls == [(80, 3)]
+    assert calls == [(80, 3, 2)]
     _assert_gate(got, oracle.sobel(img, 2))
+
+    # ADVANCED request level routes the same tier at f32-gray numerics.
+    fn4 = dispatch._rows_optimized("sobel", 4, 0, 64, 80, 3)
+    got4 = np.asarray(jax.jit(fn4)(img.reshape(64, -1))).reshape(64, 80, 3)
+    assert calls == [(80, 3, 2), (80, 3, 1)]
+    _assert_gate_l4(got4, oracle.sobel(img, 1))
 
 
 def test_mxu_routing_is_in_the_executable_cache_key(monkeypatch):
@@ -143,14 +164,18 @@ def test_mxu_routing_is_in_the_executable_cache_key(monkeypatch):
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
     k_off = executable_cache_key("sobel", 2, 64, 128, 3)
     assert k_on != k_off
-    # Levels 1 and 4 serve the level-1 numerics and never ride the MXU:
-    # forcing the flag must NOT fork their keys (a fork would recompile
-    # an identical executable).
-    for lvl in (1, 4):
-        monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
-        k_lvl = executable_cache_key("sobel", lvl, 64, 128, 3)
-        monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
-        assert k_lvl == executable_cache_key("sobel", lvl, 64, 128, 3)
+    # Level 4 (ADVANCED, f32-gray MXU) forks its key on the flag too.
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    k4_on = executable_cache_key("sobel", 4, 64, 128, 3)
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+    assert k4_on != executable_cache_key("sobel", 4, 64, 128, 3)
+    # Level 1 serves the naive-parity tier and never rides the MXU:
+    # forcing the flag must NOT fork its key (a fork would recompile an
+    # identical executable).
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    k1 = executable_cache_key("sobel", 1, 64, 128, 3)
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+    assert k1 == executable_cache_key("sobel", 1, 64, 128, 3)
 
 
 def test_mxu_routing_in_all_levels_and_batch_keys(monkeypatch):
@@ -164,7 +189,43 @@ def test_mxu_routing_in_all_levels_and_batch_keys(monkeypatch):
     assert _sobel_mxu_routed(2, 128, 3) is True
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
     assert _sobel_mxu_routed(2, 128, 3) is False
-    # Non-L2 levels never consult the flag.
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    assert _sobel_mxu_routed(4, 128, 3) is True
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "0")
+    assert _sobel_mxu_routed(4, 128, 3) is False
+    # Request level 1 (naive tier) never consults the flag.
     monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
     assert _sobel_mxu_routed(1, 128, 3) is False
-    assert _sobel_mxu_routed(4, 128, 3) is False
+
+
+@pytest.mark.parametrize("shape", [
+    (70, 90, 3),
+    (41, 33, 4),
+    (13, 300, 3),
+])
+def test_level4_f32_gray_matches_l1_oracle(shape):
+    """ADVANCED numerics (level=1): no gray quantization; the compact
+    gray is within f32 ulps of the sequential Rec.601 chain, so the
+    output sits within the ADVANCED maxdiff<=1 gate vs the L1 oracle."""
+    rng = np.random.default_rng(sum(shape) + 1)
+    img = rng.integers(0, 256, shape, np.uint8)
+    h, w, c = shape
+    got = np.asarray(jax.jit(
+        lambda r: sobel_mxu_rows(r, w, c, interpret=True, level=1)
+    )(img.reshape(h, w * c))).reshape(h, w, c)
+    _assert_gate_l4(got, oracle.sobel(img, 1))
+    assert (got == got[:, :, :1]).all()
+
+
+def test_level4_batch_matches_single():
+    rng = np.random.default_rng(15)
+    imgs = rng.integers(0, 256, (2, 40, 57, 3), np.uint8)
+    b, h, w, c = imgs.shape
+    got = np.asarray(jax.jit(
+        lambda r: sobel_mxu_rows_batch(r, w, c, interpret=True, level=1)
+    )(imgs.reshape(b, h, w * c)))
+    for i in range(b):
+        single = np.asarray(jax.jit(
+            lambda r: sobel_mxu_rows(r, w, c, interpret=True, level=1)
+        )(imgs[i].reshape(h, w * c)))
+        np.testing.assert_array_equal(got[i], single)
