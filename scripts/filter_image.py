@@ -52,6 +52,23 @@ def load_image(path: str) -> np.ndarray:
                 # Strip alpha like the reference CLI (test_real_image.cu:122-125).
                 arr = np.ascontiguousarray(arr[:, :, :3])
             return arr
+    # Byte-sniffed native formats PIL cannot read (HDR, PIC) — plus the
+    # no-PIL fallbacks for GIF/BMP/PSD — ride utils.image's tiering,
+    # matching the reference CLI's "any format via stb" surface
+    # (test_real_image.cu:100).
+    try:
+        with open(path, "rb") as fh:
+            head = fh.read(16)
+        if head[:2] == b"#?" or head[:4] == b"\x53\x80\xf6\x34":
+            from gpu_image_processing_tpu.utils.image import load_image_file
+
+            with open(path, "rb") as fh:
+                arr, _, _ = load_image_file(fh.read())
+            if arr.shape[2] == 4:
+                arr = np.ascontiguousarray(arr[:, :, :3])
+            return arr
+    except OSError:
+        pass
     from PIL import Image
 
     img = Image.open(path)

@@ -145,6 +145,18 @@ for trial in range(N // 3):
     if d > 6:
         print(f"[m{trial}] MXU SOBEL MISMATCH h={h} w={w} c={c} maxdiff={d}")
         fails += 1
+    # ADVANCED numerics through the same tier (f32 gray): gate <= 1 vs
+    # the L1 oracle (only a floor(mag+0.5) tie can flip, by exactly 1).
+    try:
+        out4, _ = RUNTIME.sobel_edge_detection(img, level=4)
+    except Exception as exc:
+        print(f"[m{trial}] L4 EXC h={h} w={w} c={c}: {exc}")
+        fails += 1
+        continue
+    d4 = int(np.abs(out4.astype(int) - oracle.sobel(img, 1).astype(int)).max())
+    if d4 > 1:
+        print(f"[m{trial}] MXU SOBEL L4 MISMATCH h={h} w={w} c={c} maxdiff={d4}")
+        fails += 1
 os.environ.pop("GIP_TPU_SOBEL_MXU", None)
 if mxu_routed == 0:
     print("MXU sobel section never routed to the MXU tier")
