@@ -71,8 +71,10 @@ def stage_serving(timeout_s: int) -> tuple[bool, float, str]:
         logs.append("start: " + tail.splitlines()[-1] if tail else "start")
         if not ok:
             return False, time.time() - t0, "\n".join(logs)
+        # 600 s: the client's sobel-L4 + HDR checks can compile fresh
+        # Mosaic executables through the relay on a cold cache.
         ok_client, _, tail = run(
-            [sys.executable, os.path.join(REPO, "test_client.py")], 300)
+            [sys.executable, os.path.join(REPO, "test_client.py")], 600)
         logs.append("test_client: " + (tail.splitlines()[-1] if tail else ""))
         sys.path.insert(0, REPO)
         from gpu_image_processing_tpu.core import config

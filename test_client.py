@@ -158,7 +158,44 @@ def main() -> int:
     except Exception as exc:
         record("batch endpoint", False, str(exc))
 
-    # 8. stats endpoint (observability extension)
+    # 8. ADVANCED level (the enum the reference declares but never
+    # implements; here it serves the relaxed-numerics fast tier)
+    try:
+        status, body = http_json(f"{base}/api/process", {
+            "image": image_b64, "filter": "sobel", "level": 4,
+        })
+        ok = status == 200 and body["info"]["level"] == "advanced"
+        if ok:
+            save_png(body["processed_image"], f"{args.outdir}/sobel_l4.png")
+        record("sobel ADVANCED level", ok)
+    except Exception as exc:
+        record("sobel ADVANCED level", False, str(exc))
+
+    # 9. format breadth: Radiance HDR has NO PIL decoder -- serving it at
+    # all proves the native codec tier end-to-end (utils/image.py).
+    try:
+        rgbe = np.zeros((24, 32, 4), np.uint8)
+        rgbe[..., 0] = 64
+        rgbe[..., 1] = np.linspace(0, 255, 32, dtype=np.uint8)
+        rgbe[..., 3] = 128
+        hdr = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 24 +X 32\n"
+               + rgbe.tobytes())
+        status, body = http_json(f"{base}/api/process", {
+            "image": base64.b64encode(hdr).decode(),
+            "filter": "gaussian", "level": 2, "sigma": 2.0, "radius": 3,
+        })
+        ok = status == 200 and body["metrics"]["time_ms"] > 0
+        tiers = {}
+        if ok:
+            _, stats = http_json(f"{base}/api/stats")
+            tiers = stats.get("decode_tiers", {})
+            ok = tiers.get("native_hdr", 0) >= 1
+        record("HDR upload via native tier", ok,
+               f"native_hdr={tiers.get('native_hdr')}" if tiers else "")
+    except Exception as exc:
+        record("HDR upload via native tier", False, str(exc))
+
+    # 10. stats endpoint (observability extension)
     try:
         status, body = http_json(f"{base}/api/stats")
         record("stats endpoint", status == 200 and body["requests_total"] > 0,
