@@ -43,6 +43,8 @@ _DECODE_TIERS = (
     "native_psd",
     "native_hdr",
     "native_pic",
+    "native_pnm",
+    "native_tga",
     "pil",
     "failed",
 )
@@ -87,7 +89,30 @@ def _sniff_native_fallback(raw: bytes):
         return native_codec.bmp_decode, "native_bmp"
     if raw[:4] == b"8BPS":
         return native_codec.psd_decode, "native_psd"
+    if raw[:2] in (b"P5", b"P6") and len(raw) > 2 and raw[2:3].isspace():
+        return native_codec.pnm_decode, "native_pnm"
+    if _tga_plausible(raw):
+        return native_codec.tga_decode, "native_tga"
     return None, None
+
+
+def _tga_plausible(raw: bytes) -> bool:
+    """Header-plausibility sniff for TGA, which has no magic bytes.
+
+    Checked LAST in the fallback chain (stb tries TGA last for the same
+    reason, stb_image.h's stbi__tga_test); the decoder re-validates
+    everything, this only keeps arbitrary non-image bytes from reaching it.
+    """
+    if len(raw) < 18:
+        return False
+    cmap_type, img_type, bpp = raw[1], raw[2], raw[16]
+    if cmap_type not in (0, 1) or img_type not in (1, 2, 3, 9, 10, 11):
+        return False
+    if bpp not in (8, 15, 16, 24, 32):
+        return False
+    w = raw[12] | (raw[13] << 8)
+    h = raw[14] | (raw[15] << 8)
+    return w > 0 and h > 0
 
 
 def _normalize_rgb(arr: np.ndarray) -> np.ndarray:

@@ -75,6 +75,8 @@ def load() -> Optional[ctypes.CDLL]:
         "gip_psd_decode",
         "gip_hdr_decode",
         "gip_pic_decode",
+        "gip_pnm_decode",
+        "gip_tga_decode",
     ):
         fn = getattr(lib, fn_name, None)
         if fn is not None:
@@ -255,6 +257,38 @@ def pic_decode(data: bytes) -> Optional[np.ndarray]:
     """Softimage PIC (8-bit packets, uncompressed/mixed RLE) -> HWC u8.
     PIL has no PIC path either; native is the only tier for it."""
     return _decode_out_params("gip_pic_decode", data)
+
+
+def pnm_decode(data: bytes) -> Optional[np.ndarray]:
+    """Binary PNM (P5 gray / P6 RGB, 8/16-bit) -> HWC u8.  stb-compatible
+    semantics: raw values for maxval <= 255, high byte for 16-bit
+    (stb_image.h:139)."""
+    return _decode_out_params("gip_pnm_decode", data)
+
+
+def tga_decode(data: bytes) -> Optional[np.ndarray]:
+    """TGA from memory (truecolor/gray/colormapped, RLE, 15/16/24/32-bpp)
+    -> HWC u8.  TGA has no magic bytes, so this tier is only tried last
+    (utils/image.py::_tga_plausible), mirroring stb's ordering."""
+    return _decode_out_params("gip_tga_decode", data)
+
+
+def hdr_write(path: str, img: np.ndarray) -> bool:
+    """Write HWC uint8 as Radiance HDR (RGBE, new-RLE scanlines), inverting
+    the decoder's gamma-2.2 LDR tone map.  Completes stb_image_write's
+    format set (PNG/JPG/BMP/TGA/HDR)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "gip_hdr_write"):
+        return False
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    fn = lib.gip_hdr_write
+    fn.restype = ctypes.c_int
+    fn.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                   ctypes.c_int, ctypes.c_int]
+    return fn(path.encode(), img.ctypes.data_as(ctypes.c_char_p), h, w, c) == 0
 
 
 def b64_encode(data: bytes) -> Optional[bytes]:

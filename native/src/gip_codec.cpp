@@ -530,87 +530,24 @@ int gip_tga_write(const char* path, const uint8_t* img, int h, int w, int c) {
   return 0;
 }
 
+// Defined in gip_formats.cpp.
+int gip_tga_decode(const uint8_t* buf, size_t len, uint8_t** out, int* out_h,
+                   int* out_w, int* out_c);
+
 int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
                  int* out_c) {
+  // Delegates to the bounds-checked in-memory decoder (gip_formats.cpp),
+  // which supersets the original file reader: colormapped types 1/9 and
+  // 15/16-bpp truecolor decode too.
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
-  uint8_t header[18];
-  if (std::fread(header, 1, 18, f) != 18) { std::fclose(f); return 2; }
-  int id_len = header[0], cmap = header[1], type = header[2];
-  int w = header[12] | (header[13] << 8);
-  int h = header[14] | (header[15] << 8);
-  int bpp = header[16];
-  bool top_down = (header[17] & 0x20) != 0;
-  bool right_to_left = (header[17] & 0x10) != 0;
-  bool rle = type == 10 || type == 11;
-  if ((header[17] & 0xC0) != 0 ||  // interleave bits: unsupported, reject
-      cmap != 0 || (type != 2 && type != 3 && !rle) ||
-      (bpp != 8 && bpp != 24 && bpp != 32) || w <= 0 || h <= 0 ||
-      (uint64_t)w * h > kGipMaxDecodePixels ||
-      ((type == 3 || type == 11) != (bpp == 8))) {
-    std::fclose(f);
-    return 3;
-  }
-  if (id_len && std::fseek(f, id_len, SEEK_CUR) != 0) { std::fclose(f); return 2; }
-  int c = bpp / 8;
-  size_t n = (size_t)w * h * c;
-  uint8_t* buf = (uint8_t*)std::malloc(n);
-  if (!buf) { std::fclose(f); return 4; }
-  if (rle) {
-    size_t filled = 0;
-    uint8_t px[4];
-    while (filled < n) {
-      int hdr = std::fgetc(f);
-      if (hdr == EOF) { std::free(buf); std::fclose(f); return 5; }
-      size_t count = (size_t)(hdr & 0x7f) + 1;
-      if (count * c > n - filled) { std::free(buf); std::fclose(f); return 5; }
-      if (hdr & 0x80) {  // run packet: one pixel repeated `count` times
-        if (std::fread(px, 1, c, f) != (size_t)c) {
-          std::free(buf); std::fclose(f); return 5;
-        }
-        for (size_t i = 0; i < count; ++i, filled += c)
-          std::memcpy(buf + filled, px, c);
-      } else {  // raw packet: `count` literal pixels
-        if (std::fread(buf + filled, 1, count * c, f) != count * c) {
-          std::free(buf); std::fclose(f); return 5;
-        }
-        filled += count * c;
-      }
-    }
-  } else if (std::fread(buf, 1, n, f) != n) {
-    std::free(buf);
-    std::fclose(f);
-    return 5;
-  }
+  std::vector<uint8_t> data;
+  uint8_t chunk[65536];
+  size_t got;
+  while ((got = std::fread(chunk, 1, sizeof chunk, f)) > 0)
+    data.insert(data.end(), chunk, chunk + got);
   std::fclose(f);
-  if (c >= 3) {  // BGR(A) -> RGB(A)
-    for (size_t i = 0; i < n; i += c) std::swap(buf[i], buf[i + 2]);
-  }
-  if (!top_down) {  // bottom-up -> top-down
-    size_t row = (size_t)w * c;
-    std::vector<uint8_t> tmp(row);
-    for (int y = 0; y < h / 2; ++y) {
-      uint8_t* a = buf + (size_t)y * row;
-      uint8_t* b = buf + (size_t)(h - 1 - y) * row;
-      std::memcpy(tmp.data(), a, row);
-      std::memcpy(a, b, row);
-      std::memcpy(b, tmp.data(), row);
-    }
-  }
-  if (right_to_left) {  // descriptor bit 4: mirror each row's pixels
-    size_t row = (size_t)w * c;
-    for (int y = 0; y < h; ++y) {
-      uint8_t* r0 = buf + (size_t)y * row;
-      for (int x = 0; x < w / 2; ++x)
-        for (int k = 0; k < c; ++k)
-          std::swap(r0[(size_t)x * c + k], r0[(size_t)(w - 1 - x) * c + k]);
-    }
-  }
-  *out = buf;
-  *out_h = h;
-  *out_w = w;
-  *out_c = c;
-  return 0;
+  return gip_tga_decode(data.data(), data.size(), out, out_h, out_w, out_c);
 }
 
 }  // extern "C"

@@ -3,19 +3,23 @@
 // The reference's C++ test tier decodes "any format" through vendored stb
 // (/root/reference/external/stb_image.h:118-139 lists JPEG/PNG/TGA/BMP/PSD/
 // GIF/HDR/PIC/PNM; used by tests/test_real_image.cu:7-11).  gip_codec.cpp
-// covers PNG/TGA/PNM and gip_jpeg.cpp covers JPEG; this file closes the
-// rest from scratch: GIF (LZW, interlace, transparency), BMP (palette /
-// 16/24/32-bit, bitfields), PSD (composite, RAW + PackBits RLE, 8/16-bit),
-// Radiance HDR (RGBE, old + new RLE, stb-compatible LDR tone map), and
-// Softimage PIC (mixed RLE).  Like the rest of the native tier these parse
-// UNTRUSTED uploads, so every read is bounds-checked and every allocation
-// is bounded by kGipMaxDecodePixels; the sanitized mutational fuzzer
-// (tools/fuzz_codec.cpp) covers all five.
+// covers PNG (and the file-path PPM/TGA readers the CLI uses) and
+// gip_jpeg.cpp covers JPEG; this file closes the rest from scratch:
+// GIF (LZW, interlace, transparency), BMP (palette / 16/24/32-bit,
+// bitfields), PSD (composite, RAW + PackBits RLE, 8/16-bit), Radiance HDR
+// (RGBE, old + new RLE, stb-compatible LDR tone map + an RLE writer),
+// Softimage PIC (mixed RLE), binary PNM (P5/P6, 8/16-bit), and in-memory
+// TGA (truecolor/gray/colormapped, RLE, 15/16/24/32-bpp).  Like the rest
+// of the native tier these parse UNTRUSTED uploads, so every read is
+// bounds-checked and every allocation is bounded by kGipMaxDecodePixels;
+// the sanitized mutational fuzzer (tools/fuzz_codec.cpp) covers them all.
 //
 // C ABI only; bound from Python via ctypes (utils/native_codec.py).
 
+#include <cctype>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -790,6 +794,303 @@ int pic_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
   return finish(img, (int)h, (int)w, c, out_buf, out_h, out_w, out_c);
 }
 
+// ---------------------------------------------------------------------------
+// Binary PNM (P5 gray / P6 RGB), 8- and 16-bit.  stb parity notes
+// (stb_image.h:139 "PNM (.ppm and .pgm binary only)"): values are returned
+// raw for maxval <= 255 (no rescale — stb does the same), and 16-bit
+// samples convert to 8-bit by taking the high byte (stb's 16→8 is `v >> 8`).
+// ---------------------------------------------------------------------------
+
+bool pnm_token(Reader& r, long* out_val) {
+  // Skip whitespace and '#' comments, then parse a decimal integer.
+  uint8_t ch;
+  for (;;) {
+    if (!r.u8(&ch)) return false;
+    if (ch == '#') {
+      while (r.u8(&ch) && ch != '\n') {
+      }
+      continue;
+    }
+    if (!isspace(ch)) break;
+  }
+  if (ch < '0' || ch > '9') return false;
+  long v = ch - '0';
+  while (r.ok(1) && r.p[r.pos] >= '0' && r.p[r.pos] <= '9') {
+    v = v * 10 + (r.p[r.pos++] - '0');
+    if (v > 0x7FFFFFFFL) return false;
+  }
+  *out_val = v;
+  return true;
+}
+
+int pnm_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    int* out_h, int* out_w, int* out_c) {
+  Reader r{buf, len};
+  if (len < 2 || buf[0] != 'P' || (buf[1] != '5' && buf[1] != '6')) return 1;
+  const int c = buf[1] == '5' ? 1 : 3;
+  r.pos = 2;
+  long w, h, maxval;
+  if (!pnm_token(r, &w) || !pnm_token(r, &h) || !pnm_token(r, &maxval))
+    return 2;
+  if (w <= 0 || h <= 0 || (uint64_t)w * h > kGipMaxDecodePixels) return 8;
+  if (maxval < 1 || maxval > 65535) return 2;
+  uint8_t ws;
+  if (!r.u8(&ws) || !isspace(ws)) return 2;  // single whitespace after maxval
+
+  const size_t n = (size_t)w * h * c;
+  std::vector<uint8_t> img(n);
+  if (maxval < 256) {
+    if (!r.ok(n)) return 5;
+    std::memcpy(img.data(), r.p + r.pos, n);
+  } else {
+    if (!r.ok(n * 2)) return 5;
+    for (size_t i = 0; i < n; ++i) img[i] = r.p[r.pos + i * 2];  // BE high byte
+  }
+  return finish(img, (int)h, (int)w, c, out_buf, out_h, out_w, out_c);
+}
+
+// ---------------------------------------------------------------------------
+// TGA from memory: truecolor (type 2), grayscale (type 3), colormapped
+// (type 1), and their RLE variants (10/11/9); 8-bpp gray, 15/16-bpp
+// A1R5G5B5, 24/32-bpp BGR(A); palettes of 15/16/24/32 bpp with 8-bit
+// indices; both row orders + right-to-left mirroring.  This supersets the
+// CLI's original file reader (gip_codec.cpp delegates here) and matches
+// stb's TGA surface (stb_image.h:122 ".tga"; its colormap path).
+// ---------------------------------------------------------------------------
+
+int tga_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    int* out_h, int* out_w, int* out_c) {
+  if (len < 18) return 2;
+  const int id_len = buf[0], cmap_type = buf[1], type = buf[2];
+  const int cmap_origin = buf[3] | (buf[4] << 8);
+  const int cmap_len = buf[5] | (buf[6] << 8);
+  const int cmap_bpp = buf[7];
+  const int w = buf[12] | (buf[13] << 8);
+  const int h = buf[14] | (buf[15] << 8);
+  const int bpp = buf[16];
+  const uint8_t desc = buf[17];
+  const bool top_down = (desc & 0x20) != 0;
+  const bool right_to_left = (desc & 0x10) != 0;
+  const bool rle = type == 9 || type == 10 || type == 11;
+  const int base = type & 7;  // 1 colormapped, 2 truecolor, 3 gray
+
+  if ((desc & 0xC0) != 0) return 3;  // interleave bits: unsupported
+  if (base != 1 && base != 2 && base != 3) return 3;
+  if (cmap_type > 1 || ((base == 1) != (cmap_type == 1))) return 3;
+  // cmap_origin is the index of the FIRST palette entry (indices live in
+  // [origin, origin+len)); out-of-range indices clamp to entry 0 in put().
+  if (base == 1 && (bpp != 8 || cmap_len <= 0 || cmap_len > 256 ||
+                    (cmap_bpp != 15 && cmap_bpp != 16 && cmap_bpp != 24 &&
+                     cmap_bpp != 32)))
+    return 3;
+  if (base == 2 && bpp != 16 && bpp != 15 && bpp != 24 && bpp != 32) return 3;
+  if (base == 3 && bpp != 8) return 3;
+  if (w <= 0 || h <= 0 || (uint64_t)w * h > kGipMaxDecodePixels) return 8;
+
+  Reader r{buf, len};
+  r.pos = 18;
+  if (!r.skip((size_t)id_len)) return 2;
+
+  // Palette: stored entries convert to RGB(A) up front; indices offset by
+  // cmap_origin per the spec.
+  uint8_t pal[256][4];
+  int pal_c = 3;
+  if (base == 1) {
+    const size_t entry_bytes = (cmap_bpp + 7) / 8;
+    if (!r.ok((size_t)cmap_len * entry_bytes)) return 2;
+    pal_c = cmap_bpp == 32 ? 4 : 3;
+    for (int i = 0; i < cmap_len; ++i) {
+      const uint8_t* e = r.p + r.pos + (size_t)i * entry_bytes;
+      if (cmap_bpp >= 24) {
+        pal[i][0] = e[2];
+        pal[i][1] = e[1];
+        pal[i][2] = e[0];
+        pal[i][3] = cmap_bpp == 32 ? e[3] : 255;
+      } else {  // 15/16: A1R5G5B5 little-endian
+        uint32_t v = e[0] | (uint32_t(e[1]) << 8);
+        pal[i][0] = scale_field(v, 0x7C00);
+        pal[i][1] = scale_field(v, 0x03E0);
+        pal[i][2] = scale_field(v, 0x001F);
+        pal[i][3] = 255;
+      }
+    }
+    r.pos += (size_t)cmap_len * entry_bytes;
+  }
+
+  const int src_bytes = base == 1 ? 1 : (bpp + 7) / 8;
+  const int c = base == 3 ? 1
+              : base == 1 ? pal_c
+              : bpp == 32 ? 4
+                          : 3;
+  const size_t npx = (size_t)w * h;
+  std::vector<uint8_t> img(npx * c);
+
+  // Convert one source pixel into img at pixel index i (stored order).
+  auto put = [&](size_t i, const uint8_t* s) {
+    uint8_t* d = img.data() + i * c;
+    if (base == 3) {
+      d[0] = s[0];
+    } else if (base == 1) {
+      int k = s[0] - cmap_origin;
+      if (k < 0 || k >= cmap_len) k = 0;
+      for (int j = 0; j < c; ++j) d[j] = pal[k][j];
+    } else if (src_bytes == 2) {
+      uint32_t v = s[0] | (uint32_t(s[1]) << 8);
+      d[0] = scale_field(v, 0x7C00);
+      d[1] = scale_field(v, 0x03E0);
+      d[2] = scale_field(v, 0x001F);
+    } else {
+      d[0] = s[2];
+      d[1] = s[1];
+      d[2] = s[0];
+      if (c == 4) d[3] = s[3];
+    }
+  };
+
+  if (rle) {
+    size_t i = 0;
+    while (i < npx) {
+      uint8_t hdr;
+      if (!r.u8(&hdr)) return 5;
+      size_t count = (size_t)(hdr & 0x7F) + 1;
+      if (count > npx - i) return 5;
+      if (hdr & 0x80) {  // run packet: one pixel repeated
+        if (!r.ok((size_t)src_bytes)) return 5;
+        const uint8_t* s = r.p + r.pos;
+        r.pos += src_bytes;
+        for (size_t k = 0; k < count; ++k) put(i++, s);
+      } else {  // raw packet
+        if (!r.ok(count * src_bytes)) return 5;
+        for (size_t k = 0; k < count; ++k)
+          put(i++, r.p + r.pos + k * src_bytes);
+        r.pos += count * src_bytes;
+      }
+    }
+  } else {
+    if (!r.ok(npx * src_bytes)) return 5;
+    for (size_t i = 0; i < npx; ++i) put(i, r.p + r.pos + i * src_bytes);
+  }
+
+  if (!top_down) {
+    const size_t row = (size_t)w * c;
+    std::vector<uint8_t> tmp(row);
+    for (int y = 0; y < h / 2; ++y) {
+      uint8_t* a = img.data() + (size_t)y * row;
+      uint8_t* b = img.data() + (size_t)(h - 1 - y) * row;
+      std::memcpy(tmp.data(), a, row);
+      std::memcpy(a, b, row);
+      std::memcpy(b, tmp.data(), row);
+    }
+  }
+  if (right_to_left) {
+    for (int y = 0; y < h; ++y) {
+      uint8_t* r0 = img.data() + (size_t)y * w * c;
+      for (int x = 0; x < w / 2; ++x)
+        for (int k = 0; k < c; ++k)
+          std::swap(r0[(size_t)x * c + k], r0[(size_t)(w - 1 - x) * c + k]);
+    }
+  }
+  return finish(img, h, w, c, out_buf, out_h, out_w, out_c);
+}
+
+// ---------------------------------------------------------------------------
+// Radiance HDR writer (the fifth stb_image_write format: stb writes
+// PNG/JPG/BMP/TGA/HDR, stb_image_write.h:140-170).  Takes the pipeline's
+// LDR uint8, inverts the decoder's tone map (linear = (v/255)^2.2), and
+// emits new-style RLE scanlines when the width allows (8..32767), flat
+// RGBE otherwise — the exact streams hdr_decode_impl above reads back.
+// ---------------------------------------------------------------------------
+
+void rgbe_encode(float r, float g, float b, uint8_t* q) {
+  float m = r > g ? r : g;
+  if (b > m) m = b;
+  if (m < 1e-32f) {
+    q[0] = q[1] = q[2] = q[3] = 0;
+    return;
+  }
+  int e;
+  float f = std::frexp(m, &e);        // m = f * 2^e, f in [0.5, 1)
+  float scale = f * 256.0f / m;       // = 256 / 2^e
+  // Truncate, don't round: the max channel's mantissa is f*256 which can
+  // reach 255.999; +0.5 rounding overflows it to 256 -> wraps to 0 (Ward's
+  // code and stb_image_write truncate for the same reason).
+  q[0] = (uint8_t)(r * scale);
+  q[1] = (uint8_t)(g * scale);
+  q[2] = (uint8_t)(b * scale);
+  q[3] = (uint8_t)(e + 128);
+}
+
+// One RLE plane: runs >= 3 as (128+len, v) packets, literals capped at 128.
+bool hdr_rle_plane(FILE* f, const uint8_t* p, int w) {
+  int x = 0;
+  while (x < w) {
+    int run = 1;
+    while (x + run < w && run < 127 && p[x + run] == p[x]) ++run;
+    if (run >= 3) {
+      uint8_t hd[2] = {(uint8_t)(128 + run), p[x]};
+      if (std::fwrite(hd, 1, 2, f) != 2) return false;
+      x += run;
+    } else {
+      int start = x;
+      x += run;
+      while (x < w && x - start < 128) {
+        int r2 = 1;
+        while (x + r2 < w && r2 < 3 && p[x + r2] == p[x]) ++r2;
+        if (r2 >= 3) break;
+        x += r2;
+      }
+      if (x - start > 128) x = start + 128;
+      uint8_t n = (uint8_t)(x - start);
+      if (std::fwrite(&n, 1, 1, f) != 1) return false;
+      if (std::fwrite(p + start, 1, n, f) != n) return false;
+    }
+  }
+  return true;
+}
+
+int hdr_write_impl(const char* path, const uint8_t* img, int h, int w, int c) {
+  if (c != 1 && c != 3 && c != 4) return 1;
+  if (w <= 0 || h <= 0) return 1;
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 2;
+  std::fprintf(f, "#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y %d +X %d\n", h, w);
+
+  const bool use_rle = w >= 8 && w < 32768;
+  std::vector<uint8_t> scan((size_t)w * 4);
+  // u8 -> linear lookup (inverse of rgbe_to_u8's gamma-2.2 tone map).
+  float lut[256];
+  for (int i = 0; i < 256; ++i) lut[i] = std::pow(i / 255.0f, 2.2f);
+
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = img + (size_t)y * w * c;
+    for (int x = 0; x < w; ++x) {
+      const uint8_t* p = row + (size_t)x * c;
+      float r = lut[p[0]];
+      float g = lut[c >= 3 ? p[1] : p[0]];
+      float b = lut[c >= 3 ? p[2] : p[0]];
+      rgbe_encode(r, g, b, &scan[(size_t)x * 4]);
+    }
+    if (use_rle) {
+      uint8_t hd[4] = {2, 2, (uint8_t)(w >> 8), (uint8_t)(w & 0xFF)};
+      if (std::fwrite(hd, 1, 4, f) != 4) goto fail;
+      // Planes are written component-major: gather each into a row buffer.
+      for (int k = 0; k < 4; ++k) {
+        std::vector<uint8_t> plane((size_t)w);
+        for (int x = 0; x < w; ++x) plane[x] = scan[(size_t)x * 4 + k];
+        if (!hdr_rle_plane(f, plane.data(), w)) goto fail;
+      }
+    } else {
+      if (std::fwrite(scan.data(), 1, scan.size(), f) != scan.size())
+        goto fail;
+    }
+  }
+  std::fclose(f);
+  return 0;
+fail:
+  std::fclose(f);
+  return 3;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -838,6 +1139,32 @@ int gip_pic_decode(const uint8_t* buf, size_t len, uint8_t** out_buf,
                    int* out_h, int* out_w, int* out_c) {
   try {
     return pic_decode_impl(buf, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+int gip_pnm_decode(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                   int* out_h, int* out_w, int* out_c) {
+  try {
+    return pnm_decode_impl(buf, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+int gip_tga_decode(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                   int* out_h, int* out_w, int* out_c) {
+  try {
+    return tga_decode_impl(buf, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+int gip_hdr_write(const char* path, const uint8_t* img, int h, int w, int c) {
+  try {
+    return hdr_write_impl(path, img, h, w, c);
   } catch (...) {
     return 9;
   }

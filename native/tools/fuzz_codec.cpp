@@ -35,6 +35,9 @@ int gip_bmp_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_psd_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_hdr_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_pic_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_pnm_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_tga_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_hdr_write(const char*, const uint8_t*, int, int, int);
 }
 
 namespace {
@@ -187,6 +190,8 @@ void run_decoders(const std::vector<uint8_t>& d) {
       {"psd_decode", gip_psd_decode, 1, 4},
       {"hdr_decode", gip_hdr_decode, 3, 3},
       {"pic_decode", gip_pic_decode, 3, 4},
+      {"pnm_decode", gip_pnm_decode, 1, 3},
+      {"tga_decode", gip_tga_decode, 1, 4},
   };
   for (const auto& fmt : kFmts) {
     out = nullptr;
@@ -259,6 +264,42 @@ int main(int argc, char** argv) {
   // RLE bottom-up TGA (the variant our writer never emits).
   corpus.push_back({0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 2, 0, 24, 0,
                     0x81, 0, 0, 255, 0x01, 0, 255, 0, 255, 0, 0});
+  // Colormapped TGA (type 1, 8-bit indices, 24-bit palette, 2 entries).
+  corpus.push_back({0, 1, 1, 0, 0, 2, 0, 24, 0, 0, 0, 0, 2, 0, 2, 0, 8, 0x20,
+                    10, 20, 30, 200, 100, 50, 0, 1, 1, 0});
+  // 16-bpp truecolor TGA (A1R5G5B5).
+  corpus.push_back({0, 0, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 2, 0, 1, 0, 16, 0x20,
+                    0x1F, 0x7C, 0xE0, 0x03});
+  // Binary PNM seeds: P6 RGB 2x2 maxval 255 (with a comment), P5 gray
+  // 16-bit (maxval 65535, big-endian), and a bare header stub.
+  {
+    const char* p6 = "P6\n# c\n2 2\n255\n";
+    std::vector<uint8_t> s(p6, p6 + std::strlen(p6));
+    for (int i = 0; i < 12; ++i) s.push_back((uint8_t)(i * 21));
+    corpus.push_back(s);
+    const char* p5 = "P5 3 2 65535 ";
+    std::vector<uint8_t> t(p5, p5 + std::strlen(p5));
+    for (int i = 0; i < 12; ++i) t.push_back((uint8_t)(i * 13 + 7));
+    corpus.push_back(t);
+    const char* stub = "P5\n#";
+    corpus.push_back(std::vector<uint8_t>(stub, stub + std::strlen(stub)));
+  }
+  // Radiance HDR produced by our own RLE writer (exercises writer+reader).
+  {
+    auto img = synth_image(9, 33, 3, 5);
+    if (gip_hdr_write("/tmp/gip_fuzz_seed.hdr", img.data(), 9, 33, 3) == 0) {
+      FILE* f = std::fopen("/tmp/gip_fuzz_seed.hdr", "rb");
+      if (f) {
+        std::vector<uint8_t> out;
+        uint8_t chunk[4096];
+        size_t got;
+        while ((got = std::fread(chunk, 1, sizeof chunk, f)) > 0)
+          out.insert(out.end(), chunk, chunk + got);
+        std::fclose(f);
+        corpus.push_back(out);
+      }
+    }
+  }
   // Format seeds for the gip_formats decoders (generated valid files
   // covering RLE / interlace / bitfields paths; see fuzz_seeds.h).
 #define GIP_ADD_SEED(n) \

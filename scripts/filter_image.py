@@ -5,7 +5,8 @@ The analog of the reference's `tests/test_real_image.cu` CLI (stb load ->
 validate sigma/radius -> gaussianBlur -> write in the format chosen by the
 output extension -> print metrics + 30/60 FPS verdicts, :59-281), extended
 to all three filters.  Output format by extension: .png/.ppm/.pgm/.bmp/.tga
-via the native codec (the reference CLI's full set), anything else via PIL.
+/.hdr via the native codec (stb_image_write's full set), anything else via
+PIL.
 
 Usage:
     python scripts/filter_image.py INPUT [OUTPUT] [--filter gaussian|box|sobel]
@@ -88,6 +89,12 @@ def save_image(path: str, arr: np.ndarray) -> None:
 
     ext = os.path.splitext(path)[1].lower()
     lib = native_codec.load()
+    if lib is not None and ext == ".hdr":
+        # Radiance HDR output (stb_image_write's fifth format); PIL cannot
+        # write it, so native is the only tier.
+        if native_codec.hdr_write(path, arr):
+            return
+        raise RuntimeError(f"native HDR write failed: {path}")
     if lib is not None and ext in (".png", ".ppm", ".pgm", ".bmp", ".tga"):
         h, w, c = arr.shape
         flat = np.ascontiguousarray(arr, np.uint8)

@@ -50,3 +50,27 @@ def test_filter_image_validates_ranges(rng):
     r = _run(src, "--radius", "40")
     assert r.returncode == 1
     assert "radius must be in" in r.stdout
+
+
+@pytest.mark.slow
+def test_filter_image_hdr_output(rng):
+    # .hdr output rides the native Radiance writer (stb_image_write's
+    # fifth format); PIL cannot write it at all.
+    from gpu_image_processing_tpu.utils import native_codec
+
+    if not native_codec.available():
+        pytest.skip("native codec not built")
+    workdir = tempfile.mkdtemp(prefix="gip_cli_")
+    src = os.path.join(workdir, "in.png")
+    dst = os.path.join(workdir, "out.hdr")
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    Image.fromarray(img).save(src)
+
+    r = _run(src, dst, "--filter", "sobel", "--level", "2")
+    assert r.returncode == 0, r.stdout + r.stderr
+    with open(dst, "rb") as f:
+        head = f.read(16)
+    assert head.startswith(b"#?RADIANCE")
+    # And the CLI can read its own HDR back in (native-first sniff).
+    r2 = _run(dst, os.path.join(workdir, "out2.png"), "--filter", "box")
+    assert r2.returncode == 0, r2.stdout + r2.stderr

@@ -689,3 +689,235 @@ def test_normalized_rgb_from_native_gif_alpha(rng):
     assert mine is not None and mine.shape[2] == 4
     arr = image_utils.decode_base64_image(_b64(data))
     assert arr.shape == (6, 6, 3)
+
+
+# ---------------------------------------------------------------------------
+# Binary PNM (P5/P6) -- stb_image.h:139 ".pnm (.ppm and .pgm binary only)"
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_pnm_p6_matches_pil(rng):
+    arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PPM")
+    mine = native_codec.pnm_decode(buf.getvalue())
+    np.testing.assert_array_equal(mine, arr)
+
+
+@needs_native
+def test_pnm_p5_matches_pil(rng):
+    gray = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, format="PPM")
+    mine = native_codec.pnm_decode(buf.getvalue())
+    np.testing.assert_array_equal(mine[:, :, 0], gray)
+    assert mine.shape == (9, 11, 1)
+
+
+@needs_native
+def test_pnm_comments_and_packed_whitespace(rng):
+    arr = rng.integers(0, 256, size=(2, 3, 3), dtype=np.uint8)
+    data = b"P6 # trailing comment\n#full line\n 3 \n# another\n2\t255 " + arr.tobytes()
+    np.testing.assert_array_equal(native_codec.pnm_decode(data), arr)
+
+
+@needs_native
+def test_pnm_16bit_takes_high_byte(rng):
+    vals = rng.integers(0, 65536, size=(3, 4), dtype=np.uint16)
+    data = b"P5 4 3 65535\n" + vals.astype(">u2").tobytes()
+    mine = native_codec.pnm_decode(data)
+    # stb's 16->8 conversion is the high byte (stbi__convert_16_to_8).
+    np.testing.assert_array_equal(mine[:, :, 0], (vals >> 8).astype(np.uint8))
+
+
+@needs_native
+def test_pnm_header_bomb_rejected():
+    assert native_codec.pnm_decode(b"P6 2000000 2000000 255 ") is None
+
+
+@needs_native
+def test_pnm_truncated_rejected(rng):
+    arr = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PPM")
+    assert native_codec.pnm_decode(buf.getvalue()[:-7]) is None
+
+
+@needs_native
+def test_pnm_serves_native_when_pil_absent(rng):
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PPM")
+    orig = image_utils.PIL_AVAILABLE
+    image_utils.PIL_AVAILABLE = False
+    try:
+        image_utils.reset_decode_tier_counts()
+        out = image_utils.decode_base64_image(_b64(buf.getvalue()))
+        np.testing.assert_array_equal(out, arr)
+        assert image_utils.decode_tier_counts()["native_pnm"] == 1
+    finally:
+        image_utils.PIL_AVAILABLE = orig
+
+
+# ---------------------------------------------------------------------------
+# TGA from memory (type 1/2/3 + RLE variants; stb_image.h:122)
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_tga_mem_rle_matches_pil(rng):
+    arr = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="TGA", compression="tga_rle")
+    np.testing.assert_array_equal(native_codec.tga_decode(buf.getvalue()), arr)
+
+
+@needs_native
+def test_tga_mem_rgba_and_gray_match_pil(rng):
+    rgba = rng.integers(0, 256, size=(6, 5, 4), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(rgba).save(buf, format="TGA")
+    np.testing.assert_array_equal(native_codec.tga_decode(buf.getvalue()), rgba)
+    gray = rng.integers(0, 256, size=(4, 9), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, format="TGA")
+    np.testing.assert_array_equal(
+        native_codec.tga_decode(buf.getvalue())[:, :, 0], gray
+    )
+
+
+def _tga_colormapped_bytes(idx, pal_rgb, origin=0, rle=False):
+    """Hand-built type-1/9 TGA (8-bit indices, 24-bit BGR palette)."""
+    h, w = idx.shape
+    n = len(pal_rgb)
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB",
+        0, 1, 9 if rle else 1,
+        origin, n, 24,
+        0, 0, w, h, 8, 0x20,  # top-down
+    )
+    pal = b"".join(bytes((b, g, r)) for (r, g, b) in pal_rgb)
+    if rle:
+        body = b"".join(bytes((0x80, int(k))) for k in idx.reshape(-1))  # runs of 1
+    else:
+        body = idx.astype(np.uint8).tobytes()
+    return hdr + pal + body
+
+
+@needs_native
+def test_tga_colormapped(rng):
+    pal = [(int(i * 7 % 256), int(i * 13 % 256), int(i * 29 % 256)) for i in range(16)]
+    idx = rng.integers(0, 16, size=(6, 8), dtype=np.uint8)
+    mine = native_codec.tga_decode(_tga_colormapped_bytes(idx, pal))
+    expect = np.array(pal, dtype=np.uint8)[idx]
+    np.testing.assert_array_equal(mine, expect)
+    # RLE variant decodes identically.
+    mine_rle = native_codec.tga_decode(_tga_colormapped_bytes(idx, pal, rle=True))
+    np.testing.assert_array_equal(mine_rle, expect)
+
+
+@needs_native
+def test_tga_colormapped_origin_offset(rng):
+    pal = [(10, 20, 30), (200, 100, 50)]
+    idx = np.array([[4, 5], [5, 4]], dtype=np.uint8)  # indices offset by 4
+    mine = native_codec.tga_decode(_tga_colormapped_bytes(idx, pal, origin=4))
+    expect = np.array(pal, dtype=np.uint8)[idx - 4]
+    np.testing.assert_array_equal(mine, expect)
+
+
+@needs_native
+def test_tga_16bpp_bit_replication():
+    # A1R5G5B5 little-endian; 5-bit fields scale by bit replication
+    # (matching the BMP 16-bit path's scale_field).
+    px = struct.pack("<HH", 0x7C00, 0x03E0)  # pure R, pure G
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 2, 1, 16, 0x20)
+    mine = native_codec.tga_decode(hdr + px)
+    np.testing.assert_array_equal(mine[0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(mine[0, 1], [0, 255, 0])
+
+
+@needs_native
+def test_tga_serves_native_when_pil_absent(rng):
+    arr = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="TGA", compression="tga_rle")
+    orig = image_utils.PIL_AVAILABLE
+    image_utils.PIL_AVAILABLE = False
+    try:
+        image_utils.reset_decode_tier_counts()
+        out = image_utils.decode_base64_image(_b64(buf.getvalue()))
+        np.testing.assert_array_equal(out, arr)
+        assert image_utils.decode_tier_counts()["native_tga"] == 1
+    finally:
+        image_utils.PIL_AVAILABLE = orig
+
+
+def test_tga_plausibility_rejects_text():
+    # TGA has no magic; the plausibility sniff must not route text/garbage.
+    assert not image_utils._tga_plausible(b"hello world, this is not an image")
+    assert not image_utils._tga_plausible(b"{\"json\": true, \"x\": 12345678}")
+    fn, _ = image_utils._sniff_native_fallback(b"plain text payload here...")
+    assert fn is None
+
+
+@needs_native
+def test_tga_header_bomb_rejected():
+    # 65535x65535 (> kGipMaxDecodePixels) must reject, not allocate 12 GB.
+    hdr = struct.pack("<BBBHHBHHHHBB", 0, 0, 2, 0, 0, 0, 0, 0, 65535, 65535, 24, 0x20)
+    assert native_codec.tga_decode(hdr + b"\0" * 64) is None
+
+
+# ---------------------------------------------------------------------------
+# HDR writer (stb_image_write's fifth format; stb_image_write.h:140-170)
+# ---------------------------------------------------------------------------
+
+
+def _hdr_write_model(img_rgb):
+    """Numpy model of hdr_write + hdr_decode: u8 -> linear (gamma 2.2) ->
+    RGBE (truncated mantissa, shared exponent) -> LDR tone map."""
+    lin = np.power(img_rgb.astype(np.float32) / np.float32(255.0), np.float32(2.2))
+    m = lin.max(axis=-1)
+    e = np.zeros(m.shape, np.int32)
+    f = np.zeros(m.shape, np.float32)
+    nz = m >= 1e-32
+    f[nz], e[nz] = np.frexp(m[nz])
+    scale = np.where(nz, f * np.float32(256.0) / np.where(nz, m, 1), 0).astype(np.float32)
+    q = np.minimum(lin * scale[..., None], 255.0).astype(np.uint8)
+    rgbe = np.concatenate([q, np.where(nz, e + 128, 0)[..., None]], axis=-1)
+    return _hdr_expected_u8(rgbe.astype(np.uint8))
+
+
+@needs_native
+def test_hdr_write_roundtrip_matches_model(rng, tmp_path):
+    for shape in [(21, 33, 3), (5, 4, 3)]:  # RLE width and flat (<8) width
+        src = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        path = str(tmp_path / "out.hdr")
+        assert native_codec.hdr_write(path, src)
+        back = native_codec.hdr_decode(open(path, "rb").read())
+        model = _hdr_write_model(src)
+        # C float vs numpy float32 can differ by 1 at truncation boundaries.
+        assert np.abs(back.astype(int) - model.astype(int)).max() <= 1
+
+
+@needs_native
+def test_hdr_write_gray_ramp_within_one(tmp_path):
+    # On gray pixels all three channels are the max channel: the RGBE
+    # roundtrip must reproduce every level within +-1.
+    ramp = np.tile(np.arange(256, dtype=np.uint8)[None, :, None], (2, 1, 3))
+    path = str(tmp_path / "ramp.hdr")
+    assert native_codec.hdr_write(path, ramp)
+    back = native_codec.hdr_decode(open(path, "rb").read())
+    assert np.abs(back.astype(int) - ramp.astype(int)).max() <= 1
+
+
+@needs_native
+def test_hdr_write_gray_and_rgba_inputs(rng, tmp_path):
+    gray = rng.integers(0, 256, size=(7, 9, 1), dtype=np.uint8)
+    path = str(tmp_path / "g.hdr")
+    assert native_codec.hdr_write(path, gray)
+    back = native_codec.hdr_decode(open(path, "rb").read())
+    assert np.abs(back.astype(int) - np.repeat(gray, 3, axis=2).astype(int)).max() <= 1
+    rgba = rng.integers(0, 256, size=(4, 8, 4), dtype=np.uint8)
+    assert native_codec.hdr_write(path, rgba)  # alpha dropped
+    assert native_codec.hdr_decode(open(path, "rb").read()).shape == (4, 8, 3)

@@ -307,7 +307,8 @@ def test_stats_endpoint(app):
     assert body["worker_generation"] is None or body["worker_generation"] >= 1
     assert set(body["decode_tiers"]) == {
         "native_png", "native_jpeg", "native_gif", "native_bmp",
-        "native_psd", "native_hdr", "native_pic", "pil", "failed"}
+        "native_psd", "native_hdr", "native_pic", "native_pnm",
+        "native_tga", "pil", "failed"}
 
 
 def test_stats_decode_tiers_count_serving_decodes(app, small_rgb):
