@@ -194,14 +194,17 @@ function renderCharts(results, imageInfo) {
 }
 
 function barChart(canvas, title, labels, values, color) {
-  canvas._chart = { title, labels, values, color, rects: [] };
+  // `hidden` survives re-renders of the same canvas (Chart.js keeps the
+  // legend toggle state across chart updates the same way).
+  const hidden = canvas._chart ? canvas._chart.hidden : false;
+  canvas._chart = { title, labels, values, color, rects: [], hidden, legendRect: null };
   canvas._hoverIdx = -1;
   drawBarChart(canvas, -1);
   bindChartHover(canvas);
 }
 
 function drawBarChart(canvas, hoverIdx) {
-  const { title, labels, values, color } = canvas._chart;
+  const { title, labels, values, color, hidden } = canvas._chart;
   const ctx = canvas.getContext("2d");
   const W = canvas.width, H = canvas.height;
   const padL = 56, padR = 16, padT = 34, padB = 44;
@@ -210,6 +213,25 @@ function drawBarChart(canvas, hoverIdx) {
   ctx.fillStyle = "#e8edf6";
   ctx.font = "600 13px system-ui";
   ctx.fillText(title, padL, 20);
+
+  // Legend (Chart.js default parity: one item per dataset; clicking it
+  // toggles the dataset's visibility, struck through while hidden).
+  ctx.font = "11px system-ui";
+  const legendText = title.replace(/\s*\([^)]*\)$/, "");
+  const lw = ctx.measureText(legendText).width;
+  const lx = W - padR - lw - 16, ly = 13;
+  canvas._chart.legendRect = { x: lx - 4, y: ly - 9, w: lw + 24, h: 16 };
+  ctx.fillStyle = color;
+  ctx.fillRect(lx, ly - 6, 10, 10);
+  ctx.fillStyle = hidden ? "#8a97ad" : "#e8edf6";
+  ctx.fillText(legendText, lx + 14, ly + 3);
+  if (hidden) {
+    ctx.strokeStyle = "#8a97ad";
+    ctx.beginPath();
+    ctx.moveTo(lx + 13, ly - 1);
+    ctx.lineTo(lx + 15 + lw, ly - 1);
+    ctx.stroke();
+  }
 
   const max = Math.max(...values, 1e-9);
   const innerW = W - padL - padR, innerH = H - padT - padB;
@@ -237,20 +259,23 @@ function drawBarChart(canvas, hoverIdx) {
     const h = (v / max) * innerH;
     const x = padL + slot * i + (slot - barW) / 2;
     const y = padT + innerH - h;
-    canvas._chart.rects.push({ x, y, w: barW, h });
-    ctx.fillStyle = color;
-    ctx.fillRect(x, y, barW, h);
-    if (i === hoverIdx) {
-      // hover highlight: brighten the bar and outline it
-      ctx.fillStyle = "rgba(255,255,255,0.25)";
+    if (!hidden) {
+      canvas._chart.rects.push({ x, y, w: barW, h });
+      ctx.fillStyle = color;
       ctx.fillRect(x, y, barW, h);
-      ctx.strokeStyle = "#e8edf6";
-      ctx.strokeRect(x + 0.5, y + 0.5, barW - 1, h - 1);
+      if (i === hoverIdx) {
+        // hover highlight: brighten the bar and outline it
+        ctx.fillStyle = "rgba(255,255,255,0.25)";
+        ctx.fillRect(x, y, barW, h);
+        ctx.strokeStyle = "#e8edf6";
+        ctx.strokeRect(x + 0.5, y + 0.5, barW - 1, h - 1);
+      }
+      ctx.fillStyle = "#e8edf6";
+      ctx.font = "11px system-ui";
+      ctx.fillText(fmtNum(v), x, y - 5);
     }
-    ctx.fillStyle = "#e8edf6";
-    ctx.font = "11px system-ui";
-    ctx.fillText(fmtNum(v), x, y - 5);
     ctx.fillStyle = "#8a97ad";
+    ctx.font = "11px system-ui";
     wrapText(ctx, labels[i], x - (slot - barW) / 2, H - padB + 14, slot, 12);
   });
 }
@@ -270,8 +295,20 @@ function bindChartHover(canvas) {
       canvas._hoverIdx = hit;
       drawBarChart(canvas, hit);
     }
-    canvas.style.cursor = hit >= 0 ? "pointer" : "default";
+    const onLegend = hitLegend(canvas._chart.legendRect, x, y);
+    canvas.style.cursor = hit >= 0 || onLegend ? "pointer" : "default";
     moveChartTip(canvas, e, hit);
+  });
+  canvas.addEventListener("click", (e) => {
+    const r = canvas.getBoundingClientRect();
+    const x = (e.clientX - r.left) * (canvas.width / r.width);
+    const y = (e.clientY - r.top) * (canvas.height / r.height);
+    if (hitLegend(canvas._chart.legendRect, x, y)) {
+      canvas._chart.hidden = !canvas._chart.hidden;
+      canvas._hoverIdx = -1;
+      chartTip().hidden = true;
+      drawBarChart(canvas, -1);
+    }
   });
   canvas.addEventListener("mouseleave", () => {
     if (canvas._hoverIdx !== -1) {
@@ -280,6 +317,11 @@ function bindChartHover(canvas) {
     }
     chartTip().hidden = true;
   });
+}
+
+function hitLegend(rect, x, y) {
+  return !!rect && x >= rect.x && x <= rect.x + rect.w &&
+         y >= rect.y && y <= rect.y + rect.h;
 }
 
 function hitTestBars(rects, x, y) {

@@ -170,6 +170,22 @@ assert.ok(
 byId.timeChart.fire("mouseleave", {});
 assert.strictEqual(byId.chartTip.hidden, true, "tooltip hidden on leave");
 
+// Legend click toggles the dataset (Chart.js default-legend parity:
+// one item per dataset, strike-through + hidden bars while off).
+const lg = byId.timeChart._chart.legendRect;
+assert.ok(lg, "legend rect recorded");
+byId.timeChart.fire("click", { clientX: lg.x + 2, clientY: lg.y + 2 });
+assert.strictEqual(byId.timeChart._chart.hidden, true, "legend toggles off");
+assert.strictEqual(byId.timeChart._chart.rects.length, 0, "no bars while hidden");
+byId.timeChart.fire("click", { clientX: lg.x + 2, clientY: lg.y + 2 });
+assert.strictEqual(byId.timeChart._chart.hidden, false, "legend toggles back");
+assert.strictEqual(byId.timeChart._chart.rects.length, 2, "bars restored");
+// Re-render keeps the toggle state (Chart.js keeps it across updates).
+byId.timeChart.fire("click", { clientX: lg.x + 2, clientY: lg.y + 2 });
+renderResults(body, "gaussian");
+assert.strictEqual(byId.timeChart._chart.hidden, true, "toggle survives render");
+byId.timeChart.fire("click", { clientX: lg.x + 2, clientY: lg.y + 2 });
+
 // Lightbox open/step/close cycle on the rendered cards.
 openLightbox(0);
 assert.strictEqual(byId.lightbox.hidden, false);

@@ -179,6 +179,25 @@ def test_chart_hover_tooltip_wired():
     assert "strokeRect" in js
 
 
+def test_chart_legend_toggle_wired():
+    """Chart.js's default legend (one item per dataset, click to toggle
+    visibility) is part of the reference charts (app.js:846-866 there uses
+    Chart.js defaults); the canvas charts must carry the same affordance."""
+    js = _read("js/app.js")
+    # Legend drawn with a hit rect; click handler toggles and redraws.
+    assert "legendRect" in js and "hitLegend" in js
+    hover = js.split("function bindChartHover")[1].split("\nfunction ")[0]
+    assert '"click"' in hover and "hidden = !canvas._chart.hidden" in hover
+    draw = js.split("function drawBarChart")[1].split("\nfunction ")[0]
+    # Hidden datasets draw no bars and record no hover rects...
+    assert "if (!hidden)" in draw
+    # ...and the legend text is struck through while hidden.
+    assert "if (hidden)" in draw
+    # Toggle state survives chart re-renders (Chart.js keeps it too).
+    bar = js.split("function barChart")[1].split("\nfunction ")[0]
+    assert "canvas._chart.hidden" in bar
+
+
 def test_frontend_executes_in_js_engine():
     """Run app.js in a real JS engine against a DOM shim when one exists
     (VERDICT r2 item 8); regex contracts above are the fallback where the
