@@ -35,14 +35,21 @@ def load() -> Optional[ctypes.CDLL]:
     global _LIB, _SEARCHED
     if _SEARCHED:
         return _LIB
-    _SEARCHED = True
     path = _find_library()
     if path is None:
+        # Genuinely absent: cache the miss (a later build lands in a new
+        # serving process; re-stat'ing every call buys nothing).
+        _SEARCHED = True
         return None
     try:
         lib = ctypes.CDLL(path)
     except OSError:
+        # The file EXISTS but dlopen failed — transient (memory pressure,
+        # a concurrent rebuild writing the .so).  Do NOT cache: a one-off
+        # failure here once demoted an entire pytest session to the PIL
+        # tier (observed 2026-08-20).  The next call retries.
         return None
+    _SEARCHED = True
 
     lib.gip_free.argtypes = [ctypes.c_void_p]
     lib.gip_base64_encoded_size.restype = ctypes.c_size_t
