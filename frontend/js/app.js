@@ -5,7 +5,12 @@
  * Always requests /api/process-all with deep profiling optional.
  */
 
-const API_BASE = `${location.protocol}//${location.hostname}:8000`;
+/* Backend location: same host, port 8000 (reference frontend/js/app.js:2
+ * contract).  `?api=http://host:port` overrides it so one built frontend
+ * can point at a staging/alternate backend without an edit. */
+const API_BASE =
+  new URLSearchParams(location.search).get("api") ||
+  `${location.protocol}//${location.hostname}:8000`;
 
 const $ = (id) => document.getElementById(id);
 const state = { imageB64: null, lightboxItems: [], lightboxIdx: 0 };

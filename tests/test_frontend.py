@@ -228,3 +228,15 @@ def test_lightbox_hidden_rule_present():
     css = _read("css/styles.css")
     rule = re.search(r"\.lightbox\[hidden\]\s*\{\s*display:\s*none", css)
     assert rule, ".lightbox[hidden]{display:none} missing from styles.css"
+
+
+def test_api_base_override_and_default():
+    """API base contract: defaults to same-host port 8000 (the reference's
+    frontend/js/app.js:2 pins the backend there) and honors an `?api=`
+    query override so one built frontend can target a staging backend."""
+    js = _read("js/app.js")
+    decl = re.search(r"const API_BASE =([^;]+);", js)
+    assert decl, "API_BASE declaration missing"
+    body = decl.group(1)
+    assert re.search(r'URLSearchParams\(location\.search\)\.get\("api"\)', body)
+    assert "${location.protocol}//${location.hostname}:8000" in body
