@@ -124,6 +124,19 @@ def save_image(path: str, arr: np.ndarray) -> None:
             if lib.gip_tga_write(path.encode(),
                                  flat.ctypes.data_as(ct.c_char_p), h, w, c) == 0:
                 return
+    if lib is not None and ext in (".jpg", ".jpeg"):
+        # PIL's libjpeg-turbo is preferred when present (SIMD, ~8x the
+        # scalar baseline encoder); the native tier keeps .jpg output
+        # working PIL-less (stb_image_write writes jpg natively too).
+        try:
+            from PIL import Image  # noqa: F401
+        except ImportError:
+            data = native_codec.jpeg_encode(np.ascontiguousarray(arr, np.uint8))
+            if data:
+                with open(path, "wb") as f:
+                    f.write(data)
+                return
+            raise RuntimeError(f"native JPEG write failed: {path}") from None
     from PIL import Image
 
     Image.fromarray(arr if arr.shape[2] != 1 else arr[:, :, 0]).save(path)

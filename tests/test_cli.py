@@ -74,3 +74,38 @@ def test_filter_image_hdr_output(rng):
     # And the CLI can read its own HDR back in (native-first sniff).
     r2 = _run(dst, os.path.join(workdir, "out2.png"), "--filter", "box")
     assert r2.returncode == 0, r2.stdout + r2.stderr
+
+
+def test_save_image_jpg_without_pil(rng, monkeypatch, tmp_path):
+    """PIL-less .jpg output rides the native baseline encoder (the
+    stb_image_write parity set includes jpg); with PIL present the
+    libjpeg-turbo path is preferred and this branch must stay dormant."""
+    from gpu_image_processing_tpu.utils import native_codec
+
+    if not native_codec.available():
+        pytest.skip("native codec not built")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "filter_image_for_test",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "filter_image.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    dst = str(tmp_path / "out.jpg")
+    # Block PIL for the save call only: None in sys.modules makes
+    # `from PIL import Image` raise ImportError.
+    monkeypatch.setitem(sys.modules, "PIL", None)
+    mod.save_image(dst, img)
+    monkeypatch.undo()
+
+    with open(dst, "rb") as f:
+        raw = f.read()
+    assert raw[:2] == b"\xff\xd8" and raw[-2:] == b"\xff\xd9"
+    back = native_codec.jpeg_decode(raw)
+    assert back is not None and back.shape == img.shape
+    # Lossy but sane: baseline q90 on random noise stays within u8 range
+    # errors far below a corrupted-stream blowup.
+    assert float(np.abs(back.astype(np.int16) - img.astype(np.int16)).mean()) < 24.0
