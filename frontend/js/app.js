@@ -7,10 +7,33 @@
 
 /* Backend location: same host, port 8000 (reference frontend/js/app.js:2
  * contract).  `?api=http://host:port` overrides it so one built frontend
- * can point at a staging/alternate backend without an edit. */
-const API_BASE =
-  new URLSearchParams(location.search).get("api") ||
-  `${location.protocol}//${location.hostname}:8000`;
+ * can point at a staging/alternate backend without an edit.
+ *
+ * The override is restricted to http(s) URLs on the SAME hostname (any
+ * port): a crafted link (?api=https://evil.example) would otherwise make
+ * the page silently POST the user's uploaded image to an arbitrary
+ * origin.  Cross-host overrides are dropped with a console warning. */
+function resolveApiBase() {
+  const fallback = `${location.protocol}//${location.hostname}:8000`;
+  const override = new URLSearchParams(location.search).get("api");
+  if (!override) return fallback;
+  try {
+    const u = new URL(override, location.href);
+    const sameHost =
+      u.hostname === location.hostname ||
+      // file:// pages have an empty hostname; allow loopback there.
+      (!location.hostname && ["localhost", "127.0.0.1"].includes(u.hostname));
+    if (["http:", "https:"].includes(u.protocol) && sameHost) {
+      console.warn(`API override active: ${u.origin}`);
+      return u.origin;
+    }
+    console.warn(`Ignoring cross-origin ?api= override: ${override}`);
+  } catch (e) {
+    console.warn(`Ignoring malformed ?api= override: ${override}`);
+  }
+  return fallback;
+}
+const API_BASE = resolveApiBase();
 
 const $ = (id) => document.getElementById(id);
 const state = { imageB64: null, lightboxItems: [], lightboxIdx: 0 };

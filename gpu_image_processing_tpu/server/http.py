@@ -157,6 +157,23 @@ def _max_in_flight() -> int:
         return 64
 
 
+def _max_body_bytes() -> int:
+    """Request-body cap in bytes (GIP_TPU_MAX_BODY_MB, default 64; 0
+    disables).  Oversized uploads are refused with 413 BEFORE the body is
+    read: the in-flight gauge bounds threads but not bytes, so without
+    this 64 concurrent multi-GB POSTs would be buffered in full -- the
+    decode-bomb threshold only fires after buffering.  64 MB comfortably
+    covers the 7 MP serving workload even base64-inflated.  (Hardening
+    beyond the reference; its uvicorn stack has no body cap either.)"""
+    import os
+
+    try:
+        mb = max(0, int(os.environ.get("GIP_TPU_MAX_BODY_MB", "64")))
+    except ValueError:
+        mb = 64
+    return mb * 1024 * 1024
+
+
 def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None,
                        draining: Optional[threading.Event] = None):
     gauge = in_flight if in_flight is not None else InFlightGauge()
@@ -219,7 +236,20 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                     for pair in query_str.split("&"):
                         k, _, v = pair.partition("=")
                         req.query[k] = v
-                length = int(self.headers.get("Content-Length") or 0)
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    length = 0
+                body_cap = _max_body_bytes()
+                if body_cap and length > body_cap:
+                    # Refuse BEFORE buffering; close so the unread body
+                    # bytes in flight don't poison the keep-alive stream.
+                    self.close_connection = True
+                    self._send(413, {
+                        "detail": f"Request body {length} bytes exceeds "
+                                  f"limit {body_cap} bytes "
+                                  "(GIP_TPU_MAX_BODY_MB)"})
+                    return
                 body = self.rfile.read(length) if length else b""
                 ctype = self.headers.get("Content-Type", "")
                 try:

@@ -17,6 +17,11 @@ import numpy as np
 
 _LIB: Optional[ctypes.CDLL] = None
 _SEARCHED = False
+# dlopen-on-existing-file failures retry (transient: concurrent rebuild,
+# memory pressure) but only this many times -- a durably broken .so
+# (wrong arch, ABI mismatch, corrupt) must eventually cache the miss like
+# a missing file does, not re-stat + re-dlopen on every request forever.
+_DLOPEN_ATTEMPTS_LEFT = 5
 
 
 def _find_library() -> Optional[str]:
@@ -32,7 +37,7 @@ def _find_library() -> Optional[str]:
 
 
 def load() -> Optional[ctypes.CDLL]:
-    global _LIB, _SEARCHED
+    global _LIB, _SEARCHED, _DLOPEN_ATTEMPTS_LEFT
     if _SEARCHED:
         return _LIB
     path = _find_library()
@@ -44,12 +49,16 @@ def load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(path)
     except OSError:
-        # The file EXISTS but dlopen failed — transient (memory pressure,
-        # a concurrent rebuild writing the .so).  Do NOT cache: a one-off
-        # failure here once demoted an entire pytest session to the PIL
-        # tier (observed 2026-08-20).  The next call retries.
+        # The file EXISTS but dlopen failed — usually transient (memory
+        # pressure, a concurrent rebuild writing the .so).  Do NOT cache
+        # the first few failures: a one-off failure here once demoted an
+        # entire pytest session to the PIL tier (observed 2026-08-20).
+        # But bound the retries — a durably unloadable library (corrupt /
+        # wrong arch) must not add a stat+dlopen to every request forever.
+        _DLOPEN_ATTEMPTS_LEFT -= 1
+        if _DLOPEN_ATTEMPTS_LEFT <= 0:
+            _SEARCHED = True
         return None
-    _SEARCHED = True
 
     lib.gip_free.argtypes = [ctypes.c_void_p]
     lib.gip_base64_encoded_size.restype = ctypes.c_size_t
@@ -110,7 +119,11 @@ def load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:  # stale pre-JPEG build of the library
         pass
+    # Publish _LIB BEFORE _SEARCHED: a concurrent load() that observes
+    # _SEARCHED=True must never read _LIB while it is still None (that
+    # window transiently demoted one request to the PIL tier).
     _LIB = lib
+    _SEARCHED = True
     return _LIB
 
 

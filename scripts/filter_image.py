@@ -131,6 +131,18 @@ def save_image(path: str, arr: np.ndarray) -> None:
         try:
             from PIL import Image  # noqa: F401
         except ImportError:
+            # jpeg_encode returns None for several distinct causes; name
+            # the actual one so PIL-less failures are diagnosable.
+            if not hasattr(lib, "gip_jpeg_encode"):
+                raise RuntimeError(
+                    "cannot write JPEG without PIL: the native library "
+                    "predates the JPEG encoder — rebuild native/build"
+                ) from None
+            if arr.shape[2] not in (1, 3):
+                raise RuntimeError(
+                    f"cannot write {arr.shape[2]}-channel image as JPEG "
+                    "(native encoder supports grayscale/RGB only)"
+                ) from None
             data = native_codec.jpeg_encode(np.ascontiguousarray(arr, np.uint8))
             if data:
                 with open(path, "wb") as f:

@@ -1,16 +1,46 @@
 /* Frontend smoke: execute frontend/js/app.js in a real JS engine against a
  * minimal DOM shim, render one full /api/process-all result (image cards,
  * speedup badge, canvas charts, categorized metric table) and simulate a
- * chart hover.  Run: node frontend_smoke.js /path/to/app.js
+ * chart hover.
  *
- * The pytest wrapper (tests/test_frontend.py::test_frontend_executes_in_js_engine)
- * skips cleanly when no engine exists in the image; the regex-level contract
- * tests still guard the logic there.  (VERDICT r2 item 8.)
+ * Engine-agnostic (VERDICT r3 item 8): runs under node/bun
+ * (`node frontend_smoke.js app.js`), deno
+ * (`deno run --allow-read frontend_smoke.js app.js`), and quickjs
+ * (`qjs --std frontend_smoke.js app.js`).  The pytest wrapper
+ * (tests/test_frontend.py::test_frontend_executes_in_js_engine) probes all
+ * of them and skips cleanly when the image carries none; the regex-level
+ * contract tests still guard the logic there.
  */
-// NOT strict mode: the direct eval() below must hoist app.js's function
-// declarations into this scope (strict-mode eval gets its own scope).
-const fs = require("fs");
-const assert = require("assert");
+
+/* ------------------------------------------------- engine portability */
+
+const ENGINE =
+  typeof Deno !== "undefined" ? "deno"
+    : typeof scriptArgs !== "undefined" ? "qjs"
+      : "node"; // node + bun (bun is node-compatible here)
+
+function readTextFile(path) {
+  if (ENGINE === "deno") return Deno.readTextFileSync(path);
+  if (ENGINE === "qjs") {
+    const txt = std.loadFile(path); // requires qjs --std
+    if (txt === null) throw new Error(`cannot read ${path}`);
+    return txt;
+  }
+  return require("fs").readFileSync(path, "utf8");
+}
+
+const APP_PATH =
+  ENGINE === "deno" ? Deno.args[0]
+    : ENGINE === "qjs" ? scriptArgs[1]
+      : process.argv[2];
+
+// Local assert: node's require("assert") is unavailable in deno/qjs.
+const assert = {
+  ok(cond, msg) { if (!cond) throw new Error(`assert: ${msg || "failed"}`); },
+  strictEqual(a, b, msg) {
+    if (a !== b) throw new Error(`assert: ${msg || ""}: ${a} !== ${b}`);
+  },
+};
 
 /* ------------------------------------------------------------- DOM shim */
 
@@ -77,22 +107,36 @@ byId.chartTip = new El("div");
 byId.chartTip.hidden = true; // the HTML ships it hidden
 byId.lightbox.hidden = true;
 
-global.document = {
+globalThis.document = {
   getElementById: (id) => byId[id] || null,
   createElement: (tag) => new El(tag),
   addEventListener: () => {},
   body: new El("body"),
 };
-global.window = { addEventListener: () => {} };
-global.location = { protocol: "http:", hostname: "localhost" };
-global.FileReader = class { readAsDataURL() {} };
-global.fetch = () => Promise.reject(new Error("no network in smoke"));
+globalThis.window = { addEventListener: () => {} };
+globalThis.location = {
+  protocol: "http:", hostname: "localhost", search: "",
+  href: "http://localhost:8080/",
+};
+globalThis.FileReader = class { readAsDataURL() {} };
+globalThis.fetch = () => Promise.reject(new Error("no network in smoke"));
+if (typeof URL === "undefined") {
+  // quickjs has no URL; app.js only needs .protocol/.hostname/.origin for
+  // the ?api= override, which the empty location.search never exercises
+  // here -- a throwing stub keeps resolveApiBase()'s catch path honest.
+  globalThis.URL = class { constructor() { throw new Error("no URL"); } };
+}
+if (typeof URLSearchParams === "undefined") {
+  globalThis.URLSearchParams = class { get() { return null; } };
+}
 
 /* --------------------------------------------------- load the real app.js */
 
-// Direct eval: function declarations hoist into this scope; their closures
-// keep app.js's own lexical consts ($ , state, METRIC_SECTIONS, ...).
-eval(fs.readFileSync(process.argv[2], "utf8"));
+// INDIRECT eval ((0, eval)): runs app.js in the global scope with sloppy
+// semantics even when this harness is loaded as a strict ES module (deno).
+// Its function declarations land on globalThis (renderResults, ...); their
+// closures keep app.js's own lexical consts ($ , state, METRIC_SECTIONS).
+(0, eval)(readTextFile(APP_PATH));
 
 /* ------------------------------------------------------------ assertions */
 

