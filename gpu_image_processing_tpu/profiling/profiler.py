@@ -527,6 +527,13 @@ def profile_filter(
         metrics["trace_kernel_stats"] = trace_kernels
         metrics["duration_source"] = "xplane_trace"
         metrics["profiler"] = "jax_xplane_trace"
+        # Sum of per-op traced durations: the self-consistent denominator
+        # for per-op share accounting (shares against it sum to exactly
+        # 100%).  It can exceed the device-timed total_kernel_duration_ms
+        # when XLA overlaps async ops -- per-op `overlap_ms` (xplane.py)
+        # marks the rows responsible.
+        metrics["trace_total_ms"] = sum(
+            trace_kernels[n]["avg_ms"] for n in names)
 
         # Human-facing metric labels use the op's short name ("%fusion.1"
         # from "%fusion.1 = u8[...] custom-call(...)"): on real TPU planes

@@ -8,6 +8,7 @@ consolidated verdict to benchmarks/silicon_ci.json.  Stages:
   validate   scripts/tpu_validation.py          correctness matrix
   benchmark  benchmarks/run_benchmarks.py --merge   README table (min-merge)
   bench      bench.py                           flagship driver metric
+  sol        scripts/sol_report.py --check      per-op %-of-SoL gate
   serving    serve.py start -> test_client.py -> loadgen -> stop
 
 Usage: python scripts/silicon_ci.py [--skip serving] [--skip benchmark] ...
@@ -94,7 +95,8 @@ def stage_serving(timeout_s: int) -> tuple[bool, float, str]:
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--skip", action="append", default=[],
-                        choices=["validate", "benchmark", "bench", "serving"])
+                        choices=["validate", "benchmark", "bench", "sol",
+                                 "serving"])
     parser.add_argument("--out", default="benchmarks/silicon_ci.json")
     args = parser.parse_args()
 
@@ -107,6 +109,11 @@ def main() -> int:
         "benchmark": lambda: run(
             [sys.executable, "benchmarks/run_benchmarks.py", "--merge"], 3600),
         "bench": lambda: run([sys.executable, "bench.py"], 1200),
+        # --check: fail if a dominant served op lacks bytes/%SoL -- keeps
+        # the per-op report honest for the flagship Pallas kernels
+        # (VERDICT r3 item 1).
+        "sol": lambda: run(
+            [sys.executable, "scripts/sol_report.py", "--check"], 2400),
         "serving": lambda: stage_serving(600),
     }
     results = {}
