@@ -307,124 +307,33 @@ def _kernel_label(filter_type: str, level: int) -> str:
     return names.get((filter_type, level), f"{filter_type}_l{level}")
 
 
-def profile_filter(
-    image: np.ndarray,
-    filter_type: str,
-    level: int,
-    sigma: Optional[float] = None,
-    radius: Optional[int] = None,
-    capture_trace: bool = False,
-    trace_dir: Optional[str] = None,
+def _assemble_metrics(
+    *,
+    duration_ms: float,
+    times_ms: list[float],
+    fallback_ms: float,
+    compiled,
+    label: str,
+    shape_str: str,
+    io_bytes: int,
+    trace_kernels: Optional[dict],
+    per_pass: Optional[tuple[float, float]],
+    extra_config: Optional[dict[str, Any]] = None,
 ) -> dict[str, Any]:
-    """Profile one filter execution; returns the categorized metric dict.
-
-    Unlike the ncu flow (fresh python under `ncu` re-running the filter,
-    ncu_profiler.py:93-156), this reuses the already-compiled executable in
-    the process-wide runtime, measures steady-state device time over several
-    repetitions, and reads XLA's own cost/memory analyses.
-    """
-    from ..runtime import dispatch as _dispatch
-    from ..core.params import normalize_level
-
-    runtime = _dispatch.RUNTIME
-    lvl = normalize_level(filter_type, level)
-    height, width, channels = image.shape
-
-    kwargs: dict[str, Any] = {"level": lvl}
-    if filter_type == "gaussian":
-        kwargs.update(sigma=sigma if sigma is not None else 2.0,
-                      radius=radius if radius is not None else 3)
-    elif filter_type == "box":
-        kwargs.update(radius=radius if radius is not None else 3)
-
-    # Warm + locate the executable via a normal run.  Cache keys use the
-    # BUCKETED shape (see dispatch shape bucketing).
-    _, first_metrics = runtime.run(filter_type, image, **kwargs)
-    kh, kw = height, width
-    if _dispatch._bucketing_enabled():
-        kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
-    exe_key = _dispatch.executable_cache_key(
-        filter_type, lvl, kh, kw, channels, kwargs.get("radius"))
-    exe = runtime._cache.get(exe_key)
-
-    # Device-side kernel timing via the loop-delta method (the analog of
-    # ncu's on-device measurement with --launch-count 10,
-    # ncu_profiler.py:142); also keep a wall-time sample set.
-    times_ms: list[float] = []
-    duration_ms = first_metrics.time_ms
-    per_pass: Optional[tuple[float, float]] = None
-    trace_kernels: Optional[dict] = None
-    if exe is not None and exe._compiled is not None:
-        import jax
-
-        from ..runtime.timing import device_time_ms
-
-        img_exec = np.ascontiguousarray(image, dtype=np.uint8)
-        if (kh, kw) != (height, width):
-            img_exec = np.pad(
-                img_exec, ((0, kh - height), (0, kw - width), (0, 0)), mode="edge"
-            )
-        args = [jax.device_put(img_exec.reshape(kh, -1), default_device())]
-        if filter_type == "gaussian":
-            from ..ops.weights import gaussian_kernel_f32
-
-            args.append(
-                jax.device_put(
-                    gaussian_kernel_f32(kwargs["radius"], float(kwargs["sigma"])),
-                    default_device(),
-                )
-            )
-        jax.block_until_ready(args)
-        for _ in range(3):
-            t0 = time.perf_counter()
-            exe._compiled(*args).block_until_ready()
-            times_ms.append((time.perf_counter() - t0) * 1000.0)
-        try:
-            from ..runtime import dispatch as _d
-
-            fn = {
-                "gaussian": lambda f=filter_type: _d._trace_gaussian(
-                    lvl, kwargs["radius"], kh, kw, channels
-                ),
-                "box": lambda f=filter_type: _d._trace_box(
-                    lvl, kwargs["radius"], kh, kw, channels
-                ),
-                "sobel": lambda f=filter_type: _d._trace_sobel(
-                    lvl, kh, kw, channels
-                ),
-            }[filter_type]()
-            duration_ms = device_time_ms(fn, args, iters=32, sync_reps=3)
-        except Exception:
-            duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
-
-        # Tier 1: REAL per-kernel durations from an xplane trace of the
-        # served executable (device plane only).
-        def _traced_run(compiled=exe._compiled, a=args):
-            out = None
-            for _ in range(4):
-                out = compiled(*a)
-            jax.block_until_ready(out)
-
-        trace_kernels = _trace_kernel_breakdown(exe_key, _traced_run)
-
-        # Tier 2 (trace unavailable): isolated-pass estimate for the
-        # separable blurs, rescaled to the fused total (see _pass_breakdown).
-        if filter_type in ("gaussian", "box") and trace_kernels is None:
-            try:
-                per_pass = _pass_breakdown(
-                    filter_type, lvl, kwargs["radius"], kh, kw, channels, args
-                )
-            except Exception:
-                per_pass = None
-
-    mean_ms = float(np.mean(times_ms)) if times_ms else first_metrics.time_ms
+    """Assemble the categorized metric dict (shared by profile_filter and
+    profile_batch): XLA cost/memory analyses from `compiled`, utilization
+    percentages against the generation peak table, and the provenance-
+    tagged per-kernel tier rows (xplane trace / isolated-pass estimate /
+    device timing).  `io_bytes` is the traffic floor (bytes any
+    implementation must move) the percentages are computed against."""
+    mean_ms = float(np.mean(times_ms)) if times_ms else fallback_ms
 
     # XLA's own analyses.
     flops = bytes_accessed = None
     peak_vmem_bytes = temp_bytes = argument_bytes = output_bytes = None
-    if exe is not None and exe._compiled is not None:
+    if compiled is not None:
         try:
-            ca = exe._compiled.cost_analysis()
+            ca = compiled.cost_analysis()
             if isinstance(ca, (list, tuple)):
                 ca = ca[0] if ca else {}
             flops = float(ca.get("flops", 0.0)) or None
@@ -432,7 +341,7 @@ def profile_filter(
         except Exception:
             pass
         try:
-            ma = exe._compiled.memory_analysis()
+            ma = compiled.memory_analysis()
             peak_vmem_bytes = getattr(ma, "peak_memory_in_bytes", None)
             temp_bytes = getattr(ma, "temp_size_in_bytes", None)
             argument_bytes = getattr(ma, "argument_size_in_bytes", None)
@@ -441,11 +350,7 @@ def profile_filter(
             pass
 
     peaks = device_peaks()
-    label = _kernel_label(filter_type, lvl)
 
-    # Modeled traffic (image in + image out, uint8) -- the minimum bytes any
-    # implementation must move; utilization is measured against this floor.
-    io_bytes = 2 * height * width * channels
     seconds = duration_ms / 1000.0 if duration_ms > 0 else 1e-9
     achieved_io_gbps = io_bytes / seconds / 1e9
     achieved_hlo_gbps = (bytes_accessed / seconds / 1e9) if bytes_accessed else None
@@ -468,7 +373,7 @@ def profile_filter(
         },
         "occupancy": {},
         "config": {
-            "Image Shape": f"{height}x{width}x{channels}",
+            "Image Shape": shape_str,
             "Platform": platform(),
             "Device": str(default_device()),
             "HLO FLOPs": flops,
@@ -605,12 +510,339 @@ def profile_filter(
     else:
         metrics["duration_source"] = "device_timing"
 
+    if extra_config:
+        metrics["config"].update(extra_config)
+    return metrics
+
+
+def _locate_spatial(runtime, filter_type: str, lvl: int,
+                    img_exec: np.ndarray, kwargs: dict):
+    """(exe_key, exe, sharded args) of the served ROW-SHARDED executable,
+    or None when spatial serving is inactive for this shape.
+
+    Profiled requests on a GIP_TPU_MESH_SPATIAL deployment serve through
+    the spatial executable (dispatch._run_spatial_attempt), so the deep
+    profile must time/trace THAT program -- the single-chip cache key
+    finds nothing (VERDICT r3 item 6).
+    """
+    from ..runtime import dispatch as _dispatch
+
+    if not _dispatch._mesh_spatial_devices(img_exec.shape[0]):
+        return None
+    weights = None
+    if filter_type == "gaussian":
+        from ..ops.weights import gaussian_kernel_f32
+
+        weights = gaussian_kernel_f32(kwargs["radius"], float(kwargs["sigma"]))
+    try:
+        handle = runtime.spatial_profile_handle(
+            filter_type, lvl, img_exec, kwargs.get("radius", 0), weights)
+    except Exception:
+        return None
+    if handle is None:
+        return None
+    key, exe, args = handle
+    if exe._compiled is None:
+        # Compile lazily like serving does (first profiled request can
+        # precede any served one for this config).
+        exe(*args)
+    return key, exe, args
+
+
+def profile_filter(
+    image: np.ndarray,
+    filter_type: str,
+    level: int,
+    sigma: Optional[float] = None,
+    radius: Optional[int] = None,
+    capture_trace: bool = False,
+    trace_dir: Optional[str] = None,
+) -> dict[str, Any]:
+    """Profile one filter execution; returns the categorized metric dict.
+
+    Unlike the ncu flow (fresh python under `ncu` re-running the filter,
+    ncu_profiler.py:93-156), this reuses the already-compiled executable in
+    the process-wide runtime, measures steady-state device time over several
+    repetitions, and reads XLA's own cost/memory analyses.  On a spatial-
+    serving deployment (GIP_TPU_MESH_SPATIAL) the profiled program is the
+    row-sharded executable the runtime actually serves.
+    """
+    from ..runtime import dispatch as _dispatch
+    from ..core.params import normalize_level
+
+    runtime = _dispatch.RUNTIME
+    lvl = normalize_level(filter_type, level)
+    height, width, channels = image.shape
+
+    kwargs: dict[str, Any] = {"level": lvl}
+    if filter_type == "gaussian":
+        kwargs.update(sigma=sigma if sigma is not None else 2.0,
+                      radius=radius if radius is not None else 3)
+    elif filter_type == "box":
+        kwargs.update(radius=radius if radius is not None else 3)
+
+    # Warm + locate the executable via a normal run.  Cache keys use the
+    # BUCKETED shape (see dispatch shape bucketing).
+    _, first_metrics = runtime.run(filter_type, image, **kwargs)
+    kh, kw = height, width
+    if _dispatch._bucketing_enabled():
+        kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
+
+    img_exec = np.ascontiguousarray(image, dtype=np.uint8)
+    if (kh, kw) != (height, width):
+        img_exec = np.pad(
+            img_exec, ((0, kh - height), (0, kw - width), (0, 0)), mode="edge"
+        )
+
+    serving_path = "single_chip"
+    spatial = _locate_spatial(runtime, filter_type, lvl, img_exec, kwargs)
+    if spatial is not None:
+        exe_key, exe, args = spatial
+        serving_path = "spatial"
+    else:
+        exe_key = _dispatch.executable_cache_key(
+            filter_type, lvl, kh, kw, channels, kwargs.get("radius"))
+        exe = runtime._cache.get(exe_key)
+        args = None
+
+    # Device-side kernel timing via the loop-delta method (the analog of
+    # ncu's on-device measurement with --launch-count 10,
+    # ncu_profiler.py:142); also keep a wall-time sample set.
+    times_ms: list[float] = []
+    duration_ms = first_metrics.time_ms
+    per_pass: Optional[tuple[float, float]] = None
+    trace_kernels: Optional[dict] = None
+    if exe is not None and exe._compiled is not None:
+        import jax
+
+        from ..runtime.timing import device_time_ms
+
+        if args is None:
+            args = [jax.device_put(img_exec.reshape(kh, -1), default_device())]
+            if filter_type == "gaussian":
+                from ..ops.weights import gaussian_kernel_f32
+
+                args.append(
+                    jax.device_put(
+                        gaussian_kernel_f32(kwargs["radius"],
+                                            float(kwargs["sigma"])),
+                        default_device(),
+                    )
+                )
+            jax.block_until_ready(args)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            exe._compiled(*args).block_until_ready()
+            times_ms.append((time.perf_counter() - t0) * 1000.0)
+        try:
+            from ..runtime import dispatch as _d
+
+            if serving_path == "spatial":
+                # The served fn itself is u8-in == u8-out, so it chains in
+                # the loop-delta harness directly (sharded operands stay
+                # sharded across iterations).
+                fn = exe._raw_fn
+            else:
+                fn = {
+                    "gaussian": lambda f=filter_type: _d._trace_gaussian(
+                        lvl, kwargs["radius"], kh, kw, channels
+                    ),
+                    "box": lambda f=filter_type: _d._trace_box(
+                        lvl, kwargs["radius"], kh, kw, channels
+                    ),
+                    "sobel": lambda f=filter_type: _d._trace_sobel(
+                        lvl, kh, kw, channels
+                    ),
+                }[filter_type]()
+            duration_ms = device_time_ms(fn, args, iters=32, sync_reps=3)
+        except Exception:
+            duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+
+        # Tier 1: REAL per-kernel durations from an xplane trace of the
+        # served executable (device plane only).
+        def _traced_run(compiled=exe._compiled, a=args):
+            out = None
+            for _ in range(4):
+                out = compiled(*a)
+            jax.block_until_ready(out)
+
+        trace_kernels = _trace_kernel_breakdown(exe_key, _traced_run)
+
+        # Tier 2 (trace unavailable): isolated-pass estimate for the
+        # separable blurs, rescaled to the fused total (see _pass_breakdown).
+        # Spatial shards run the same per-pass kernels per row band, so the
+        # single-chip pass RATIO remains the right splitting estimate.
+        if filter_type in ("gaussian", "box") and trace_kernels is None:
+            try:
+                pass_args = args
+                if serving_path == "spatial":
+                    dev = default_device()
+                    pass_args = [jax.device_put(
+                        img_exec.reshape(kh, -1), dev)]
+                    if filter_type == "gaussian":
+                        from ..ops.weights import gaussian_kernel_f32
+
+                        pass_args.append(jax.device_put(
+                            gaussian_kernel_f32(kwargs["radius"],
+                                                float(kwargs["sigma"])), dev))
+                    jax.block_until_ready(pass_args)
+                per_pass = _pass_breakdown(
+                    filter_type, lvl, kwargs["radius"], kh, kw, channels,
+                    pass_args
+                )
+            except Exception:
+                per_pass = None
+
+    metrics = _assemble_metrics(
+        duration_ms=duration_ms,
+        times_ms=times_ms,
+        fallback_ms=first_metrics.time_ms,
+        compiled=exe._compiled if exe is not None else None,
+        label=_kernel_label(filter_type, lvl),
+        shape_str=f"{height}x{width}x{channels}",
+        io_bytes=2 * height * width * channels,
+        trace_kernels=trace_kernels,
+        per_pass=per_pass,
+        extra_config={"Serving Path": serving_path},
+    )
+
     if capture_trace:
         metrics["trace_dir"] = capture_xla_trace(
             lambda: runtime.run(filter_type, image, **kwargs), trace_dir
         )
 
     return metrics
+
+
+def profile_batch(
+    images: np.ndarray,
+    filter_type: str,
+    level: int,
+    sigma: Optional[float] = None,
+    radius: Optional[int] = None,
+) -> dict[str, Any]:
+    """Deep-profile the BATCHED serving path (/api/process-batch).
+
+    Same three-tier contract as profile_filter, aimed at the batch
+    executable the runtime actually serves (dispatch.run_batch): locate it
+    under batch_cache_key, loop-delta time the batched trace fn, and trace
+    the served executable's own device plane.  Closes the r3 observability
+    gap where batch requests produced no trace-tier metrics at all (the
+    §5.1 bar is the single-image contract, ncu_profiler.py:39-90).
+    """
+    from ..core.params import normalize_level
+    from ..runtime import dispatch as _dispatch
+
+    runtime = _dispatch.RUNTIME
+    lvl = normalize_level(filter_type, level)
+    batch, height, width, channels = images.shape
+
+    kwargs: dict[str, Any] = {"level": lvl}
+    if filter_type == "gaussian":
+        kwargs.update(sigma=sigma if sigma is not None else 2.0,
+                      radius=radius if radius is not None else 3)
+    elif filter_type == "box":
+        kwargs.update(radius=radius if radius is not None else 3)
+
+    # Warm + locate the served batch executable (bucketed-shape key, same
+    # single-source rule as the single-image path).
+    _, first_metrics = runtime.run_batch(filter_type, images, **kwargs)
+    kh, kw = height, width
+    if _dispatch._bucketing_enabled():
+        kh, kw = _dispatch._bucket(height), _dispatch._bucket(width)
+    exe_key = _dispatch.batch_cache_key(
+        filter_type, lvl, batch, kh, kw, channels, kwargs.get("radius"))
+    exe = runtime._cache.get(exe_key)
+
+    times_ms: list[float] = []
+    duration_ms = first_metrics.time_ms
+    per_pass: Optional[tuple[float, float]] = None
+    trace_kernels: Optional[dict] = None
+    mesh_n = _dispatch._mesh_batch_devices()
+    if exe is not None and exe._compiled is not None:
+        import jax
+
+        from ..runtime.timing import device_time_ms
+
+        imgs = np.ascontiguousarray(images, dtype=np.uint8)
+        if (kh, kw) != (height, width):
+            imgs = np.pad(
+                imgs, ((0, 0), (0, kh - height), (0, kw - width), (0, 0)),
+                mode="edge")
+        weights = None
+        if filter_type == "gaussian":
+            from ..ops.weights import gaussian_kernel_f32
+
+            weights = gaussian_kernel_f32(kwargs["radius"],
+                                          float(kwargs["sigma"]))
+        rows_b = imgs.reshape(batch, kh, -1)
+        if mesh_n:
+            # Same host-side batch pad + dp commit as _run_batch_attempt.
+            pad_b = -batch % mesh_n
+            if pad_b:
+                rows_b = np.concatenate(
+                    [rows_b, np.repeat(rows_b[-1:], pad_b, axis=0)], axis=0)
+            batch_sh, repl_sh = _dispatch._mesh_batch_shardings(mesh_n)
+            args = [jax.device_put(rows_b, batch_sh)]
+            if weights is not None:
+                args.append(jax.device_put(weights, repl_sh))
+        else:
+            dev = default_device()
+            args = [jax.device_put(rows_b, dev)]
+            if weights is not None:
+                args.append(jax.device_put(weights, dev))
+        jax.block_until_ready(args)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            exe._compiled(*args).block_until_ready()
+            times_ms.append((time.perf_counter() - t0) * 1000.0)
+        try:
+            # The batched trace fn is u8 rows in == out, so the served fn
+            # itself chains in the loop-delta harness.
+            duration_ms = device_time_ms(exe._raw_fn, args,
+                                         iters=16, sync_reps=3)
+        except Exception:
+            duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
+
+        def _traced_run(compiled=exe._compiled, a=args):
+            out = None
+            for _ in range(4):
+                out = compiled(*a)
+            jax.block_until_ready(out)
+
+        trace_kernels = _trace_kernel_breakdown(exe_key, _traced_run)
+
+        # Tier 2: the batch runs the same per-image pass kernels, so the
+        # single-image pass RATIO is the right splitting estimate;
+        # _assemble_metrics rescales the pair to the batched total.
+        if filter_type in ("gaussian", "box") and trace_kernels is None:
+            try:
+                dev = default_device()
+                pass_args = [jax.device_put(imgs[0].reshape(kh, -1), dev)]
+                if weights is not None:
+                    pass_args.append(jax.device_put(weights, dev))
+                jax.block_until_ready(pass_args)
+                per_pass = _pass_breakdown(
+                    filter_type, lvl, kwargs["radius"], kh, kw, channels,
+                    pass_args)
+            except Exception:
+                per_pass = None
+
+    return _assemble_metrics(
+        duration_ms=duration_ms,
+        times_ms=times_ms,
+        fallback_ms=first_metrics.time_ms,
+        compiled=exe._compiled if exe is not None else None,
+        label=f"{filter_type}_batch_l{lvl}",
+        shape_str=f"{batch}x{height}x{width}x{channels}",
+        io_bytes=2 * batch * height * width * channels,
+        trace_kernels=trace_kernels,
+        per_pass=per_pass,
+        extra_config={
+            "Serving Path": f"batch(dp={mesh_n})" if mesh_n else "batch",
+            "Batch Size": batch,
+        },
+    )
 
 
 def capture_xla_trace(fn, trace_dir: Optional[str] = None) -> str:

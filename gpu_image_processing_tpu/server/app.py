@@ -240,7 +240,8 @@ def create_app() -> Router:
                 "POST /api/process-batch": {
                     "description": "Filter a batch of same-size images in one"
                                    " device program",
-                    "body": "{images: [b64,...], filter, level, sigma, radius}",
+                    "body": "{images: [b64,...], filter, level, sigma, "
+                            "radius, enable_profiling}",
                 },
                 "POST /api/upload": {
                     "description": "multipart/form-data file -> base64"
@@ -474,13 +475,45 @@ def create_app() -> Router:
             raise HTTPError(400, str(exc)) from None
         except Exception as exc:
             raise HTTPError(500, f"Processing failed: {exc}") from None
+        base_metrics: dict[str, Any] = {
+            **metrics.as_dict(),
+            "batch_size": int(batch.shape[0]),
+            "images_per_second": metrics.fps,
+        }
+        if req.enable_profiling:
+            # Same merge contract as /api/process-all: the deep profile's
+            # durations land under the reference's ncu_* key names and
+            # NEVER override the device-timed time_ms.  The profiled
+            # program is the batch executable itself (profiler.py::
+            # profile_batch), not a single-image stand-in.
+            try:
+                from ..profiling.profiler import (
+                    get_common_metrics,
+                    profile_batch,
+                )
+
+                deep = profile_batch(
+                    batch,
+                    req.filter,
+                    req.level,
+                    req.sigma if req.filter == "gaussian" else None,
+                    req.radius if req.filter in ("gaussian", "box") else None,
+                )
+                common = get_common_metrics(deep, ncu_data=deep) if deep else {}
+                if common.get("time_ms", 0) > 0:
+                    base_metrics["ncu_profiled_time_ms"] = common["time_ms"]
+                for key, value in common.items():
+                    if key == "time_ms":
+                        continue
+                    base_metrics[key] = value
+                if deep:
+                    base_metrics["ncu_data"] = deep
+            except Exception as exc:
+                logger.warning("Batch profiling failed: %s", exc)
+                base_metrics["profiling_error"] = str(exc)
         return 200, {
             "processed_images": [encode_image_to_base64(img) for img in out],
-            "metrics": {
-                **metrics.as_dict(),
-                "batch_size": int(batch.shape[0]),
-                "images_per_second": metrics.fps,
-            },
+            "metrics": base_metrics,
             "info": _info_dict(req, req.level, height, width, channels),
         }
 

@@ -124,3 +124,40 @@ def test_disable_pallas_reaches_spatial_bodies(spatial_env, monkeypatch):
         np.testing.assert_array_equal(got, want[f])
     assert {k[1] for k in _spatial_keys()} == {"box", "gaussian", "sobel"}, \
         "spatial path not taken for every filter"
+
+
+def test_profile_filter_spatial(spatial_env):
+    """Deep profiling on a spatial-serving deployment times the ROW-SHARDED
+    executable the runtime actually serves, with provenance in config
+    (VERDICT r3 item 6: the single-chip cache key used to find nothing)."""
+    from gpu_image_processing_tpu.profiling.profiler import (
+        get_common_metrics,
+        profile_filter,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (100, 97, 3), np.uint8)
+    deep = profile_filter(img, "gaussian", 2, sigma=2.0, radius=3)
+    assert deep["config"]["Serving Path"] == "spatial"
+    assert deep["total_kernel_duration_ms"] > 0
+    # Per-kernel rows survive (pass-ratio estimate on the CPU mesh; the
+    # xplane tier takes over on real TPU planes).
+    pp = deep["per_pass_durations_ms"]
+    assert pp["horizontal"] > 0 and pp["vertical"] > 0
+    common = get_common_metrics(deep, ncu_data=deep)
+    assert common["time_ms"] == deep["total_kernel_duration_ms"]
+    # The spatial executable itself was the profiled program.
+    assert any(k[0] == "spatial" and k[1] == "gaussian"
+               for k in RUNTIME._cache)
+
+
+def test_profile_filter_single_chip_provenance(spatial_env, monkeypatch):
+    """Without the spatial route (small image) the provenance says
+    single_chip -- readers can tell which program the numbers describe."""
+    from gpu_image_processing_tpu.profiling.profiler import profile_filter
+
+    monkeypatch.setenv("GIP_TPU_MESH_SPATIAL_MIN_ROWS_PER_SHARD", "4096")
+    rng = np.random.default_rng(22)
+    img = rng.integers(0, 256, (24, 30, 3), np.uint8)
+    deep = profile_filter(img, "sobel", 2)
+    assert deep["config"]["Serving Path"] == "single_chip"
