@@ -239,7 +239,12 @@ int gip_png_encode(const uint8_t* img, int h, int w, int c, int level,
 }
 
 // ---------------------------------------------------------------------------
-// PNG decode (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced)
+// PNG decode -- the full ISO/W3C variant matrix the reference's vendored stb
+// layer covers (stb_image.h:24 "PNG 1/2/4/8/16-bit-per-channel", :4861
+// Adam7, :5134 PLTE): gray 1/2/4/8/16, palette 1/2/4/8 (+tRNS alpha),
+// RGB/GA/RGBA 8/16, interlace 0 and Adam7.  stb-matching reductions: 16-bit
+// samples take the HIGH byte; sub-8-bit GRAY scales to full range
+// (x * 255/(2^d-1)); palette INDICES are never scaled.
 // ---------------------------------------------------------------------------
 
 static uint32_t get_be32(const uint8_t* p) {
@@ -255,14 +260,78 @@ static uint8_t paeth(int a, int b, int cc) {
   return (uint8_t)cc;
 }
 
+// Unfilter `rows` scanlines of `stride` bytes in place within `buf`, where
+// each scanline is preceded by its filter byte ((stride+1)-byte records).
+// `fbpp` is the filter's pixel unit in bytes (max(1, bits_per_pixel/8)).
+// Filtered output for row y lands at buf + (stride+1)*y + 1, using the
+// PREVIOUS unfiltered row in place as "up".  Per-filter specialized rows:
+// the generic per-byte switch measured ~2x slower than these tight loops.
+static int png_unfilter(uint8_t* buf, size_t rows, size_t stride,
+                        size_t fbpp) {
+  for (size_t y = 0; y < rows; ++y) {
+    uint8_t filter = buf[(stride + 1) * y];
+    uint8_t* dst = buf + (stride + 1) * y + 1;
+    const uint8_t* up = y ? buf + (stride + 1) * (y - 1) + 1 : nullptr;
+    switch (filter) {
+      case 0:
+        break;
+      case 1:  // Sub
+        for (size_t x = fbpp; x < stride; ++x)
+          dst[x] = (uint8_t)(dst[x] + dst[x - fbpp]);
+        break;
+      case 2:  // Up (b=0 on the first row -> None)
+        if (up)
+          for (size_t x = 0; x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + up[x]);
+        break;
+      case 3:  // Average
+        if (!up) {
+          for (size_t x = fbpp; x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + dst[x - fbpp] / 2);
+        } else {
+          for (size_t x = 0; x < fbpp && x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + up[x] / 2);
+          for (size_t x = fbpp; x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + (dst[x - fbpp] + up[x]) / 2);
+        }
+        break;
+      case 4:  // Paeth (first row: predictor==a -> Sub; first fbpp: ==b -> Up)
+        if (!up) {
+          for (size_t x = fbpp; x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + dst[x - fbpp]);
+        } else {
+          for (size_t x = 0; x < fbpp && x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] + up[x]);
+          for (size_t x = fbpp; x < stride; ++x)
+            dst[x] = (uint8_t)(dst[x] +
+                               paeth(dst[x - fbpp], up[x], up[x - fbpp]));
+        }
+        break;
+      default:
+        return 7;
+    }
+  }
+  return 0;
+}
+
+// Adam7 pass origin/step tables (PNG spec 8.2).
+static const int kAdam7X0[7] = {0, 4, 0, 2, 0, 1, 0};
+static const int kAdam7Y0[7] = {0, 0, 4, 0, 2, 0, 1};
+static const int kAdam7DX[7] = {8, 8, 4, 4, 2, 2, 1};
+static const int kAdam7DY[7] = {8, 8, 8, 4, 4, 2, 2};
+
 static int png_decode_impl(const uint8_t* png, size_t len,
                            uint8_t** out_buf, int* out_h, int* out_w,
                            int* out_c) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (!png || len < 45 || std::memcmp(png, sig, 8) != 0) return 1;
 
-  int w = 0, h = 0, channels = 0, bit_depth = 0;
+  int w = 0, h = 0, depth = 0, color = -1, interlace = 0, samples = 0;
   std::vector<uint8_t> idat;
+  uint8_t palette[256][3];
+  uint8_t pal_alpha[256];
+  int pal_count = 0;
+  bool have_trns = false;
   size_t pos = 8;
   bool done = false;
   while (pos + 12 <= len && !done) {
@@ -279,17 +348,49 @@ static int png_decode_impl(const uint8_t* png, size_t len,
       if (!w32 || !h32 || (uint64_t)w32 * h32 > kGipMaxDecodePixels) return 8;
       w = (int)w32;
       h = (int)h32;
-      bit_depth = data[8];
-      int color = data[9];
-      if (bit_depth != 8) return 2;          // 8-bit only
-      if (data[12] != 0) return 3;           // no interlace
+      depth = data[8];
+      color = data[9];
+      interlace = data[12];
+      if (interlace != 0 && interlace != 1) return 3;
+      // Legal (color, depth) combinations per PNG spec table 11.1.
       switch (color) {
-        case 0: channels = 1; break;
-        case 2: channels = 3; break;
-        case 4: channels = 2; break;
-        case 6: channels = 4; break;
-        default: return 4;                   // palette unsupported
+        case 0:
+          samples = 1;
+          if (depth != 1 && depth != 2 && depth != 4 && depth != 8 &&
+              depth != 16)
+            return 2;
+          break;
+        case 3:
+          samples = 1;
+          if (depth != 1 && depth != 2 && depth != 4 && depth != 8) return 2;
+          break;
+        case 2: samples = 3; goto depth_8_16;
+        case 4: samples = 2; goto depth_8_16;
+        case 6: samples = 4; goto depth_8_16;
+        depth_8_16:
+          if (depth != 8 && depth != 16) return 2;
+          break;
+        default:
+          return 4;
       }
+    } else if (!std::memcmp(type, "PLTE", 4)) {
+      if (clen % 3 || clen > 256 * 3) return 1;
+      pal_count = (int)(clen / 3);
+      for (int i = 0; i < pal_count; ++i) {
+        palette[i][0] = data[i * 3];
+        palette[i][1] = data[i * 3 + 1];
+        palette[i][2] = data[i * 3 + 2];
+        pal_alpha[i] = 255;
+      }
+    } else if (!std::memcmp(type, "tRNS", 4)) {
+      if (color == 3) {
+        if ((int)clen > pal_count) return 1;
+        for (uint32_t i = 0; i < clen; ++i) pal_alpha[i] = data[i];
+        have_trns = true;
+      }
+      // tRNS on gray/RGB is a single transparent-color key; the serving
+      // contract decodes those types at their native channel count (PIL's
+      // default does too), so the key is parsed-and-ignored.
     } else if (!std::memcmp(type, "IDAT", 4)) {
       idat.insert(idat.end(), data, data + clen);
     } else if (!std::memcmp(type, "IEND", 4)) {
@@ -297,10 +398,32 @@ static int png_decode_impl(const uint8_t* png, size_t len,
     }
     pos += 12 + clen;
   }
-  if (!w || !h || !channels || idat.empty()) return 1;
+  if (!w || !h || !samples || idat.empty()) return 1;
+  if (color == 3 && !pal_count) return 1;
 
-  const size_t stride = (size_t)w * channels;
-  std::vector<uint8_t> raw((stride + 1) * (size_t)h);
+  const int bits_pp = depth * samples;
+  const size_t fbpp = bits_pp < 8 ? 1 : (size_t)(bits_pp / 8);
+
+  // Per-pass geometry (one full-frame pass when non-interlaced).
+  const int n_pass = interlace ? 7 : 1;
+  int pw[7], ph[7];
+  size_t pstride[7], poff[7];
+  size_t total_raw = 0;
+  for (int p = 0; p < n_pass; ++p) {
+    if (interlace) {
+      pw[p] = (w - kAdam7X0[p] + kAdam7DX[p] - 1) / kAdam7DX[p];
+      ph[p] = (h - kAdam7Y0[p] + kAdam7DY[p] - 1) / kAdam7DY[p];
+    } else {
+      pw[p] = w;
+      ph[p] = h;
+    }
+    pstride[p] = ((size_t)pw[p] * bits_pp + 7) / 8;
+    poff[p] = total_raw;
+    if (pw[p] && ph[p]) total_raw += (pstride[p] + 1) * (size_t)ph[p];
+  }
+  if (!total_raw) return 1;
+
+  std::vector<uint8_t> raw(total_raw);
 #ifdef GIP_HAVE_LIBDEFLATE
   {
     libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
@@ -321,68 +444,75 @@ static int png_decode_impl(const uint8_t* png, size_t len,
   }
 #endif
 
-  uint8_t* img = (uint8_t*)std::malloc(stride * (size_t)h);
+  const int out_channels =
+      color == 3 ? (have_trns ? 4 : 3) : samples;
+  const size_t out_stride = (size_t)w * out_channels;
+  uint8_t* img = (uint8_t*)std::malloc(out_stride * (size_t)h);
   if (!img) return 6;
-  const size_t bpp = (size_t)channels;  // bytes per pixel at depth 8
-  // Per-filter specialized rows: the generic per-byte switch + ternary
-  // a/b/c gathers measured ~2x slower than these tight loops (filter is
-  // constant across a row; Up vectorizes outright).
-  for (int y = 0; y < h; ++y) {
-    uint8_t filter = raw[(stride + 1) * y];
-    const uint8_t* src = &raw[(stride + 1) * y + 1];
-    uint8_t* dst = img + stride * y;
-    const uint8_t* up = y ? img + stride * (y - 1) : nullptr;
-    switch (filter) {
-      case 0:
-        std::memcpy(dst, src, stride);
-        break;
-      case 1:  // Sub
-        for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
-        for (size_t x = bpp; x < stride; ++x)
-          dst[x] = (uint8_t)(src[x] + dst[x - bpp]);
-        break;
-      case 2:  // Up (b=0 on the first row -> None)
-        if (!up) {
-          std::memcpy(dst, src, stride);
+
+  // Sub-8-bit gray scale factors (1->255, 2->85, 4->17); palette indices
+  // pass through unscaled (stb_image.h depth_scale_table semantics).
+  const int gray_scale =
+      (color == 0 && depth < 8) ? 255 / ((1 << depth) - 1) : 1;
+
+  for (int p = 0; p < n_pass; ++p) {
+    if (!pw[p] || !ph[p]) continue;
+    uint8_t* pass = raw.data() + poff[p];
+    int rc = png_unfilter(pass, (size_t)ph[p], pstride[p], fbpp);
+    if (rc) {
+      std::free(img);
+      return rc;
+    }
+    const int x0 = interlace ? kAdam7X0[p] : 0;
+    const int y0 = interlace ? kAdam7Y0[p] : 0;
+    const int dx = interlace ? kAdam7DX[p] : 1;
+    const int dy = interlace ? kAdam7DY[p] : 1;
+    for (int ry = 0; ry < ph[p]; ++ry) {
+      const uint8_t* src = pass + (pstride[p] + 1) * ry + 1;
+      uint8_t* dst_row = img + out_stride * ((size_t)y0 + (size_t)ry * dy);
+      if (depth == 8 && color != 3 && dx == 1) {
+        // Hot serving path (8-bit non-palette rows with unit step --
+        // every non-interlaced image plus Adam7's final pass): straight
+        // row copy instead of the per-pixel assembly loop.
+        std::memcpy(dst_row + (size_t)x0 * out_channels, src,
+                    (size_t)pw[p] * samples);
+        continue;
+      }
+      for (int rx = 0; rx < pw[p]; ++rx) {
+        uint8_t px[4];
+        if (depth == 16) {
+          for (int s = 0; s < samples; ++s)
+            px[s] = src[((size_t)rx * samples + s) * 2];  // high byte
+        } else if (depth == 8) {
+          for (int s = 0; s < samples; ++s)
+            px[s] = src[(size_t)rx * samples + s];
         } else {
-          for (size_t x = 0; x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + up[x]);
+          size_t bit = (size_t)rx * depth;
+          int v = (src[bit >> 3] >> (8 - depth - (bit & 7))) &
+                  ((1 << depth) - 1);
+          px[0] = (uint8_t)(v * gray_scale);
         }
-        break;
-      case 3:  // Average
-        if (!up) {
-          for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
-          for (size_t x = bpp; x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + dst[x - bpp] / 2);
+        uint8_t* dst = dst_row + (size_t)(x0 + rx * dx) * out_channels;
+        if (color == 3) {
+          int idx = px[0];
+          if (idx >= pal_count) {
+            std::free(img);
+            return 1;  // index past PLTE: malformed
+          }
+          dst[0] = palette[idx][0];
+          dst[1] = palette[idx][1];
+          dst[2] = palette[idx][2];
+          if (have_trns) dst[3] = pal_alpha[idx];
         } else {
-          for (size_t x = 0; x < bpp && x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + up[x] / 2);
-          for (size_t x = bpp; x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + (dst[x - bpp] + up[x]) / 2);
+          for (int s = 0; s < samples; ++s) dst[s] = px[s];
         }
-        break;
-      case 4:  // Paeth (first row: predictor==a -> Sub; first bpp: ==b -> Up)
-        if (!up) {
-          for (size_t x = 0; x < bpp && x < stride; ++x) dst[x] = src[x];
-          for (size_t x = bpp; x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + dst[x - bpp]);
-        } else {
-          for (size_t x = 0; x < bpp && x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] + up[x]);
-          for (size_t x = bpp; x < stride; ++x)
-            dst[x] = (uint8_t)(src[x] +
-                               paeth(dst[x - bpp], up[x], up[x - bpp]));
-        }
-        break;
-      default:
-        std::free(img);
-        return 7;
+      }
     }
   }
   *out_buf = img;
   *out_h = h;
   *out_w = w;
-  *out_c = channels;
+  *out_c = out_channels;
   return 0;
 }
 

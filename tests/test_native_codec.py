@@ -188,10 +188,11 @@ def test_codec_pipeline_jpeg_progressive_falls_back(rng):
     assert arr.shape == (16, 16, 3)
 
 
-def test_palette_png_falls_back_to_pil(rng):
-    # Palette-mode PNGs are outside the native decoder's subset; the PIL
-    # fallback must produce a normalized RGB array -- and the decode-tier
-    # counters must attribute the request to the PIL tier.
+def test_palette_png_decodes_natively(rng):
+    # Palette-mode PNGs are inside the native decoder's subset since round
+    # 4 (PLTE expansion, stb_image.h:5134 analog): the serving path decodes
+    # them on the native tier and the result matches PIL's own palette
+    # expansion byte-for-byte.
     from gpu_image_processing_tpu.utils import image as image_util
 
     image_util.reset_decode_tier_counts()
@@ -202,8 +203,11 @@ def test_palette_png_falls_back_to_pil(rng):
     data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
     arr = decode_base64_image(data_url)
     assert arr.shape == (10, 11, 3)
-    assert image_util.decode_tier_counts()["pil"] == 1
-    assert image_util.decode_tier_counts()["native_png"] == 0
+    if native_codec.available():
+        assert image_util.decode_tier_counts()["native_png"] == 1
+        assert image_util.decode_tier_counts()["pil"] == 0
+    np.testing.assert_array_equal(
+        arr, np.array(pal.convert("RGB")))
 
 
 def test_gif_still_decodes_via_pil(rng):

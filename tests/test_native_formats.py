@@ -921,3 +921,157 @@ def test_hdr_write_gray_and_rgba_inputs(rng, tmp_path):
     rgba = rng.integers(0, 256, size=(4, 8, 4), dtype=np.uint8)
     assert native_codec.hdr_write(path, rgba)  # alpha dropped
     assert native_codec.hdr_decode(open(path, "rb").read()).shape == (4, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# PNG variant matrix (VERDICT r3 item 3): the native decoder covers the full
+# stb set -- gray 1/2/4/8/16, palette 1/2/4/8 (+tRNS alpha), RGB/GA/RGBA
+# 8/16, interlace none + Adam7 (stb_image.h:24,4861,5134).  stb-matching
+# reductions: 16-bit takes the HIGH byte, sub-8-bit gray scales to 0..255.
+# PIL writes none of the exotic combos, so a minimal spec-direct writer
+# lives here and PIL serves as the independent DECODER for cross-checks.
+# ---------------------------------------------------------------------------
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_bytes(arr, depth, color, interlace=0, palette=None, trns=None):
+    """Minimal PNG writer (filter 0 rows, optional Adam7 layout)."""
+    import zlib
+
+    h, w = arr.shape[:2]
+    samples = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    a = arr.reshape(h, w, samples)
+
+    def pack_rows(sub):
+        ph, pw = sub.shape[:2]
+        out = bytearray()
+        for y in range(ph):
+            out.append(0)  # filter None
+            if depth == 16:
+                out += sub[y].astype(">u2").tobytes()
+            elif depth == 8:
+                out += sub[y].astype(np.uint8).tobytes()
+            else:
+                bits = "".join(
+                    format(int(v), f"0{depth}b") for v in sub[y, :, 0])
+                bits += "0" * (-len(bits) % 8)
+                if bits:
+                    out += int(bits, 2).to_bytes(len(bits) // 8, "big")
+        return bytes(out)
+
+    if interlace:
+        raw = b"".join(
+            pack_rows(a[y0::dy, x0::dx]) for (x0, y0, dx, dy) in _ADAM7
+            if a[y0::dy, x0::dx].shape[0] and a[y0::dy, x0::dx].shape[1])
+    else:
+        raw = pack_rows(a)
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", zlib.crc32(t + d)))
+
+    png = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace))
+    if palette is not None:
+        png += chunk(b"PLTE", bytes(palette.flatten()))
+    if trns is not None:
+        png += chunk(b"tRNS", bytes(trns))
+    return png + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _pil_u8(data, mode=None):
+    img = Image.open(io.BytesIO(data))
+    if mode:
+        img = img.convert(mode)
+    arr = np.array(img)
+    if arr.dtype == np.uint16:
+        arr = (arr >> 8).astype(np.uint8)   # high byte, like stb
+    if arr.dtype == bool:
+        arr = arr.astype(np.uint8) * 255
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+@needs_native
+@pytest.mark.parametrize("depth", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_gray_depths(rng, depth, interlace):
+    g = rng.integers(0, 1 << min(depth, 16), (13, 17))
+    nat = native_codec.png_decode(_png_bytes(g, depth, 0, interlace))
+    assert nat is not None and nat.shape == (13, 17, 1)
+    np.testing.assert_array_equal(
+        nat, _pil_u8(_png_bytes(g, depth, 0, interlace)))
+
+
+@needs_native
+@pytest.mark.parametrize("color,channels", [(2, 3), (4, 2), (6, 4)])
+@pytest.mark.parametrize("depth", [8, 16])
+def test_png_multisample_depths(rng, color, channels, depth):
+    a = rng.integers(0, 1 << depth, (11, 19, channels))
+    nat = native_codec.png_decode(_png_bytes(a, depth, color))
+    assert nat is not None and nat.shape == (11, 19, channels)
+    want = (a >> 8 if depth == 16 else a).astype(np.uint8)
+    np.testing.assert_array_equal(nat, want)
+
+
+@needs_native
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+@pytest.mark.parametrize("interlace", [0, 1])
+def test_png_palette_matches_pil(rng, depth, interlace):
+    n = 1 << depth
+    pal = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    idx = rng.integers(0, n, (13, 17))
+    data = _png_bytes(idx, depth, 3, interlace, palette=pal)
+    nat = native_codec.png_decode(data)
+    assert nat is not None and nat.shape == (13, 17, 3)
+    np.testing.assert_array_equal(nat, _pil_u8(data, "RGB"))
+
+
+@needs_native
+def test_png_palette_trns_alpha(rng):
+    pal = rng.integers(0, 256, (16, 3)).astype(np.uint8)
+    trns = list(rng.integers(0, 256, 5))
+    idx = rng.integers(0, 16, (9, 14))
+    data = _png_bytes(idx, 4, 3, palette=pal, trns=trns)
+    nat = native_codec.png_decode(data)
+    assert nat is not None and nat.shape == (9, 14, 4)
+    np.testing.assert_array_equal(nat, _pil_u8(data, "RGBA"))
+
+
+@needs_native
+@pytest.mark.parametrize("hw", [(1, 1), (2, 3), (7, 5), (8, 9), (16, 16)])
+def test_png_adam7_degenerate_passes(rng, hw):
+    """Sub-8x8 images leave some Adam7 passes empty; every geometry must
+    still reassemble exactly (cross-checked against PIL's interlace
+    reader)."""
+    a = rng.integers(0, 256, (*hw, 3))
+    data = _png_bytes(a, 8, 2, interlace=1)
+    nat = native_codec.png_decode(data)
+    np.testing.assert_array_equal(nat, a.astype(np.uint8)[:, :, :])
+    np.testing.assert_array_equal(nat, _pil_u8(data))
+
+
+@needs_native
+def test_png_16bit_interlaced(rng):
+    a = rng.integers(0, 65536, (13, 17, 4))
+    nat = native_codec.png_decode(_png_bytes(a, 16, 6, interlace=1))
+    np.testing.assert_array_equal(nat, (a >> 8).astype(np.uint8))
+
+
+@needs_native
+def test_png_malformed_variants_rejected(rng):
+    # Palette image without PLTE; index past the palette; illegal
+    # depth/color combos -- all must fail cleanly, not crash.
+    idx = rng.integers(0, 4, (5, 5))
+    assert native_codec.png_decode(_png_bytes(idx, 2, 3)) is None
+    pal = rng.integers(0, 256, (2, 3)).astype(np.uint8)
+    bad_idx = np.full((4, 4), 3)  # palette has 2 entries
+    assert native_codec.png_decode(
+        _png_bytes(bad_idx, 2, 3, palette=pal)) is None
+    rgb = rng.integers(0, 256, (4, 4, 3))
+    data = bytearray(_png_bytes(rgb, 8, 2))
+    data[24] = 4  # depth 4 with color 2: illegal per spec table 11.1
+    assert native_codec.png_decode(bytes(data)) is None
