@@ -4,6 +4,7 @@ both in-process (Router.dispatch) and over a real socket."""
 import base64
 import io
 import json
+import re
 import threading
 import urllib.request
 
@@ -311,9 +312,19 @@ def test_live_oversize_body_413_before_read(live_server, monkeypatch):
             if not chunk:
                 break
             resp += chunk
+        # Keep reading until the response BODY is complete too (it may land
+        # in a later TCP segment than the headers).
+        head_blob, _, body = resp.partition(b"\r\n\r\n")
+        m = re.search(rb"(?i)content-length:\s*(\d+)", head_blob)
+        want = int(m.group(1)) if m else 0
+        while len(body) < want:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            body += chunk
     head = resp.split(b"\r\n", 1)[0]
     assert b"413" in head, resp[:200]
-    assert b"GIP_TPU_MAX_BODY_MB" in resp
+    assert b"GIP_TPU_MAX_BODY_MB" in head_blob + body
 
 
 def test_live_body_cap_env_and_normal_requests_unaffected(live_server):
