@@ -103,6 +103,16 @@ def load() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
                 ctypes.POINTER(ctypes.c_int),
             ]
+    fn = getattr(lib, "gip_gif_frames_decode", None)
+    if fn is not None:
+        fn.restype = ctypes.c_int
+        fn.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
     try:
         lib.gip_jpeg_encode.restype = ctypes.c_int
         lib.gip_jpeg_encode.argtypes = [
@@ -253,6 +263,41 @@ def gif_decode(data: bytes) -> Optional[np.ndarray]:
     (RGB, or RGBA when the frame declares a transparent index).  Parity
     target: stb_image's GIF path (/root/reference/external/stb_image.h:126)."""
     return _decode_out_params("gip_gif_decode", data)
+
+
+def gif_frames(data: bytes, max_frames: int = 0):
+    """GIF animation -> (frames, delays): frames is (N, H, W, 4) uint8 RGBA
+    canvases composited with disposal semantics, delays is a list of N
+    per-frame delays in MILLISECONDS.  The analog of stb's
+    stbi_load_gif_from_memory (/root/reference/external/stb_image.h:433;
+    stb also reports ms, scaling the GIF centiseconds by 10 at :6916).
+    max_frames <= 0 decodes every frame.  Returns None when the library is
+    unavailable or the stream is not a decodable GIF."""
+    lib = load()
+    if lib is None or not hasattr(lib, "gip_gif_frames_decode"):
+        return None
+    buf = ctypes.c_void_p()
+    dbuf = ctypes.c_void_p()
+    n = ctypes.c_int()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.gip_gif_frames_decode(
+        data, len(data), max_frames, ctypes.byref(buf), ctypes.byref(dbuf),
+        ctypes.byref(n), ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    try:
+        raw = ctypes.string_at(buf, n.value * h.value * w.value * c.value)
+        delays = list(ctypes.cast(
+            dbuf, ctypes.POINTER(ctypes.c_int * n.value)).contents)
+    finally:
+        lib.gip_free(buf)
+        lib.gip_free(dbuf)
+    frames = np.frombuffer(raw, dtype=np.uint8).reshape(
+        n.value, h.value, w.value, c.value)
+    return frames, delays
 
 
 def bmp_decode(data: bytes) -> Optional[np.ndarray]:

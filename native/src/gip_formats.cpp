@@ -326,6 +326,213 @@ int gif_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
 }
 
 // ---------------------------------------------------------------------------
+// GIF animation: every frame composited with disposal semantics.
+//
+// The analog of stb's stbi_load_gif_from_memory
+// (/root/reference/external/stb_image.h:433,1444): frames are emitted as
+// full logical-screen RGBA canvases stacked (frames, H, W, 4), with
+// per-frame delays in MILLISECONDS (GIF stores centiseconds; stb scales by
+// 10 at stb_image.h:6916, and PIL's info["duration"] agrees).  Compositing
+// follows stb's model (stb_image.h:6779-6906): the canvas starts
+// transparent; disposal 2 restores the pre-previous-frame snapshot over
+// the pixels the previous frame touched; disposal 3 restores the frame
+// from two emitted frames back (downgraded to 2 when there is none);
+// transparent pixels never touch the canvas; on the FIRST frame only,
+// untouched pixels take the background color when bgindex > 0.
+// ---------------------------------------------------------------------------
+
+int gif_frames_impl(const uint8_t* buf, size_t len, int max_frames,
+                    uint8_t** out_buf, int** out_delays, int* out_frames,
+                    int* out_h, int* out_w, int* out_c) {
+  Reader r{buf, len};
+  if (len < 13) return 1;
+  if (std::memcmp(buf, "GIF87a", 6) && std::memcmp(buf, "GIF89a", 6)) return 1;
+  r.pos = 6;
+  uint32_t sw, sh;
+  uint8_t packed, bg, aspect;
+  if (!r.u16le(&sw) || !r.u16le(&sh) || !r.u8(&packed) || !r.u8(&bg) ||
+      !r.u8(&aspect))
+    return 1;
+  if (!sw || !sh || (uint64_t)sw * sh > kGipMaxDecodePixels) return 8;
+
+  uint8_t gct[256][3];
+  int gct_n = 0;
+  if (packed & 0x80) {
+    gct_n = 2 << (packed & 7);
+    if (!r.ok((size_t)gct_n * 3)) return 1;
+    for (int i = 0; i < gct_n; ++i) {
+      gct[i][0] = buf[r.pos + i * 3];
+      gct[i][1] = buf[r.pos + i * 3 + 1];
+      gct[i][2] = buf[r.pos + i * 3 + 2];
+    }
+    r.pos += (size_t)gct_n * 3;
+  }
+
+  const size_t pcount = (size_t)sw * sh;
+  std::vector<uint8_t> canvas(pcount * 4, 0);      // current composite
+  std::vector<uint8_t> background(pcount * 4, 0);  // canvas before last draw
+  std::vector<uint8_t> history(pcount, 0);  // pixels the LAST frame touched
+  std::vector<uint8_t> frames;              // emitted canvases, stacked
+  std::vector<int> delays;
+
+  // GCE state is sticky across frames when a frame has no GCE of its own
+  // (stb keeps g->delay / g->eflags; stb_image.h:6914-6916).  A GCE
+  // applies to the image it PRECEDES, so the disposal used to undo frame
+  // k before drawing frame k+1 is frame k's own (prev_dispose), not the
+  // value just parsed from frame k+1's GCE.
+  int transparent = -1;
+  int dispose = 0;
+  int prev_dispose = 0;
+  int delay_ms = 0;
+
+  for (;;) {
+    uint8_t block;
+    if (!r.u8(&block)) break;  // truncated tail: keep the frames we have
+    if (block == 0x3B) break;  // trailer
+    if (block == 0x21) {       // extension
+      uint8_t label;
+      if (!r.u8(&label)) break;
+      if (label == 0xF9) {
+        uint8_t blen;
+        if (!r.u8(&blen)) break;
+        if (blen >= 4 && r.ok(blen)) {
+          uint8_t gce_packed = buf[r.pos];
+          delay_ms = 10 * (buf[r.pos + 1] | (int(buf[r.pos + 2]) << 8));
+          uint8_t tindex = buf[r.pos + 3];
+          r.pos += blen;
+          dispose = (gce_packed >> 2) & 7;
+          transparent = (gce_packed & 1) ? tindex : -1;
+        } else if (!r.skip(blen)) {
+          break;
+        }
+      } else {
+        uint8_t blen;
+        while (r.u8(&blen) && blen)
+          if (!r.skip(blen)) { blen = 0; break; }
+        if (r.pos >= r.n) break;
+        continue;
+      }
+      uint8_t z;
+      while (r.u8(&z) && z)
+        if (!r.skip(z)) break;
+      continue;
+    }
+    if (block != 0x2C) break;  // unknown block: stop at what we decoded
+
+    const int nframe = (int)delays.size();
+    if (nframe > 0) {
+      // Dispose of the previous frame before drawing this one.
+      int d = prev_dispose;
+      if (d == 3 && nframe < 2) d = 2;  // no frame to revert to
+      if (d == 3) {
+        const uint8_t* two_back =
+            frames.data() + (size_t)(nframe - 2) * pcount * 4;
+        for (size_t pi = 0; pi < pcount; ++pi)
+          if (history[pi])
+            std::memcpy(&canvas[pi * 4], &two_back[pi * 4], 4);
+      } else if (d == 2) {
+        for (size_t pi = 0; pi < pcount; ++pi)
+          if (history[pi])
+            std::memcpy(&canvas[pi * 4], &background[pi * 4], 4);
+      }
+      std::memcpy(background.data(), canvas.data(), pcount * 4);
+    }
+    std::fill(history.begin(), history.end(), 0);
+
+    uint32_t fx, fy, fw, fh;
+    uint8_t fpacked;
+    if (!r.u16le(&fx) || !r.u16le(&fy) || !r.u16le(&fw) || !r.u16le(&fh) ||
+        !r.u8(&fpacked)) {
+      if (delays.empty()) return 1;
+      break;  // truncated descriptor: keep the frames already decoded
+    }
+    if (!fw || !fh || fx + fw > sw || fy + fh > sh) return 3;
+    bool interlaced = (fpacked & 0x40) != 0;
+    uint8_t lct[256][3];
+    const uint8_t(*pal)[3] = gct;
+    int pal_n = gct_n;
+    if (fpacked & 0x80) {
+      pal_n = 2 << (fpacked & 7);
+      if (!r.ok((size_t)pal_n * 3)) return 1;
+      for (int i = 0; i < pal_n; ++i) {
+        lct[i][0] = buf[r.pos + i * 3];
+        lct[i][1] = buf[r.pos + i * 3 + 1];
+        lct[i][2] = buf[r.pos + i * 3 + 2];
+      }
+      r.pos += (size_t)pal_n * 3;
+      pal = lct;
+    }
+    if (pal_n == 0) return 4;
+
+    uint8_t mcs;
+    if (!r.u8(&mcs)) return 1;
+    std::vector<uint8_t> idx;
+    if (!gif_lzw(r, mcs, idx, (size_t)fw * fh)) return 5;
+    if (idx.size() < (size_t)fw * fh) idx.resize((size_t)fw * fh, 0);
+
+    static const int start[4] = {0, 4, 2, 1};
+    static const int step[4] = {8, 8, 4, 2};
+    size_t src = 0;
+    for (int pass = 0; pass < (interlaced ? 4 : 1); ++pass) {
+      int y0 = interlaced ? start[pass] : 0;
+      int dy = interlaced ? step[pass] : 1;
+      for (uint32_t y = y0; y < fh; y += dy) {
+        size_t pi = (size_t)(fy + y) * sw + fx;
+        for (uint32_t x = 0; x < fw; ++x, ++src, ++pi) {
+          uint8_t k = idx[src];
+          if ((int)k == transparent) continue;  // canvas shows through
+          if (k >= pal_n) k = 0;
+          canvas[pi * 4] = pal[k][0];
+          canvas[pi * 4 + 1] = pal[k][1];
+          canvas[pi * 4 + 2] = pal[k][2];
+          canvas[pi * 4 + 3] = 255;
+          history[pi] = 1;
+        }
+      }
+      if (!interlaced) break;
+    }
+
+    if (nframe == 0 && bg > 0 && bg < gct_n) {
+      // First frame: untouched canvas takes the (opaque) background color.
+      for (size_t pi = 0; pi < pcount; ++pi) {
+        if (!history[pi]) {
+          canvas[pi * 4] = gct[bg][0];
+          canvas[pi * 4 + 1] = gct[bg][1];
+          canvas[pi * 4 + 2] = gct[bg][2];
+          canvas[pi * 4 + 3] = 255;
+        }
+      }
+    }
+
+    // Bound TOTAL output: an animation bomb (tiny file, thousands of
+    // frames) is capped the same way a single oversized image is.
+    if ((uint64_t)(nframe + 1) * pcount > kGipMaxDecodePixels) return 8;
+    frames.insert(frames.end(), canvas.begin(), canvas.end());
+    delays.push_back(delay_ms);
+    prev_dispose = dispose;
+    if (max_frames > 0 && (int)delays.size() >= max_frames) break;
+  }
+
+  if (delays.empty()) return 2;  // no image data before the trailer
+  uint8_t* fbuf = alloc_out(frames.size());
+  if (!fbuf) return 6;
+  int* dbuf = (int*)std::malloc(delays.size() * sizeof(int));
+  if (!dbuf) {
+    std::free(fbuf);
+    return 6;
+  }
+  std::memcpy(fbuf, frames.data(), frames.size());
+  std::memcpy(dbuf, delays.data(), delays.size() * sizeof(int));
+  *out_buf = fbuf;
+  *out_delays = dbuf;
+  *out_frames = (int)delays.size();
+  *out_h = (int)sh;
+  *out_w = (int)sw;
+  *out_c = 4;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // BMP: 1/4/8-bit palette, 16/24/32-bit, BI_RGB + BI_BITFIELDS.
 // ---------------------------------------------------------------------------
 
@@ -1103,6 +1310,21 @@ int gip_gif_decode(const uint8_t* buf, size_t len, uint8_t** out_buf,
                    int* out_h, int* out_w, int* out_c) {
   try {
     return gif_decode_impl(buf, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+// Multi-frame analog of stbi_load_gif_from_memory (stb_image.h:433): all
+// frames stacked (frames, H, W, 4) + per-frame delays in ms.  The caller
+// frees BOTH buffers with gip_free.  max_frames <= 0 means "all".
+int gip_gif_frames_decode(const uint8_t* buf, size_t len, int max_frames,
+                          uint8_t** out_buf, int** out_delays,
+                          int* out_frames, int* out_h, int* out_w,
+                          int* out_c) {
+  try {
+    return gif_frames_impl(buf, len, max_frames, out_buf, out_delays,
+                           out_frames, out_h, out_w, out_c);
   } catch (...) {
     return 9;
   }

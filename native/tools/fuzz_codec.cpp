@@ -31,6 +31,8 @@ int gip_jpeg_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_tga_write(const char*, const uint8_t*, int, int, int);
 int gip_tga_read(const char*, uint8_t**, int*, int*, int*);
 int gip_gif_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
+int gip_gif_frames_decode(const uint8_t*, size_t, int, uint8_t**, int**,
+                          int*, int*, int*, int*);
 int gip_bmp_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_psd_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_hdr_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
@@ -203,6 +205,28 @@ void run_decoders(const std::vector<uint8_t>& d) {
       }
       gip_free(out);
     }
+  }
+  // Multi-frame GIF: distinct code path (disposal compositing, delay
+  // array, two-back restore) — fuzz it alongside the still decoder.
+  // Cap at 16 frames so a mutated frame-count bomb stays fast.
+  out = nullptr;
+  int* delays = nullptr;
+  int nframes = 0;
+  if (gip_gif_frames_decode(d.data(), d.size(), 16, &out, &delays, &nframes,
+                            &h, &w, &c) == 0) {
+    if (nframes <= 0 || nframes > 16 || h <= 0 || w <= 0 || c != 4) {
+      std::fprintf(stderr, "gif_frames returned bad dims %d x %dx%dx%d\n",
+                   nframes, h, w, c);
+      std::abort();
+    }
+    for (int i = 0; i < nframes; ++i) {
+      if (delays[i] < 0) {
+        std::fprintf(stderr, "gif_frames negative delay\n");
+        std::abort();
+      }
+    }
+    gip_free(out);
+    gip_free(delays);
   }
   // base64: caller contract is an output buffer sized (n/4 + 1) * 3
   // (utils/native_codec.py::b64_decode) -- fuzz against exactly that.

@@ -154,6 +154,59 @@ def save_image(path: str, arr: np.ndarray) -> None:
     Image.fromarray(arr if arr.shape[2] != 1 else arr[:, :, 0]).save(path)
 
 
+def load_frames(path: str):
+    """(N, H, W, 3) frames + per-frame delays (ms): native tier first
+    (utils/native_codec.py::gif_frames, the stbi_load_gif_from_memory
+    analog — stb_image.h:433), PIL fallback otherwise."""
+    from gpu_image_processing_tpu.utils import native_codec
+
+    with open(path, "rb") as fh:
+        data = fh.read()
+    res = native_codec.gif_frames(data)
+    if res is not None:
+        frames, delays = res
+        return frames[:, :, :, :3], delays, "native"
+    import io
+
+    from PIL import Image, ImageSequence
+
+    img = Image.open(io.BytesIO(data))
+    frames, delays = [], []
+    for i, frame in enumerate(ImageSequence.Iterator(img)):
+        frames.append(np.asarray(frame.convert("RGB")))
+        delays.append(int(frame.info.get("duration", 0)))
+    return np.stack(frames), delays, "pil"
+
+
+def run_frames(args) -> int:
+    frames, delays, tier = load_frames(args.input)
+    n, h, w, _ = frames.shape
+    print(f"Loaded {args.input}: {n} frame(s), {w}x{h} ({tier} tier), "
+          f"delays(ms)={list(delays)}")
+
+    import gpu_filters
+
+    stem, _ = os.path.splitext(args.output or (
+        os.path.splitext(args.input)[0] + f"_{args.filter}_l{args.level}.png"))
+    total_ms = 0.0
+    for i in range(n):
+        img = np.ascontiguousarray(frames[i])
+        if args.filter == "gaussian":
+            result = gpu_filters.gaussian_blur(
+                img, sigma=args.sigma, radius=args.radius, level=args.level)
+        elif args.filter == "box":
+            result = gpu_filters.box_blur(img, radius=args.radius,
+                                          level=args.level)
+        else:
+            result = gpu_filters.sobel_edge_detection(img, level=args.level)
+        total_ms += result["time_ms"]
+        out_path = f"{stem}_f{i:03d}.png"
+        save_image(out_path, result["image"])
+        print(f"  frame {i}: {result['time_ms']:.3f} ms -> {out_path}")
+    print(f"Total device time: {total_ms:.3f} ms for {n} frames")
+    return 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input")
@@ -163,6 +216,10 @@ def main() -> int:
     parser.add_argument("--level", type=int, default=2)
     parser.add_argument("--sigma", type=float, default=config.DEFAULT_SIGMA)
     parser.add_argument("--radius", type=int, default=config.DEFAULT_RADIUS)
+    parser.add_argument("--frames", action="store_true",
+                        help="decode an animated GIF and filter EVERY frame "
+                             "(stbi_load_gif_from_memory analog); outputs "
+                             "OUT_f000.png, OUT_f001.png, ...")
     args = parser.parse_args()
 
     # Same CLI-side validation as test_real_image.cu:77-85.
@@ -174,6 +231,9 @@ def main() -> int:
     if not (rlo <= args.radius <= rhi):
         print(f"Error: radius must be in [{rlo}, {rhi}]")
         return 1
+
+    if args.frames:
+        return run_frames(args)
 
     img = load_image(args.input)
     h, w, c = img.shape
