@@ -17,13 +17,20 @@ def _box_routed(img, radius: int, interpret: bool, folded: bool):
     """Box blur with a VMEM feasibility gate: box has no radius cap
     (reference parity), and past a radius in the low hundreds even the
     column-chunked Pallas working set exceeds VMEM -- those calls serve
-    from the XLA-fused tier (bit-identical numerics)."""
+    from the XLA-fused tier (bit-identical numerics).
+
+    Every tier here is BIT-EXACT, so the MXU box (0.36-0.86x the VPU
+    doubling-window kernel on v5e, scripts/exp_box_mxu.py) serves level 2
+    AND level 4 -- routing only changes speed."""
     from ..fused import box_fused
     from .blur import blur_pallas_feasible, box_pallas
+    from .blur_mxu import box_mxu, use_mxu_box
 
     if not blur_pallas_feasible(img.shape[1], radius, img.shape[2],
                                 box_mode=True, interleaved=False):
         return box_fused(img, radius)
+    if use_mxu_box(radius, img.shape[1], img.shape[2], interleaved=False):
+        return box_mxu(img, radius, interpret=interpret)
     return box_pallas(img, radius, interpret=interpret, folded=folded)
 
 

@@ -20,8 +20,16 @@ in practice is far closer):
 * every bf16 x bf16 product is EXACT in the MXU's f32 accumulation (8+8
   mantissa bits < 24), leaving only f32 summation-order ulps -- the same
   relaxation the folded-tap VPU tier already makes (ops/pallas/blur.py).
-This is a Gaussian/weighted tier; the box ADVANCED tier keeps the exact
-doubling-window sums (already ~optimal and bit-exact).
+Box blur rides the same kernel with a STRONGER guarantee: its weights are
+equal, so the band is all ones — every bf16 operand is an exact small
+integer and every f32 partial sum is an exact integer < 2^24, meaning the
+matmul result is the exact window sum under ANY association (the same
+argument as blur.py's doubling-window tier).  Multiplying by the
+reference's own f32 reciprocal (ops/weights.py::box_inv_taps_f32) then
+reproduces `sum * (1/taps)` bit-for-bit, so the MXU box tier is BIT-EXACT
+vs the naive oracle — no hi/lo split and only ONE matmul per pass (half
+the gaussian tier's FLOPs).  Whether it BEATS the VPU doubling-window
+kernel is a silicon question (scripts/exp_box_mxu.py decides routing).
 
 Geometry (landing offset, clamp-to-edge fills, row padding, exact masked
 out shapes) is shared with ops/pallas/blur.py.
@@ -77,6 +85,31 @@ _G = 128
 # VPU folded tier.  Both tiers carry the ADVANCED maxdiff<=1 contract,
 # so routing only changes speed, never the numeric guarantee.
 GAUSS_MXU_MIN_RADIUS = 3
+
+# Box-tier routing: the MXU box (ones band + f32 reciprocal epilogue) is
+# BIT-EXACT (module docstring), so unlike gaussian it can serve level 2 AND
+# level 4 -- routing only ever changes speed.  Silicon A/B
+# (scripts/exp_box_mxu.py, 5 interleaved rounds in ONE process, v5e,
+# 2026-08-20, /tmp/exp_box_mxu.log): mxu/vpu medians planar r=2 0.860x,
+# r=5 0.549x, r=9 0.483x, r=15 0.358x; serving rows r=5 0.509x, r=15
+# 0.418x -- the MXU won all 5 rounds pairwise at every radius, including
+# r=2 (sub-noise-floor in magnitude but unanimous in direction; the cost
+# of being wrong there is a ~14% tie-break).  r=1 is unmeasured and stays
+# on the exact VPU tier.
+BOX_MXU_MIN_RADIUS = 2
+
+
+def use_mxu_box(radius: int, width: int, channels: int,
+                interleaved: bool) -> bool:
+    """THE routing predicate for the box MXU tier (dispatch rows/batch,
+    the planar registry, and the profiler all consult it).  Pure function
+    of geometry -- no env flag, so the executable cache keys need no new
+    component.  Bit-exact on every backend (interpret included), chasing
+    the reference's shared-memory box kernel
+    (cuda_lib/src/image_filters.cu:448-673) with the MXU instead of the
+    VPU doubling-window tier."""
+    return (radius >= BOX_MXU_MIN_RADIUS
+            and gaussian_mxu_feasible(width, radius, channels, interleaved))
 
 
 def _mxu_working_set_bytes(tile_rows: int, cs: int, w_t: int, radius: int,
@@ -152,7 +185,8 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
                       land: int, left_fills: tuple, right_fills: tuple,
                       n_g: int, g_block: int, interp: bool,
                       passes: str = "both",
-                      row_fill: tuple | None = None):
+                      row_fill: tuple | None = None,
+                      box_scale: float | None = None):
     """One grid step.  bh/bl: (K, G) bf16 horizontal band (K = G + 2*halo);
     ah/al: (TH, CR) bf16 vertical band; layout/scratch as in
     blur.py::_blur_kernel with bf16 tiles."""
@@ -203,8 +237,13 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
             sl = x16[:, base + g * g_block : base + g * g_block + k_rows]
             acc = jnp.dot(up(sl), up(bh_ref[:, :]),
                           preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
-                                preferred_element_type=jnp.float32)
+            if box_scale is None:
+                acc = acc + jnp.dot(up(sl), up(bl_ref[:, :]),
+                                    preferred_element_type=jnp.float32)
+            else:
+                # Box: acc is the EXACT integer window sum (ones band, f32
+                # accumulation); scale by the reference's f32 reciprocal.
+                acc = acc * jnp.float32(box_scale)
             hbuf[:, g * g_block : (g + 1) * g_block] = acc
     else:
         hbuf[:, :] = x16[:, land : land + hbuf.shape[1]].astype(jnp.float32)
@@ -225,8 +264,11 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     # Vertical pass: one banded matmul from the left.
     v = jnp.dot(up(ah_ref[:, :]), up(h16[:, :]),
                 preferred_element_type=jnp.float32)
-    v = v + jnp.dot(up(al_ref[:, :]), up(h16[:, :]),
-                    preferred_element_type=jnp.float32)
+    if box_scale is None:
+        v = v + jnp.dot(up(al_ref[:, :]), up(h16[:, :]),
+                        preferred_element_type=jnp.float32)
+    else:
+        v = v * jnp.float32(box_scale)
     vbuf[:, :] = v
     out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
 
@@ -235,7 +277,8 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
                   radius: int, tap_stride: int, interpret: bool,
                   tile_rows: int | None = None,
                   g_block: int | None = None,
-                  passes: str = "both") -> jnp.ndarray:
+                  passes: str = "both",
+                  box_scale: float | None = None) -> jnp.ndarray:
     """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
 
     tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
@@ -326,6 +369,7 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
             interp=interpret,
             passes=passes,
             row_fill=row_fill,
+            box_scale=box_scale,
         ),
         grid=grid,
         in_specs=[
@@ -379,3 +423,47 @@ def gaussian_mxu_rows_batch(rows_u8: jnp.ndarray, weights: jnp.ndarray,
     """(B, H, W*C) batch -> same, batch riding the kernel grid."""
     return _gaussian_mxu(rows_u8, weights, radius, tap_stride=channels,
                          interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# Box blur on the MXU: ones band + the reference's f32 reciprocal.
+# BIT-EXACT vs the naive oracle (see module docstring) — chasing the
+# reference's shared-memory box kernel (image_filters.cu:448-673) with the
+# MXU instead of the VPU doubling-window tier.  Routing is decided by the
+# silicon A/B in scripts/exp_box_mxu.py.
+# ---------------------------------------------------------------------------
+
+
+def _box_operands(radius: int):
+    weights = jnp.ones(2 * radius + 1, jnp.float32)
+    from ..weights import box_inv_taps_f32
+
+    return weights, float(box_inv_taps_f32(radius))
+
+
+def box_mxu(img_hwc: jnp.ndarray, radius: int,
+            interpret: bool = False, passes: str = "both") -> jnp.ndarray:
+    """(H, W, C) u8 -> u8 MXU box blur (planar), bit-exact."""
+    weights, scale = _box_operands(radius)
+    planar = jnp.transpose(img_hwc, (2, 0, 1))
+    out = _gaussian_mxu(planar, weights, radius, tap_stride=1,
+                        interpret=interpret, passes=passes, box_scale=scale)
+    return jnp.transpose(out, (1, 2, 0))
+
+
+def box_mxu_rows(rows_u8: jnp.ndarray, radius: int, channels: int,
+                 interpret: bool = False,
+                 passes: str = "both") -> jnp.ndarray:
+    """(H, W*C) interleaved u8 rows -> same (serving layout), bit-exact."""
+    weights, scale = _box_operands(radius)
+    return _gaussian_mxu(rows_u8[None], weights, radius,
+                         tap_stride=channels, interpret=interpret,
+                         passes=passes, box_scale=scale)[0]
+
+
+def box_mxu_rows_batch(rows_u8: jnp.ndarray, radius: int, channels: int,
+                       interpret: bool = False) -> jnp.ndarray:
+    """(B, H, W*C) batch -> same, batch riding the kernel grid."""
+    weights, scale = _box_operands(radius)
+    return _gaussian_mxu(rows_u8, weights, radius, tap_stride=channels,
+                         interpret=interpret, box_scale=scale)

@@ -166,6 +166,14 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
                         interpret=interp, folded=folded, passes=which,
                     )
                 else:
+                    from ..ops.pallas.blur_mxu import (box_mxu_rows,
+                                                       use_mxu_box)
+
+                    # Match the served tier (dispatch._rows_optimized):
+                    # MXU-routed radii break down the MXU kernel's passes.
+                    if use_mxu_box(radius, w, c, interleaved=True):
+                        return lambda rows: box_mxu_rows(
+                            rows, radius, c, interpret=interp, passes=which)
                     return lambda rows: box_pallas_rows(
                         rows, radius, c,
                         interpret=interp, folded=folded, passes=which,

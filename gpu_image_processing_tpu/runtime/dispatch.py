@@ -196,6 +196,14 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
                 return lambda rows, w: gaussian_pallas_rows(
                     rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
+                from ..ops.pallas.blur_mxu import box_mxu_rows, use_mxu_box
+
+                # Bit-exact on every tier, so the MXU box serves level 2
+                # AND 4 (0.42-0.51x the VPU rows kernel on v5e,
+                # scripts/exp_box_mxu.py).
+                if use_mxu_box(radius, w_, c, interleaved=True):
+                    return lambda rows: box_mxu_rows(
+                        rows, radius, c, interpret=interp)
                 return lambda rows: box_pallas_rows(
                     rows, radius, c, interpret=interp, folded=folded)
             sobel_lvl = 1 if level == 4 else 2
@@ -391,6 +399,12 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                     return lambda rows, w: gaussian_pallas_rows_batch(
                         rows, w, radius, c, interpret=interp, folded=folded)
                 if filter_name == "box":
+                    from ..ops.pallas.blur_mxu import (box_mxu_rows_batch,
+                                                       use_mxu_box)
+
+                    if use_mxu_box(radius, w_, c, interleaved=True):
+                        return lambda rows: box_mxu_rows_batch(
+                            rows, radius, c, interpret=interp)
                     return lambda rows: box_pallas_rows_batch(
                         rows, radius, c, interpret=interp, folded=folded)
                 sobel_lvl = 1 if level == 4 else 2

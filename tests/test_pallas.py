@@ -292,6 +292,73 @@ def test_chained_multiband_tiles(rng):
             err_msg=f"h={h}")
 
 
+@pytest.mark.parametrize("radius", [2, 4, 5, 9])
+def test_box_mxu_bit_exact_planar(rng, radius):
+    """The MXU box tier is BIT-EXACT vs the naive oracle (not merely
+    maxdiff<=1 like the weighted gaussian tier): the ones band makes every
+    f32 partial sum an exact integer, and the epilogue multiplies by the
+    same f32 reciprocal the oracle uses (blur_mxu.py module docstring)."""
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+
+    img = make_image(rng, 31, 22, 3)
+    got = np.asarray(jax.jit(lambda x: M.box_mxu(
+        x, radius, interpret=True))(img))
+    np.testing.assert_array_equal(got, oracle.box_blur(img, radius))
+
+
+def test_box_mxu_bit_exact_rows_and_batch(rng):
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+
+    for h in (17, 24, 25):  # partial trailing band / exact-fit geometries
+        img = make_image(rng, h, 18, 3)
+        rows = img.reshape(h, 54)
+        got = np.asarray(jax.jit(lambda x: M.box_mxu_rows(
+            x, 5, 3, interpret=True))(rows))
+        np.testing.assert_array_equal(
+            got, oracle.box_blur(img, 5).reshape(h, 54), err_msg=f"h={h}")
+    imgs = [make_image(rng, 21, 18, 3) for _ in range(3)]
+    batch = np.stack([im.reshape(21, 54) for im in imgs])
+    got = np.asarray(jax.jit(lambda x: M.box_mxu_rows_batch(
+        x, 4, 3, interpret=True))(batch))
+    for b in range(3):
+        np.testing.assert_array_equal(
+            got[b], oracle.box_blur(imgs[b], 4).reshape(21, 54),
+            err_msg=f"b={b}")
+
+
+def test_box_mxu_grayscale_rows(rng):
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+
+    img = make_image(rng, 23, 40, 1)
+    rows = img.reshape(23, 40)
+    got = np.asarray(jax.jit(lambda x: M.box_mxu_rows(
+        x, 6, 1, interpret=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, 6).reshape(23, 40))
+
+
+def test_box_mxu_routing():
+    """Box routes to the MXU tier for BOTH level 2 and 4 (bit-exact on
+    every tier, so routing only changes speed) from BOX_MXU_MIN_RADIUS
+    up; r=1 stays on the exact VPU kernel (unmeasured on silicon)."""
+    from gpu_image_processing_tpu.ops.pallas.blur_mxu import (
+        BOX_MXU_MIN_RADIUS,
+    )
+    from gpu_image_processing_tpu.runtime.dispatch import _rows_optimized
+
+    def names(fn):
+        return fn.__code__.co_names + tuple(
+            c.cell_contents.__name__ for c in (fn.__closure__ or ())
+            if callable(getattr(c, "cell_contents", None))
+            and hasattr(c.cell_contents, "__name__"))
+
+    for lvl in (2, 4):
+        hot = _rows_optimized("box", lvl, BOX_MXU_MIN_RADIUS, 64, 96, 3)
+        assert "box_mxu_rows" in names(hot), f"level {lvl}"
+        cold = _rows_optimized("box", lvl, BOX_MXU_MIN_RADIUS - 1, 64, 96, 3)
+        assert "box_mxu_rows" not in names(cold), f"level {lvl}"
+
+
 @pytest.mark.parametrize("g_block", [128, 256])
 def test_mxu_gblock_gate(rng, g_block):
     """Non-default horizontal matmul block sizes hold the ADVANCED-tier
