@@ -106,6 +106,22 @@ def main() -> int:
         gate = (lambda r: lambda x: nblur.box_pallas(x, r))(r)
         arms.append((f"mxu_g128_planar_r{r}", mxu_g(r, 128), gate, [img]))
         arms.append((f"mxu_g256_planar_r{r}", mxu_g(r, 256), gate, [img]))
+    # 4. Upper crossover: box radius is UNCAPPED (core/params.py) and the
+    # MXU band cost grows ~linearly with the halo while the VPU doubling
+    # kernel grows as log2(taps) -- somewhere above r=15 the VPU should
+    # win again; the answer sets BOX_MXU_MAX_RADIUS.
+    for r in (31, 63):
+        for layout, xs, mk_vpu, mk_mxu in (
+            ("planar", [img],
+             lambda r: lambda x: nblur.box_pallas(x, r),
+             lambda r: lambda x: M.box_mxu(x, r)),
+            ("rows", [rows],
+             lambda r: lambda x: nblur.box_pallas_rows(x, r, C),
+             lambda r: lambda x: M.box_mxu_rows(x, r, C)),
+        ):
+            gate = mk_vpu(r)
+            arms.append((f"vpu_{layout}_r{r}", mk_vpu(r), gate, xs))
+            arms.append((f"mxu_{layout}_r{r}", mk_mxu(r), gate, xs))
 
     live = []
     for name, fn, gate_fn, args in arms:
@@ -136,9 +152,11 @@ def main() -> int:
     for name, med in meds.items():
         print(f"{name}: {med:.4f} ms", flush=True)
     for layout in ("planar", "rows"):
-        a, b = meds.get(f"mxu_{layout}_r1"), meds.get(f"vpu_{layout}_r1")
-        if a and b:
-            print(f"r=1 {layout}: mxu/vpu = {a / b:.3f}x", flush=True)
+        for r in (1, 31, 63):
+            a = meds.get(f"mxu_{layout}_r{r}")
+            b = meds.get(f"vpu_{layout}_r{r}")
+            if a and b:
+                print(f"r={r} {layout}: mxu/vpu = {a / b:.3f}x", flush=True)
     for (h, w) in SMALL:
         for r in (2, 5):
             a = meds.get(f"mxu_rows_{h}x{w}_r{r}")
