@@ -337,6 +337,31 @@ def test_box_mxu_grayscale_rows(rng):
         got, oracle.box_blur(img, 6).reshape(23, 40))
 
 
+@pytest.mark.parametrize("w,radius", [(2048, 200), (4000, 520)])
+def test_box_mxu_column_chunked_exact(rng, w, radius):
+    """Column-chunked MXU box geometry (serving-reachable: e.g. w=4000
+    r=120 is use_mxu_box-routed AND chunks 8 ways).  (2048, 200): halo
+    (600 lanes) within one chunk; (4000, 520): halo (1560) spans chunks,
+    so multiple chunks carry clamp-to-edge fills.  Bit-exact like every
+    box tier."""
+    from gpu_image_processing_tpu.ops.pallas import blur_mxu as M
+    from gpu_image_processing_tpu.ops.pallas.blur import (
+        _landed_geometry,
+        blur_kernel_fits_vmem,
+    )
+
+    c = 3
+    assert not blur_kernel_fits_vmem(w, radius, c, False, interleaved=True)
+    _, cs, n_cols, _, _ = _landed_geometry(w * c, radius * c, chunked=True)
+    assert n_cols > 1
+    img = make_image(rng, 16, w, c)
+    rows = img.reshape(16, w * c)
+    got = np.asarray(jax.jit(lambda x: M.box_mxu_rows(
+        x, radius, c, interpret=True))(rows))
+    np.testing.assert_array_equal(
+        got, oracle.box_blur(img, radius).reshape(16, w * c))
+
+
 def test_box_mxu_routing():
     """Box routes to the MXU tier for BOTH level 2 and 4 (bit-exact on
     every tier, so routing only changes speed) from BOX_MXU_MIN_RADIUS
