@@ -114,7 +114,8 @@ def main() -> int:
         # (VERDICT r3 item 1).
         "sol": lambda: run(
             [sys.executable, "scripts/sol_report.py", "--check"], 2400),
-        "serving": lambda: stage_serving(600),
+        # 1200 s: covers serve.py's 900 s post-sol device-init headroom.
+        "serving": lambda: stage_serving(1200),
     }
     results = {}
     all_ok = True
