@@ -63,11 +63,12 @@ def spawn(cmd: list[str], log_path: str, pid_path: str, cwd: str | None = None) 
     return proc.pid
 
 
-def wait_healthy(timeout_s: float = 900.0) -> bool:
-    # 900 s: device init through the axon relay can stall minutes when the
-    # lease was just released by a heavy TPU process (CLAUDE.md) -- the
-    # silicon_ci serving stage runs right after sol and its backend missed
-    # the old 300 s deadline mid-init (observed 2026-08-20).
+def wait_healthy(timeout_s: float = 2700.0) -> bool:
+    # 2700 s: the backend's startup warmup_transfers (first D2H through
+    # the axon relay) stalls up to ~40 min in contended windows (observed
+    # 2026-08-20: two consecutive backends took 20-40 min to warm; both
+    # became healthy eventually).  A start deadline below that fails the
+    # stage spuriously while the backend is fine.
     url = f"http://127.0.0.1:{config.BACKEND_PORT}/api/health"
     deadline = time.time() + timeout_s
     while time.time() < deadline:

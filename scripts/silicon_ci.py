@@ -114,8 +114,9 @@ def main() -> int:
         # (VERDICT r3 item 1).
         "sol": lambda: run(
             [sys.executable, "scripts/sol_report.py", "--check"], 2400),
-        # 1200 s: covers serve.py's 900 s post-sol device-init headroom.
-        "serving": lambda: stage_serving(1200),
+        # 3000 s: covers serve.py's 2700 s first-D2H warmup headroom
+        # (observed 40-min relay stalls in contended windows, 2026-08-20).
+        "serving": lambda: stage_serving(3000),
     }
     results = {}
     all_ok = True
