@@ -94,8 +94,17 @@ GAUSS_MXU_MIN_RADIUS = 3
 # r=5 0.549x, r=9 0.483x, r=15 0.358x; serving rows r=5 0.509x, r=15
 # 0.418x -- the MXU won all 5 rounds pairwise at every radius, including
 # r=2 (sub-noise-floor in magnitude but unanimous in direction; the cost
-# of being wrong there is a ~14% tie-break).  r=1 is unmeasured and stays
-# on the exact VPU tier.
+# of being wrong there is a ~14% tie-break).  r=1 measured a tie
+# (scripts/exp_box_mxu_edges.py, 2026-08-20: planar 0.987x, rows 1.076x
+# -- both inside the 30% noise floor) and stays on the exact VPU tier.
+#
+# No UPPER radius cap: the same edges run probed r=31 (mxu/vpu planar
+# 0.657x, rows 0.742x) and r=63 (0.563x / 0.653x) -- the MXU margin
+# GROWS with radius (the band matmul is radius-flat per G-block while
+# the VPU doubling kernel pays log2(taps) passes), so
+# gaussian_mxu_feasible's VMEM working-set gate is the only ceiling;
+# past it the router already falls back to the VPU/XLA tiers.  G=128
+# re-confirmed for the box band too (g256/g128 r=5 1.389x, r=15 1.598x).
 BOX_MXU_MIN_RADIUS = 2
 
 
