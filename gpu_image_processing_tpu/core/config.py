@@ -111,6 +111,14 @@ class TpuConfig:
     # 1.43 ms -- the XLA doubling tier scales badly).  Threshold kept at
     # 1 MP only because smaller sizes measure below relay noise.
     box_xla_tier_max_pixels: int = 1_000_000
+    # The MXU box tier (round 4) moved box's small-image crossover DOWN
+    # at MXU-eligible radii (>= BOX_MXU_MIN_RADIUS).  Guarded re-measure
+    # (scripts/exp_box_small_xover.py, 2026-08-20, floor-rejected slope
+    # samples): at 0.26 MP the XLA tier still wins (mxu/xla 1.6-1.8x),
+    # at 0.84 MP the MXU wins decisively (r=2 0.51x, r=5 0.30x).  500k px
+    # splits that bracket; r=1 (never MXU: VPU loses 1.3x at 0.84 MP)
+    # keeps the plain 1 MP gate above.
+    box_mxu_xla_tier_max_pixels: int = 500_000
 
 
 TPU = TpuConfig()

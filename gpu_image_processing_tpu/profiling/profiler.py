@@ -132,7 +132,7 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
     """
     from ..runtime.dispatch import _pallas_disabled, _routed_to_xla
 
-    if (lvl >= 2 and not _routed_to_xla(lvl, h, w, filter_type)
+    if (lvl >= 2 and not _routed_to_xla(lvl, h, w, filter_type, radius, c)
             and not _pallas_disabled()):
         try:
             from ..ops.pallas.blur import (blur_pallas_feasible,
@@ -288,7 +288,8 @@ def _pass_breakdown(
     # executable_cache_key does): a mid-process flip must not serve
     # stale pass timings measured on the other tier.
     key = (filter_type, lvl, radius, kh, kw, channels, platform(),
-           _routed_to_xla(lvl, kh, kw, filter_type), _pallas_disabled())
+           _routed_to_xla(lvl, kh, kw, filter_type, radius, channels),
+           _pallas_disabled())
     if key in _PASS_CACHE:
         return _PASS_CACHE[key]
     from ..runtime.device import is_tpu

@@ -53,7 +53,9 @@ from .device import default_device, warmup_transfers
 
 
 def _routed_to_xla(level: int, h: int, w_: int,
-                   filter_name: str = "gaussian") -> bool:
+                   filter_name: str = "gaussian",
+                   radius: int | None = None,
+                   channels: int | None = None) -> bool:
     """Whether a level-2/4 single-image trace at this (bucketed) shape is
     served from the interleaved XLA tier instead of the Pallas kernels.
 
@@ -61,7 +63,12 @@ def _routed_to_xla(level: int, h: int, w_: int,
     callers -- the env var can change between requests, and a cached
     executable must not mask the new routing.  The crossover is
     per-filter: sobel's Pallas kernel wins from a lower pixel count than
-    the blurs' (config.TPU.sobel_xla_tier_max_pixels).
+    the blurs' (config.TPU.sobel_xla_tier_max_pixels).  Box is also
+    per-RADIUS when the caller supplies radius+channels: MXU-eligible
+    radii take the lower box_mxu_xla_tier_max_pixels gate (the MXU tier
+    wins from ~0.5 MP, scripts/exp_box_small_xover.py).  radius and
+    channels are already components of every executable cache key, so
+    the radius-aware decision adds no new key field.
     """
     import os as _os
 
@@ -72,6 +79,10 @@ def _routed_to_xla(level: int, h: int, w_: int,
         "box": config.TPU.box_xla_tier_max_pixels,
     }
     default = defaults.get(filter_name, config.TPU.xla_tier_max_pixels)
+    if (filter_name == "box" and radius is not None
+            and channels is not None
+            and _box_mxu_eligible(radius, w_, channels)):
+        default = config.TPU.box_mxu_xla_tier_max_pixels
     env = _os.environ.get("GIP_TPU_XLA_TIER_MAX_PIXELS")
     try:
         max_px = int(env) if env is not None else default
@@ -80,6 +91,17 @@ def _routed_to_xla(level: int, h: int, w_: int,
         # _bucket_ratio); fall back to the measured default.
         max_px = default
     return h * w_ <= max_px
+
+
+def _box_mxu_eligible(radius: int, width: int, channels: int) -> bool:
+    """use_mxu_box with the same import guard as _sobel_mxu_routed: an
+    env without Mosaic falls back to the plain box gate, never crashes
+    at routing/key time."""
+    try:
+        from ..ops.pallas.blur_mxu import use_mxu_box
+    except ImportError:  # pragma: no cover - env without Mosaic
+        return False
+    return use_mxu_box(radius, width, channels, interleaved=True)
 
 
 def _pallas_disabled() -> bool:
@@ -122,7 +144,7 @@ def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
                 _routed_to_xla(lvl, height, width, "sobel"),
                 _pallas_disabled(), mxu)
     return (filter_name, lvl, height, width, channels, radius,
-            _routed_to_xla(lvl, height, width, filter_name),
+            _routed_to_xla(lvl, height, width, filter_name, radius, channels),
             _pallas_disabled())
 
 
@@ -164,7 +186,7 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
 
     # Small images serve faster from the XLA tier (measured crossover, see
     # config); both tiers are bit-exact so routing only changes speed.
-    if _routed_to_xla(level, h, w_, filter_name):
+    if _routed_to_xla(level, h, w_, filter_name, radius, c):
         return xla_tier()
 
     if not _pallas_disabled():
@@ -1035,7 +1057,8 @@ class FilterRuntime:
 
         def attempt():
             routing = tuple(
-                _routed_to_xla(lv, height, width, filter_name) for lv in lvls
+                _routed_to_xla(lv, height, width, filter_name,
+                               radius, channels) for lv in lvls
             )
             key = ("all_levels", filter_name, lvls, height, width, channels,
                    radius if filter_name != "sobel" else None, routing,

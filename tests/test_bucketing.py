@@ -123,6 +123,27 @@ def test_tier_routing_small_images_use_xla_tier(rng, monkeypatch):
         in RUNTIME._cache
 
 
+def test_box_gate_is_radius_aware(monkeypatch):
+    # The MXU box tier moved box's XLA-tier crossover down to 500k px at
+    # MXU-eligible radii (scripts/exp_box_small_xover.py: 0.84 MP mxu/xla
+    # 0.30-0.51x, 0.26 MP 1.6-1.8x).  r=1 (never MXU) and legacy calls
+    # without radius info keep the plain 1 MP gate.
+    monkeypatch.delenv("GIP_TPU_XLA_TIER_MAX_PIXELS", raising=False)
+    routed = dispatch._routed_to_xla
+    # 768x1092 = 0.84 MP: between the two gates.
+    assert not routed(2, 768, 1092, "box", radius=5, channels=3)
+    assert not routed(4, 768, 1092, "box", radius=2, channels=3)
+    assert routed(2, 768, 1092, "box", radius=1, channels=3)   # VPU-only
+    assert routed(2, 768, 1092, "box")                          # legacy
+    # 480x540 = 0.26 MP: below both gates -> XLA regardless of radius.
+    assert routed(2, 480, 540, "box", radius=5, channels=3)
+    # Other filters ignore the box-specific fields.
+    assert routed(2, 768, 1092, "gaussian", radius=5, channels=3)
+    # The env override still wins over the radius-aware default.
+    monkeypatch.setenv("GIP_TPU_XLA_TIER_MAX_PIXELS", "0")
+    assert not routed(2, 480, 540, "box", radius=5, channels=3)
+
+
 def test_batch_sobel_bucket_aligned_width(rng):
     # Batch analog of the read-only border-zeroing crash: width exactly a
     # bucket, height padded -> contiguous prefix view of the jax output.
