@@ -240,6 +240,17 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                     length = int(self.headers.get("Content-Length") or 0)
                 except ValueError:
                     length = 0
+                if not length and "chunked" in (
+                        self.headers.get("Transfer-Encoding") or "").lower():
+                    # This server reads exactly Content-Length bytes; a
+                    # chunked body would be left unread on the stream and
+                    # poison the next keep-alive request.  Per RFC 9112
+                    # answer 411 and close.
+                    self.close_connection = True
+                    self._send(411, {
+                        "detail": "chunked transfer encoding not supported; "
+                                  "send Content-Length"})
+                    return
                 body_cap = _max_body_bytes()
                 if body_cap and length > body_cap:
                     # Refuse BEFORE buffering; close so the unread body

@@ -327,6 +327,34 @@ def test_live_oversize_body_413_before_read(live_server, monkeypatch):
     assert b"GIP_TPU_MAX_BODY_MB" in head_blob + body
 
 
+def test_live_chunked_body_411_and_close(live_server):
+    """A chunked request (no Content-Length) gets 411 + Connection: close:
+    this server reads exactly Content-Length bytes, so a chunked body
+    would be left unread on the stream and poison the next keep-alive
+    request on the same connection."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Transfer-Encoding: chunked\r\n\r\n"
+             f"5\r\nhello\r\n0\r\n\r\n").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    head = resp.split(b"\r\n", 1)[0]
+    assert b"411" in head, resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
 def test_live_body_cap_env_and_normal_requests_unaffected(live_server):
     """Requests under the cap flow through untouched (the 20x16 PNG
     payloads above already prove this live); here: a Content-Length just
