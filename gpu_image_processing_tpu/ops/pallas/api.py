@@ -26,11 +26,15 @@ def _box_routed(img, radius: int, interpret: bool, folded: bool):
     from .blur import blur_pallas_feasible, box_pallas
     from .blur_mxu import box_mxu, use_mxu_box
 
+    # MXU first: at extreme radii the VPU sequenced-tap working set can
+    # exceed VMEM while the MXU kernel still fits (its own feasibility
+    # lives inside use_mxu_box) -- gating on the VPU model first would
+    # demote those to the XLA tier (same ordering as _rows_optimized).
+    if use_mxu_box(radius, img.shape[1], img.shape[2], interleaved=False):
+        return box_mxu(img, radius, interpret=interpret)
     if not blur_pallas_feasible(img.shape[1], radius, img.shape[2],
                                 box_mode=True, interleaved=False):
         return box_fused(img, radius)
-    if use_mxu_box(radius, img.shape[1], img.shape[2], interleaved=False):
-        return box_mxu(img, radius, interpret=interpret)
     return box_pallas(img, radius, interpret=interpret, folded=folded)
 
 

@@ -140,40 +140,44 @@ def _pass_fn(filter_type: str, lvl: int, radius: int, which: str,
                                            gaussian_pallas_rows)
             from ..runtime.device import is_tpu
 
-            # Mirror dispatch's VMEM-feasibility gate (_rows_optimized):
-            # for radii the runtime serves from the XLA tier, measure the
-            # XLA passes actually served instead of tracing a Pallas
-            # kernel that raises (and silently killed the breakdown).
-            if blur_pallas_feasible(w, radius, c, filter_type == "box",
-                                    interleaved=True):
-                interp = not is_tpu()
-                folded = lvl == 4
-                if filter_type == "gaussian":
-                    if folded:
-                        from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
-                                                           use_mxu_gaussian)
+            # Mirror dispatch's routing (_rows_optimized), including its
+            # ordering: MXU eligibility FIRST (at extreme radii only the
+            # MXU kernel fits VMEM), then the VPU feasibility gate; radii
+            # the runtime serves from the XLA tier measure the XLA passes
+            # actually served instead of tracing a Pallas kernel that
+            # raises (and silently killed the breakdown).
+            interp = not is_tpu()
+            folded = lvl == 4
+            if filter_type == "gaussian":
+                if folded:
+                    from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
+                                                       use_mxu_gaussian)
 
-                        # Match the tier the runtime actually serves: L4 at
-                        # MXU-routed radii breaks down the MXU kernel's own
-                        # passes, not the VPU kernel's.
-                        if use_mxu_gaussian(radius, w, c, interleaved=True):
-                            return lambda rows, wts: gaussian_mxu_rows(
-                                rows, wts, radius, c,
-                                interpret=interp, passes=which,
-                            )
+                    # Match the tier the runtime actually serves: L4 at
+                    # MXU-routed radii breaks down the MXU kernel's own
+                    # passes, not the VPU kernel's.
+                    if use_mxu_gaussian(radius, w, c, interleaved=True):
+                        return lambda rows, wts: gaussian_mxu_rows(
+                            rows, wts, radius, c,
+                            interpret=interp, passes=which,
+                        )
+                if blur_pallas_feasible(w, radius, c, False,
+                                        interleaved=True):
                     return lambda rows, wts: gaussian_pallas_rows(
                         rows, wts, radius, c,
                         interpret=interp, folded=folded, passes=which,
                     )
-                else:
-                    from ..ops.pallas.blur_mxu import (box_mxu_rows,
-                                                       use_mxu_box)
+            else:
+                from ..ops.pallas.blur_mxu import (box_mxu_rows,
+                                                   use_mxu_box)
 
-                    # Match the served tier (dispatch._rows_optimized):
-                    # MXU-routed radii break down the MXU kernel's passes.
-                    if use_mxu_box(radius, w, c, interleaved=True):
-                        return lambda rows: box_mxu_rows(
-                            rows, radius, c, interpret=interp, passes=which)
+                # Match the served tier (dispatch._rows_optimized):
+                # MXU-routed radii break down the MXU kernel's passes.
+                if use_mxu_box(radius, w, c, interleaved=True):
+                    return lambda rows: box_mxu_rows(
+                        rows, radius, c, interpret=interp, passes=which)
+                if blur_pallas_feasible(w, radius, c, True,
+                                        interleaved=True):
                     return lambda rows: box_pallas_rows(
                         rows, radius, c,
                         interpret=interp, folded=folded, passes=which,

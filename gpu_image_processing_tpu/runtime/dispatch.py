@@ -197,14 +197,15 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             from ..ops.pallas.sobel import sobel_pallas_rows
             from .device import is_tpu
 
-            # Box has no radius cap (reference parity); past a radius in
-            # the low hundreds even the column-chunked Pallas working set
-            # ((8+2r) halo rows) exceeds VMEM -- serve from the XLA tier.
-            if filter_name in ("gaussian", "box") and not blur_pallas_feasible(
-                    w_, radius, c, filter_name == "box", interleaved=True):
-                return xla_tier()
-
             interp = not is_tpu()
+            # MXU eligibility is consulted BEFORE the VPU-kernel VMEM
+            # feasibility gate: at extreme radii (box has no radius cap,
+            # reference parity) the sequenced-tap VPU working set
+            # ((8+2r) halo rows x (1 + taps/16) temporaries) can exceed
+            # VMEM while the MXU kernel -- whose Mosaic stack is one tile
+            # of matmul temporaries -- still fits (measured: width 8192
+            # C=3 radii 427-599).  Gating on the VPU model first would
+            # demote those to the XLA tier.
             if filter_name == "gaussian":
                 if folded:
                     from ..ops.pallas.blur_mxu import (gaussian_mxu_rows,
@@ -215,6 +216,9 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
                     if use_mxu_gaussian(radius, w_, c, interleaved=True):
                         return lambda rows, w: gaussian_mxu_rows(
                             rows, w, radius, c, interpret=interp)
+                if not blur_pallas_feasible(w_, radius, c, False,
+                                            interleaved=True):
+                    return xla_tier()
                 return lambda rows, w: gaussian_pallas_rows(
                     rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
@@ -226,6 +230,9 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
                 if use_mxu_box(radius, w_, c, interleaved=True):
                     return lambda rows: box_mxu_rows(
                         rows, radius, c, interpret=interp)
+                if not blur_pallas_feasible(w_, radius, c, True,
+                                            interleaved=True):
+                    return xla_tier()
                 return lambda rows: box_pallas_rows(
                     rows, radius, c, interpret=interp, folded=folded)
             sobel_lvl = 1 if level == 4 else 2
@@ -402,33 +409,39 @@ def _trace_batch(filter_name: str, level: int, radius: int,
             pass
         else:
             # Blur with a VMEM-infeasible working set (box has no radius
-            # cap) falls through to the XLA tier below.
-            feasible = filter_name == "sobel" or blur_pallas_feasible(
-                w_, radius, c, filter_name == "box", interleaved=True)
-            if feasible:
-                interp = not is_tpu()
-                folded = level == 4
-                if filter_name == "gaussian":
-                    if folded:
-                        from ..ops.pallas.blur_mxu import (
-                            gaussian_mxu_rows_batch,
-                            use_mxu_gaussian,
-                        )
+            # cap) falls through to the XLA tier below.  MXU eligibility
+            # is consulted BEFORE the VPU feasibility gate -- at extreme
+            # radii only the MXU kernel fits VMEM (same ordering as
+            # _rows_optimized).
+            interp = not is_tpu()
+            folded = level == 4
+            if filter_name == "gaussian":
+                if folded:
+                    from ..ops.pallas.blur_mxu import (
+                        gaussian_mxu_rows_batch,
+                        use_mxu_gaussian,
+                    )
 
-                        if use_mxu_gaussian(radius, w_, c, interleaved=True):
-                            return lambda rows, w: gaussian_mxu_rows_batch(
-                                rows, w, radius, c, interpret=interp)
+                    if use_mxu_gaussian(radius, w_, c, interleaved=True):
+                        return lambda rows, w: gaussian_mxu_rows_batch(
+                            rows, w, radius, c, interpret=interp)
+                if blur_pallas_feasible(w_, radius, c, False,
+                                        interleaved=True):
                     return lambda rows, w: gaussian_pallas_rows_batch(
-                        rows, w, radius, c, interpret=interp, folded=folded)
-                if filter_name == "box":
-                    from ..ops.pallas.blur_mxu import (box_mxu_rows_batch,
-                                                       use_mxu_box)
+                        rows, w, radius, c, interpret=interp,
+                        folded=folded)
+            elif filter_name == "box":
+                from ..ops.pallas.blur_mxu import (box_mxu_rows_batch,
+                                                   use_mxu_box)
 
-                    if use_mxu_box(radius, w_, c, interleaved=True):
-                        return lambda rows: box_mxu_rows_batch(
-                            rows, radius, c, interpret=interp)
+                if use_mxu_box(radius, w_, c, interleaved=True):
+                    return lambda rows: box_mxu_rows_batch(
+                        rows, radius, c, interpret=interp)
+                if blur_pallas_feasible(w_, radius, c, True,
+                                        interleaved=True):
                     return lambda rows: box_pallas_rows_batch(
                         rows, radius, c, interpret=interp, folded=folded)
+            else:
                 sobel_lvl = 1 if level == 4 else 2
                 from ..ops.pallas.sobel_mxu import (
                     sobel_mxu_rows_batch,

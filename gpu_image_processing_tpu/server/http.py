@@ -236,20 +236,28 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                     for pair in query_str.split("&"):
                         k, _, v = pair.partition("=")
                         req.query[k] = v
-                try:
-                    length = int(self.headers.get("Content-Length") or 0)
-                except ValueError:
-                    length = 0
-                if not length and "chunked" in (
+                if "chunked" in (
                         self.headers.get("Transfer-Encoding") or "").lower():
                     # This server reads exactly Content-Length bytes; a
                     # chunked body would be left unread on the stream and
-                    # poison the next keep-alive request.  Per RFC 9112
-                    # answer 411 and close.
+                    # poison the next keep-alive request.  Rejected even
+                    # when a Content-Length is ALSO present (the classic
+                    # request-smuggling shape: reading CL bytes of chunk
+                    # framing desyncs the connection just the same).  Per
+                    # RFC 9112 answer 411 and close.
                     self.close_connection = True
                     self._send(411, {
                         "detail": "chunked transfer encoding not supported; "
                                   "send Content-Length"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    # A malformed Content-Length means the body can't be
+                    # framed; treating it as 0 would leave the real body
+                    # unread on a live keep-alive connection (desync).
+                    self.close_connection = True
+                    self._send(400, {"detail": "invalid Content-Length"})
                     return
                 body_cap = _max_body_bytes()
                 if body_cap and length > body_cap:

@@ -102,8 +102,14 @@ def build_report():
                     "share_pct": round(100 * avg / traced_total, 1)
                     if traced_total else None,
                     # Cross-op concurrency >5% of the op's own time: the
-                    # reason traced_total can exceed device_total.
-                    "overlapped": bool(avg > 0 and overlap / avg > 0.05),
+                    # reason traced_total can exceed device_total.  Both
+                    # overlap_ms and total_ms are CAPTURE-WINDOW totals
+                    # (the traced run executes the program several times);
+                    # dividing window overlap by per-exec avg_ms would
+                    # inflate the ratio by the event count.
+                    "overlapped": bool(
+                        rec.get("total_ms", 0) > 0
+                        and overlap / rec["total_ms"] > 0.05),
                     "bytes": per_exec_bytes,
                     "bytes_source": source,
                     "gbps": round(gbps, 1) if gbps else None,

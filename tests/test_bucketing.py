@@ -200,16 +200,31 @@ def test_vmem_infeasible_radius_routes_to_xla_tier(rng):
     from gpu_image_processing_tpu.ops.pallas.blur import blur_pallas_feasible
     from gpu_image_processing_tpu.runtime.dispatch import RUNTIME, _rows_optimized
 
-    # (The raised 64 MB VMEM scope moved this threshold up from ~300.)
-    assert not blur_pallas_feasible(3239, 500, 3, True, interleaved=True)
-    fn = _rows_optimized("box", 2, 500, 2146, 3239, 3)
-    names = fn.__code__.co_names + tuple(
-        c.cell_contents.__name__ for c in (fn.__closure__ or ())
-        if callable(getattr(c, "cell_contents", None))
-        and hasattr(c.cell_contents, "__name__"))
-    assert "box_pallas_rows" not in names and "box_rows" in names
+    def routed_names(fn):
+        return fn.__code__.co_names + tuple(
+            c.cell_contents.__name__ for c in (fn.__closure__ or ())
+            if callable(getattr(c, "cell_contents", None))
+            and hasattr(c.cell_contents, "__name__"))
 
-    # End-to-end: the runtime serves it and matches the oracle.
+    # r=500 @ w=3239: the sequenced-tap VPU working set exceeds VMEM but
+    # the MXU kernel (one tile of matmul temporaries) still fits -- MXU
+    # eligibility is consulted FIRST, so this serves the MXU tier, not a
+    # demotion to XLA (the pre-round-4 behavior).
+    from gpu_image_processing_tpu.ops.pallas.blur_mxu import use_mxu_box
+
+    assert not blur_pallas_feasible(3239, 500, 3, True, interleaved=True)
+    assert use_mxu_box(500, 3239, 3, interleaved=True)
+    names = routed_names(_rows_optimized("box", 2, 500, 2146, 3239, 3))
+    assert "box_mxu_rows" in names and "box_rows" not in names
+
+    # r=800 @ w=3239: NEITHER kernel fits -- the XLA tier serves it.
+    assert not use_mxu_box(800, 3239, 3, interleaved=True)
+    names = routed_names(_rows_optimized("box", 2, 800, 2146, 3239, 3))
+    assert "box_pallas_rows" not in names and "box_mxu_rows" not in names
+    assert "box_rows" in names
+
+    # End-to-end: the runtime serves an extreme radius and matches the
+    # oracle (small image -> its own bucketed-shape routing applies).
     img = make_image(rng, 40, 60, 3)
-    out, _ = RUNTIME.box_blur(img, radius=500, level=2)
-    np.testing.assert_array_equal(out, oracle.box_blur(img, 500))
+    out, _ = RUNTIME.box_blur(img, radius=800, level=2)
+    np.testing.assert_array_equal(out, oracle.box_blur(img, 800))

@@ -355,6 +355,59 @@ def test_live_chunked_body_411_and_close(live_server):
     assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
 
 
+def test_live_chunked_with_content_length_still_411(live_server):
+    """The classic request-smuggling shape -- Transfer-Encoding: chunked
+    AND a Content-Length -- must hit the same 411+close: reading CL bytes
+    of chunk framing would desync the connection just the same."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Content-Length: 11\r\n"
+             f"Transfer-Encoding: chunked\r\n\r\n"
+             f"5\r\nhello\r\n0\r\n\r\n").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"411" in resp.split(b"\r\n", 1)[0], resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
+def test_live_malformed_content_length_400_and_close(live_server):
+    """'Content-Length: abc' cannot frame the body; coercing it to 0 would
+    leave the real body unread on a live keep-alive connection (the next
+    request would parse from mid-body garbage).  400 + close instead."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Content-Length: abc\r\n\r\n"
+             "{}").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"400" in resp.split(b"\r\n", 1)[0], resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
 def test_live_body_cap_env_and_normal_requests_unaffected(live_server):
     """Requests under the cap flow through untouched (the 20x16 PNG
     payloads above already prove this live); here: a Content-Length just
