@@ -145,7 +145,17 @@ static int png_assemble(int w, int h, uint8_t color_type,
   ihdr[9] = color_type;
   ihdr[10] = ihdr[11] = ihdr[12] = 0;  // deflate, adaptive, no interlace
   png_chunk(png, "IHDR", ihdr, 13);
-  png_chunk(png, "IDAT", zdata.data(), zdata.size());
+  // PNG caps a chunk's length field at 2^31-1 (and png_chunk's 32-bit
+  // length/CRC casts would truncate anyway): split oversized zlib streams
+  // across consecutive IDAT chunks -- decoders concatenate them.
+  const size_t kMaxIdat = (size_t)1 << 30;
+  size_t off = 0;
+  do {
+    size_t n = zdata.size() - off;
+    if (n > kMaxIdat) n = kMaxIdat;
+    png_chunk(png, "IDAT", zdata.data() + off, n);
+    off += n;
+  } while (off < zdata.size());
   png_chunk(png, "IEND", nullptr, 0);
 
   *out_buf = (uint8_t*)std::malloc(png.size());
@@ -584,12 +594,19 @@ int gip_ppm_read(const char* path, uint8_t** out, int* h, int* w, int* c) {
 // BMP write (24-bit BGR, bottom-up) -- parity with stb_image_write's BMP path
 // ---------------------------------------------------------------------------
 
-int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
+int gip_bmp_write(const char* path, const uint8_t* img, int h, int w,
+                  int c) try {
   if (c != 1 && c != 3 && c != 4) return 1;
+  if (w <= 0 || h <= 0) return 1;
+  uint64_t row64 = ((uint64_t)w * 3 + 3) & ~uint64_t(3);
+  uint64_t data64 = row64 * (uint64_t)h;
+  // The BITMAPFILEHEADER size field is 32-bit; larger images can't be
+  // represented as BI_RGB 24-bit BMPs at all.
+  if (54 + data64 > 0xFFFFFFFFu) return 1;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 2;
-  int row = (w * 3 + 3) & ~3;
-  uint32_t data_size = (uint32_t)row * h;
+  size_t row = (size_t)row64;
+  uint32_t data_size = (uint32_t)data64;
   uint32_t file_size = 54 + data_size;
   uint8_t header[54] = {0};
   header[0] = 'B'; header[1] = 'M';
@@ -601,7 +618,10 @@ int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
   std::memcpy(header + 22, &h, 4);
   std::memcpy(header + 26, &planes_bpp, 4);
   std::memcpy(header + 34, &data_size, 4);
-  std::fwrite(header, 1, 54, f);
+  if (std::fwrite(header, 1, 54, f) != 54) {
+    std::fclose(f);
+    return 3;
+  }
   std::vector<uint8_t> line(row, 0);
   for (int y = h - 1; y >= 0; --y) {
     for (int x = 0; x < w; ++x) {
@@ -611,10 +631,15 @@ int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
       line[x * 3 + 1] = g;
       line[x * 3 + 2] = r;
     }
-    std::fwrite(line.data(), 1, row, f);
+    if (std::fwrite(line.data(), 1, row, f) != row) {
+      std::fclose(f);
+      return 3;
+    }
   }
   std::fclose(f);
   return 0;
+} catch (...) {  // no-unwind-into-ctypes contract (bad_alloc on huge rows)
+  return 4;
 }
 
 // ---------------------------------------------------------------------------
@@ -624,7 +649,8 @@ int gip_bmp_write(const char* path, const uint8_t* img, int h, int w, int c) {
 // the RLE types (9 excluded: color-mapped) and both row orders.
 // ---------------------------------------------------------------------------
 
-int gip_tga_write(const char* path, const uint8_t* img, int h, int w, int c) {
+int gip_tga_write(const char* path, const uint8_t* img, int h, int w,
+                  int c) try {
   if (c != 1 && c != 3 && c != 4) return 1;
   if (w <= 0 || h <= 0 || w > 0xffff || h > 0xffff) return 1;  // 16-bit dims
   FILE* f = std::fopen(path, "wb");
@@ -658,6 +684,8 @@ int gip_tga_write(const char* path, const uint8_t* img, int h, int w, int c) {
   }
   std::fclose(f);
   return 0;
+} catch (...) {  // no-unwind-into-ctypes contract
+  return 4;
 }
 
 // Defined in gip_formats.cpp.
@@ -665,7 +693,7 @@ int gip_tga_decode(const uint8_t* buf, size_t len, uint8_t** out, int* out_h,
                    int* out_w, int* out_c);
 
 int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
-                 int* out_c) {
+                 int* out_c) try {
   // Delegates to the bounds-checked in-memory decoder (gip_formats.cpp),
   // which supersets the original file reader: colormapped types 1/9 and
   // 15/16-bpp truecolor decode too.
@@ -674,10 +702,19 @@ int gip_tga_read(const char* path, uint8_t** out, int* out_h, int* out_w,
   std::vector<uint8_t> data;
   uint8_t chunk[65536];
   size_t got;
-  while ((got = std::fread(chunk, 1, sizeof chunk, f)) > 0)
+  while ((got = std::fread(chunk, 1, sizeof chunk, f)) > 0) {
+    // A multi-GB "TGA" can't be valid (16-bit dims x 4 bpp tops out far
+    // lower); cap before the vector growth turns into bad_alloc.
+    if (data.size() + got > (size_t)1 << 30) {
+      std::fclose(f);
+      return 1;
+    }
     data.insert(data.end(), chunk, chunk + got);
+  }
   std::fclose(f);
   return gip_tga_decode(data.data(), data.size(), out, out_h, out_w, out_c);
+} catch (...) {  // no-unwind-into-ctypes contract (bad_alloc on slurp)
+  return 1;
 }
 
 }  // extern "C"

@@ -99,7 +99,6 @@ bool gif_lzw(Reader& r, int min_code_size, std::vector<uint8_t>& out,
   const int clear = 1 << min_code_size;
   const int end = clear + 1;
   // prefix chain + final suffix byte per code
-  static_assert(true, "");
   int16_t prefix[4096];
   uint8_t suffix[4096];
   uint8_t first[4096];  // first byte of each code's expansion
@@ -237,10 +236,10 @@ int gif_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
       if (label == 0xF9) {  // graphic control: transparency for the NEXT image
         uint8_t blen;
         if (!r.u8(&blen)) return 1;
-        if (blen >= 4) {
-          uint8_t gce_packed = buf[r.pos];
-          uint8_t tindex = buf[r.pos + 3];
-          if (!r.skip(blen)) return 1;
+        if (blen >= 4 && r.ok(blen)) {  // bounds BEFORE the peeks: a file
+          uint8_t gce_packed = buf[r.pos];  // truncated inside the GCE must
+          uint8_t tindex = buf[r.pos + 3];  // not read past the buffer
+          r.pos += blen;
           if (gce_packed & 1) transparent = tindex;
         } else if (!r.skip(blen)) {
           return 1;
@@ -372,7 +371,31 @@ int gif_frames_impl(const uint8_t* buf, size_t len, int max_frames,
   std::vector<uint8_t> canvas(pcount * 4, 0);      // current composite
   std::vector<uint8_t> background(pcount * 4, 0);  // canvas before last draw
   std::vector<uint8_t> history(pcount, 0);  // pixels the LAST frame touched
-  std::vector<uint8_t> frames;              // emitted canvases, stacked
+  // Emitted canvases, stacked, in a realloc-grown malloc buffer handed to
+  // the caller WITHOUT a final copy: a vector + alloc_out/memcpy doubled
+  // peak memory at up-to-716 MB animations (glibc extends large blocks
+  // with mremap, so the per-frame exact-growth realloc is in-place).
+  struct MallocBuf {
+    uint8_t* p = nullptr;
+    size_t size = 0, cap = 0;
+    ~MallocBuf() { std::free(p); }
+    bool append(const uint8_t* d, size_t k) {
+      if (size + k > cap) {
+        uint8_t* np = (uint8_t*)std::realloc(p, size + k);
+        if (!np) return false;
+        p = np;
+        cap = size + k;
+      }
+      std::memcpy(p + size, d, k);
+      size += k;
+      return true;
+    }
+    uint8_t* release() {
+      uint8_t* q = p;
+      p = nullptr;
+      return q;
+    }
+  } frames;
   std::vector<int> delays;
 
   // GCE state is sticky across frames when a frame has no GCE of its own
@@ -426,7 +449,7 @@ int gif_frames_impl(const uint8_t* buf, size_t len, int max_frames,
       if (d == 3 && nframe < 2) d = 2;  // no frame to revert to
       if (d == 3) {
         const uint8_t* two_back =
-            frames.data() + (size_t)(nframe - 2) * pcount * 4;
+            frames.p + (size_t)(nframe - 2) * pcount * 4;
         for (size_t pi = 0; pi < pcount; ++pi)
           if (history[pi])
             std::memcpy(&canvas[pi * 4], &two_back[pi * 4], 4);
@@ -507,22 +530,17 @@ int gif_frames_impl(const uint8_t* buf, size_t len, int max_frames,
     // Bound TOTAL output: an animation bomb (tiny file, thousands of
     // frames) is capped the same way a single oversized image is.
     if ((uint64_t)(nframe + 1) * pcount > kGipMaxDecodePixels) return 8;
-    frames.insert(frames.end(), canvas.begin(), canvas.end());
+    if (!frames.append(canvas.data(), canvas.size())) return 6;
     delays.push_back(delay_ms);
     prev_dispose = dispose;
     if (max_frames > 0 && (int)delays.size() >= max_frames) break;
   }
 
   if (delays.empty()) return 2;  // no image data before the trailer
-  uint8_t* fbuf = alloc_out(frames.size());
-  if (!fbuf) return 6;
   int* dbuf = (int*)std::malloc(delays.size() * sizeof(int));
-  if (!dbuf) {
-    std::free(fbuf);
-    return 6;
-  }
-  std::memcpy(fbuf, frames.data(), frames.size());
+  if (!dbuf) return 6;
   std::memcpy(dbuf, delays.data(), delays.size() * sizeof(int));
+  uint8_t* fbuf = frames.release();  // zero-copy handoff; freed by caller
   *out_buf = fbuf;
   *out_delays = dbuf;
   *out_frames = (int)delays.size();
@@ -740,9 +758,10 @@ int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
   std::vector<uint8_t> plane(plane_bytes);
   std::vector<uint8_t> img(wh * keep);
 
-  size_t rle_table_at = r.pos;  // only meaningful when compression == 1
   if (compression == 1) {
-    // Row-length table: height * channels big-endian u16s.
+    // Row-length table: height * channels big-endian u16s.  The PackBits
+    // decoder below re-derives row boundaries from the stream itself, so
+    // the table is validated-and-skipped, not consumed.
     if (!r.skip((size_t)height * channels * 2)) return 1;
   }
 
@@ -758,7 +777,6 @@ int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
       for (uint32_t y = 0; y < height; ++y) {
         if (!packbits(r, plane.data() + (size_t)y * row_n, row_n)) return 5;
       }
-      (void)rle_table_at;
     }
     if ((int)ch >= keep) continue;  // parsed (stream position advanced), unused
     if (depth == 8) {

@@ -211,9 +211,11 @@ struct Decoder {
   }
 
   bool parse_dqt(int len) {
-    int end = (int)pos + len - 2;
-    if (end > (int)n) return false;  // truncated segment
-    while ((int)pos < end && !err) {
+    // size_t arithmetic throughout: int casts misbehave past 2 GiB of
+    // leading stream (APPn padding is unbounded).
+    if (len < 2 || (size_t)(len - 2) > n - pos) return false;  // truncated
+    size_t end = pos + (size_t)(len - 2);
+    while (pos < end && !err) {
       int pq_tq = u8();
       int prec = pq_tq >> 4, id = pq_tq & 15;
       if (id > 3) return false;
@@ -224,9 +226,11 @@ struct Decoder {
   }
 
   bool parse_dht(int len) {
-    int end = (int)pos + len - 2;
-    if (end > (int)n) return false;  // truncated segment
-    while ((int)pos < end && !err) {
+    // size_t arithmetic throughout: int casts misbehave past 2 GiB of
+    // leading stream (APPn padding is unbounded).
+    if (len < 2 || (size_t)(len - 2) > n - pos) return false;  // truncated
+    size_t end = pos + (size_t)(len - 2);
+    while (pos < end && !err) {
       int tc_th = u8();
       int cls = tc_th >> 4, id = tc_th & 15;
       if (id > 3 || cls > 1) return false;
@@ -675,8 +679,6 @@ int jpeg_decode_impl(const uint8_t* data, size_t len,
     // tracks it within ~1-2.  Other ratios (1, 4) use box.  Logical
     // chroma dims derive from the image dims, not the padded block grid.
     auto chroma_at = [&](const Component& comp, int stride, int y, int x) -> int {
-      const int hr = d.hmax / comp.hs;  // divisible ratios: 1, 2 or 4
-      const int vr = d.vmax / comp.vs;
       // T.81 A.1.1 component dims: ceil(dim * sampling / max).  The
       // truncated-ratio form ceil(w / hr) OVERSTATES cw when hmax is not
       // divisible by hs (e.g. Y=3x1, Cb=2x1 -> hr = 3/2 = 1, cw = w), and
@@ -940,6 +942,9 @@ namespace {
 int jpeg_encode_impl(const uint8_t* img, int h, int w, int c, int quality,
                      uint8_t** out_buf, size_t* out_len) {
   if (!img || h <= 0 || w <= 0 || (c != 1 && c != 3)) return 1;
+  // SOF0 carries 16-bit dimensions; larger values would silently truncate
+  // into a corrupt-but-"successful" stream (T.81 B.2.2 caps both at 65535).
+  if (h > 0xFFFF || w > 0xFFFF) return 1;
   if (quality < 1) quality = 1;
   if (quality > 100) quality = 100;
   int scale = quality < 50 ? 5000 / quality : 200 - quality * 2;

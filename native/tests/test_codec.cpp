@@ -211,13 +211,18 @@ int main() {
     gip_free(out);
   }
 
-  // JPEG error paths: truncated stream and progressive rejection signal
+  // JPEG error paths.  Progressive (SOF2) is a SUPPORTED process now, so
+  // a truncated SOF2 stream fails as malformed (1), while the genuinely
+  // unsupported processes (lossless SOF3) keep the distinct signal 2.
   {
-    uint8_t junk[8] = {0xFF, 0xD8, 0xFF, 0xC2, 0, 4, 0, 0};
+    uint8_t trunc_sof2[8] = {0xFF, 0xD8, 0xFF, 0xC2, 0, 4, 0, 0};
     uint8_t* out = nullptr;
     int h, w, c;
-    CHECK(gip_jpeg_decode(junk, sizeof junk, &out, &h, &w, &c) == 2,
-          "jpeg progressive rejected with code 2");
+    CHECK(gip_jpeg_decode(trunc_sof2, sizeof trunc_sof2, &out, &h, &w, &c) == 1,
+          "jpeg truncated progressive rejected as malformed");
+    uint8_t lossless[8] = {0xFF, 0xD8, 0xFF, 0xC3, 0, 4, 0, 0};
+    CHECK(gip_jpeg_decode(lossless, sizeof lossless, &out, &h, &w, &c) == 2,
+          "jpeg lossless process rejected with code 2");
     uint8_t not_jpeg[4] = {1, 2, 3, 4};
     CHECK(gip_jpeg_decode(not_jpeg, 4, &out, &h, &w, &c) == 1,
           "jpeg bad magic rejected");

@@ -88,6 +88,18 @@ def test_jpeg_roundtrip_native(rng):
 
 
 @needs_native
+def test_jpeg_encode_rejects_over_16bit_dims():
+    # SOF0 dimensions are 16-bit (T.81 B.2.2); without the cap a 70000-row
+    # image silently truncated to 4464 in the header while the entropy
+    # data encoded all 70000 -- a corrupt-but-"successful" stream
+    # (review finding).  1xN keeps the probe tiny.
+    img = np.zeros((70000, 1, 3), dtype=np.uint8)
+    assert native_codec.jpeg_encode(img) is None
+    img = np.zeros((1, 70000, 3), dtype=np.uint8)
+    assert native_codec.jpeg_encode(img) is None
+
+
+@needs_native
 def test_jpeg_interop_with_pil(rng):
     """Both directions against libjpeg: PIL reads ours, we read PIL's
     (including its default 4:2:0 chroma subsampling), within the small

@@ -350,6 +350,18 @@ def test_gif_truncated_rejected(rng):
     assert native_codec.gif_decode(data[: len(data) // 2]) is None
 
 
+@needs_native
+def test_gif_truncated_inside_gce_rejected():
+    # File ends right after the GCE block-length byte: the still decoder
+    # must bounds-check BEFORE peeking the packed/transparent-index bytes
+    # (review-found heap OOB read, fixed alongside the frames decoder
+    # which already guarded it).
+    data = (b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0, 0, 0])
+            + bytes([0x21, 0xF9, 0x04]))
+    assert native_codec.gif_decode(data) is None
+    assert native_codec.gif_frames(data) is None
+
+
 # ---------------------------------------------------------------------------
 # GIF animation (gip_gif_frames_decode — the stbi_load_gif_from_memory
 # analog, /root/reference/external/stb_image.h:433,1444)
