@@ -182,6 +182,24 @@ def main() -> int:
     check("box 8K-wide r15 (column-tiled)",
           (out == oracle.box_blur(img, 15)).all())
 
+    # Radius-aware box gate (round 4): under DEFAULT routing a 0.84 MP
+    # image at an MXU-eligible radius serves the MXU tier (the 1 MP box
+    # gate applies only to r=1 / legacy callers), bit-exact vs oracle.
+    os.environ.pop("GIP_TPU_XLA_TIER_MAX_PIXELS", None)
+    img = rng.integers(0, 256, (768, 1092, 3), np.uint8)
+    out, _ = RUNTIME.box_blur(img, radius=5, level=2)
+    check("box 0.84MP r5 (MXU via radius-aware gate)",
+          (out == oracle.box_blur(img, 5)).all())
+    # Extreme radius where only the MXU kernel fits VMEM (MXU-first
+    # ordering): must serve and match, not demote to XLA silently -- the
+    # routing itself is asserted by tests/test_bucketing.py; silicon
+    # checks the kernel actually compiles and is exact at this geometry.
+    img = rng.integers(0, 256, (64, 3239, 3), np.uint8)
+    out, _ = RUNTIME.box_blur(img, radius=500, level=2)
+    check("box r500 w3239 (MXU-only-feasible geometry)",
+          (out == oracle.box_blur(img, 500)).all())
+    os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"
+
     # Default routing sanity: small image through the XLA tier on silicon.
     os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "2500000"
     img = rng.integers(0, 256, (96, 133, 3), np.uint8)
