@@ -51,6 +51,12 @@ async function checkHealth() {
   const el = $("health");
   try {
     const r = await fetch(`${API_BASE}/api/health`);
+    if (!r.ok) {
+      // A non-200 is a server error, not an accelerator-capacity state.
+      el.textContent = `backend: error (HTTP ${r.status})`;
+      el.className = "health bad";
+      return;
+    }
     const body = await r.json();
     const ok = body.status === "healthy" && body.gpu_available;
     el.textContent = ok ? "backend: TPU ready" : "backend: accelerator unavailable";
@@ -65,6 +71,13 @@ function setupDropzone() {
   const dz = $("dropzone");
   const input = $("fileInput");
   dz.addEventListener("click", () => input.click());
+  // tabindex=0 promises keyboard operability: Enter/Space open the picker.
+  dz.addEventListener("keydown", (e) => {
+    if (e.key === "Enter" || e.key === " ") {
+      e.preventDefault();
+      input.click();
+    }
+  });
   dz.addEventListener("dragover", (e) => { e.preventDefault(); dz.classList.add("drag"); });
   dz.addEventListener("dragleave", () => dz.classList.remove("drag"));
   dz.addEventListener("drop", (e) => {
@@ -80,6 +93,8 @@ function setupDropzone() {
 function loadFile(file) {
   if (!file.type.startsWith("image/")) return showError("Please choose an image file.");
   const reader = new FileReader();
+  reader.onerror = () =>
+    showError(`Could not read ${file.name}: ${reader.error?.message || "file unreadable"}`);
   reader.onload = () => {
     state.imageB64 = reader.result; // data URL
     const dz = $("dropzone");
@@ -193,9 +208,13 @@ function addImageCard(grid, src, title, sub) {
 function renderSpeedup(results) {
   const badge = $("speedupBadge");
   const l1 = results.level_1, l2 = results.level_2;
-  if (l1 && l2 && l2.metrics.time_ms > 0) {
+  if (l1 && l2 && l2.metrics.time_ms > 0 && l1.metrics.time_ms > 0) {
     const s = l1.metrics.time_ms / l2.metrics.time_ms;
-    badge.textContent = `Level 2 is ${s.toFixed(2)}× ${s >= 1 ? "faster" : "slower"}`;
+    // Print the factor in the direction named: "0.50x slower" is wrong
+    // when the true slowdown is 2.00x.
+    badge.textContent = s >= 1
+      ? `Level 2 is ${s.toFixed(2)}× faster`
+      : `Level 2 is ${(1 / s).toFixed(2)}× slower`;
     badge.hidden = false;
   } else {
     badge.hidden = true;
@@ -406,6 +425,7 @@ function wrapText(ctx, text, x, y, maxWidth, lineH) {
 
 function fmtNum(v) {
   if (v === null || v === undefined || Number.isNaN(v)) return "—";
+  if (v === 0) return "0";  // not "0.0e+0"
   if (v >= 1000) return v.toFixed(0);
   if (v >= 10) return v.toFixed(1);
   if (v >= 0.01) return v.toFixed(3);
@@ -422,7 +442,8 @@ function fmtNum(v) {
 const METRIC_SECTIONS = [
   ["Execution", ["time_ms", "ncu_profiled_time_ms", "kernel_duration_ms",
                  "kernel_duration_source", "fps",
-                 "total_kernels", "compute_throughput_pct"]],
+                 "total_kernels", "compute_throughput_pct",
+                 "profiling_error"]],
   ["Memory", ["bandwidth_gbps", "memory_throughput_gbps", "io_throughput_gbps",
               "hlo_bytes_accessed", "dram_throughput_pct",
               "peak_device_memory_bytes", "temp_buffer_bytes",
@@ -616,6 +637,9 @@ function setupLightbox() {
   });
   document.addEventListener("keydown", (e) => {
     if ($("lightbox").hidden) return;
+    if (e.key !== "Escape" && e.key !== "ArrowLeft" && e.key !== "ArrowRight")
+      return;
+    e.preventDefault();  // don't also scroll the page behind the overlay
     if (e.key === "Escape") closeLightbox();
     if (e.key === "ArrowLeft") stepLightbox(-1);
     if (e.key === "ArrowRight") stepLightbox(1);
