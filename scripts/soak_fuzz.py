@@ -17,7 +17,15 @@ exists for (tests/test_comparison.cu:204-221).
 import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
-os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"] = "0"   # force Pallas interpret paths
+# Default: force the Pallas interpret paths everywhere.  Pre-set the env
+# to soak a different routing regime: a pixel count soaks that fixed
+# gate, and the sentinel "config" removes the override entirely so the
+# soak runs the PRODUCTION per-filter routing — including the round-4
+# radius-aware box gate crossover — at random shapes.
+if os.environ.get("GIP_TPU_XLA_TIER_MAX_PIXELS") == "config":
+    del os.environ["GIP_TPU_XLA_TIER_MAX_PIXELS"]
+else:
+    os.environ.setdefault("GIP_TPU_XLA_TIER_MAX_PIXELS", "0")
 import sys
 sys.path.insert(0, "/root/repo")
 import jax
