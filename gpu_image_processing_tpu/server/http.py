@@ -236,8 +236,14 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                     for pair in query_str.split("&"):
                         k, _, v = pair.partition("=")
                         req.query[k] = v
-                if "chunked" in (
-                        self.headers.get("Transfer-Encoding") or "").lower():
+                # Join ALL Transfer-Encoding header values: a request
+                # carrying "Transfer-Encoding: gzip" then a second
+                # "Transfer-Encoding: chunked" line must still hit the 411
+                # (reading only the first value would re-open the keep-alive
+                # desync this check exists to block).
+                te_all = ",".join(
+                    self.headers.get_all("Transfer-Encoding") or [])
+                if "chunked" in te_all.lower():
                     # This server reads exactly Content-Length bytes; a
                     # chunked body would be left unread on the stream and
                     # poison the next keep-alive request.  Rejected even
@@ -252,6 +258,12 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                     return
                 try:
                     length = int(self.headers.get("Content-Length") or 0)
+                    if length < 0:
+                        # "Content-Length: -1" parses but cannot frame a
+                        # body -- and rfile.read(-1) would read until EOF,
+                        # parking this handler thread (inside the in-flight
+                        # gauge) until the client closes.
+                        raise ValueError("negative Content-Length")
                 except ValueError:
                     # A malformed Content-Length means the body can't be
                     # framed; treating it as 0 would leave the real body

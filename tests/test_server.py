@@ -408,6 +408,62 @@ def test_live_malformed_content_length_400_and_close(live_server):
     assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
 
 
+def test_live_negative_content_length_400_and_close(live_server):
+    """'Content-Length: -1' parses as an int but cannot frame a body --
+    and rfile.read(-1) would read until EOF, parking the handler thread
+    inside the in-flight gauge until the client closes.  Same 400 + close
+    path as the non-numeric case (advisor round-4 finding)."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Content-Length: -1\r\n\r\n"
+             "{}").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"400" in resp.split(b"\r\n", 1)[0], resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
+def test_live_repeated_transfer_encoding_headers_still_411(live_server):
+    """Chunked detection must read ALL Transfer-Encoding header lines:
+    'Transfer-Encoding: gzip' followed by a second 'Transfer-Encoding:
+    chunked' line previously evaded the 411 (only the first value was
+    inspected) and re-opened the keep-alive desync / smuggling shape
+    (advisor round-4 finding)."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Transfer-Encoding: gzip\r\n"
+             f"Transfer-Encoding: chunked\r\n\r\n"
+             f"5\r\nhello\r\n0\r\n\r\n").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"411" in resp.split(b"\r\n", 1)[0], resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
 def test_live_body_cap_env_and_normal_requests_unaffected(live_server):
     """Requests under the cap flow through untouched (the 20x16 PNG
     payloads above already prove this live); here: a Content-Length just
