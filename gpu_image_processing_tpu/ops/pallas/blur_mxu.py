@@ -282,19 +282,16 @@ def _gauss_mxu_kernel(bh_ref, bl_ref, ah_ref, al_ref, in_ref, out_ref,
     out_ref[0] = _quant(vbuf[:, :]).astype(jnp.int32).astype(jnp.uint8)
 
 
-def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
-                  radius: int, tap_stride: int, interpret: bool,
-                  tile_rows: int | None = None,
-                  g_block: int | None = None,
-                  passes: str = "both",
-                  box_scale: float | None = None) -> jnp.ndarray:
-    """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
+def _mxu_plan(height: int, dw: int, radius: int, tap_stride: int,
+              tile_rows: int | None = None, g_block: int | None = None):
+    """Lane/tile geometry shared by the kernel builder and the flop model.
 
-    tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
+    Returns (halo, g_block, land, cs, n_cols, w_t, arr_width, n_g,
+    tile_rows, hp, n_tiles, copy_rows, total_rows) -- exactly the values
+    ``_gaussian_mxu`` builds its grid and scratch from, so
+    ``gaussian_mxu_modeled_flops`` can never drift from the real kernel.
     """
-    n, height, dw = planar_or_rows.shape
     halo = radius * tap_stride
-
     chunked = not blur_kernel_fits_vmem(
         dw // tap_stride if tap_stride > 1 else dw, radius,
         tap_stride if tap_stride > 1 else 1, False,
@@ -306,13 +303,6 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
     w_t = cs + 2 * land
     arr_width = n_cols * cs + 2 * land
     n_g = cs // g_block
-    if not interpret and _mxu_working_set_bytes(
-            8, cs, w_t, radius, halo, g_block) >= _VMEM_HARD_LIMIT:
-        raise ValueError("MXU gaussian working set exceeds VMEM; use the "
-                         "VPU/XLA tiers (see gaussian_mxu_feasible)")
-    left_fills, right_fills = (
-        _fill_sites(dw, cs, n_cols, halo, land, w_t) if tap_stride > 1
-        else ((), ()))
 
     tile = max(((tile_rows or TPU.blur_tile_rows) // 8) * 8, 8)
     while tile > 8 and _mxu_working_set_bytes(tile, cs, w_t, radius, halo,
@@ -323,6 +313,56 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2 * radius, 8)
     total_rows = hp - tile_rows + copy_rows
+    return (halo, g_block, land, cs, n_cols, w_t, arr_width, n_g,
+            tile_rows, hp, n_tiles, copy_rows, total_rows)
+
+
+def gaussian_mxu_modeled_flops(height: int, dw: int, radius: int,
+                               tap_stride: int, box: bool = False,
+                               n: int = 1) -> int:
+    """MXU matmul FLOPs one ``_gaussian_mxu`` call actually issues.
+
+    Counts the DENSE blocked matmuls the kernel emits (2*M*K*N per dot),
+    not the nominal tap arithmetic -- this is the number the MXU pays, so
+    rate = flops / time is comparable to the generation's bf16 peak (the
+    dual-roofline "Compute Throughput" analog of
+    /root/reference/backend/profiling/ncu_profiler.py:795-934).
+
+    Gaussian issues TWO dots per block per pass (the bf16 hi+lo split);
+    box issues ONE (the ones band needs no split).
+    """
+    (halo, g_block, _land, cs, n_cols, _w_t, _aw, n_g, tile_rows,
+     _hp, n_tiles, copy_rows, _tr) = _mxu_plan(height, dw, radius,
+                                               tap_stride)
+    k_rows = g_block + 2 * halo
+    n_dots = 1 if box else 2
+    flops_h = n_g * n_dots * 2 * copy_rows * k_rows * g_block
+    flops_v = n_dots * 2 * tile_rows * copy_rows * cs
+    return n * n_tiles * n_cols * (flops_h + flops_v)
+
+
+def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
+                  radius: int, tap_stride: int, interpret: bool,
+                  tile_rows: int | None = None,
+                  g_block: int | None = None,
+                  passes: str = "both",
+                  box_scale: float | None = None) -> jnp.ndarray:
+    """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
+
+    tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
+    """
+    n, height, dw = planar_or_rows.shape
+    plan = _mxu_plan(height, dw, radius, tap_stride,
+                     tile_rows=tile_rows, g_block=g_block)
+    (halo, g_block, land, cs, n_cols, w_t, arr_width, n_g, tile_rows,
+     hp, n_tiles, copy_rows, total_rows) = plan
+    if not interpret and _mxu_working_set_bytes(
+            8, cs, w_t, radius, halo, g_block) >= _VMEM_HARD_LIMIT:
+        raise ValueError("MXU gaussian working set exceeds VMEM; use the "
+                         "VPU/XLA tiers (see gaussian_mxu_feasible)")
+    left_fills, right_fills = (
+        _fill_sites(dw, cs, n_cols, halo, land, w_t) if tap_stride > 1
+        else ((), ()))
 
     row_fill = None
     if radius <= tile_rows:

@@ -222,6 +222,28 @@ def _sobel_mxu_kernel(s_ref, in_ref, out_ref, tile_u8, x16, gbuf, mq, sem,
             jnp.int32).astype(jnp.uint8)
 
 
+def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
+                            wf: int, b: int = 1) -> int:
+    """MXU matmul FLOPs one ``sobel_mxu_rows_batch`` call actually issues.
+
+    Counts the dense blocked dots the kernel emits (2*M*K*N each): the
+    bf16x3-split Rec.601 compaction (n_gb dots of (copy_rows, 128*C) @
+    (128*C, 128) per split term) plus the 0/1 expansion (n_ob dots of
+    (tile_rows, 128) @ (128, 128)).  The VPU tap/sqrt stage is not MXU
+    work and is excluded.  Geometry comes from the same ``_geometry`` /
+    ``_pick_tile_rows`` helpers the builder uses, so the model cannot
+    drift from the real kernel.
+    """
+    cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
+    tile_rows = min(_pick_tile_rows(width, channels, wf),
+                    _round_up(height, 8))
+    n_tiles = _round_up(height, tile_rows) // tile_rows
+    copy_rows = _round_up(tile_rows + 2, 8)
+    f_compact = n_gb * _N_SPLIT * 2 * copy_rows * (128 * channels) * 128
+    f_expand = n_ob * 2 * tile_rows * 128 * 128
+    return b * n_tiles * (f_compact + f_expand)
+
+
 def sobel_mxu_rows_batch(
     rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
     width: int, channels: int,

@@ -84,3 +84,55 @@ def is_custom_call(instruction_text: str) -> bool:
     """True for Mosaic/custom-call rows -- the ops with no XLA cost model
     (the only rows the modeled-bytes fallback should ever serve)."""
     return "custom-call" in instruction_text
+
+
+def served_mxu_flops(filter_name: str, level: int, height: int, width: int,
+                     channels: int, radius: Optional[int] = None
+                     ) -> Optional[int]:
+    """Modeled MXU-matmul FLOPs of the Mosaic kernel SERVING this config.
+
+    Returns None when the served tier issues no MXU matmuls (naive L1,
+    the XLA interleaved tier, the VPU Pallas kernels) -- mirrors the
+    dispatch routing (dispatch._rows_optimized ordering: MXU eligibility
+    first) exactly, consulting the same predicates.  The flop counts come
+    from the kernel modules' own geometry (blur_mxu._mxu_plan /
+    sobel_mxu._geometry), so the model tracks the real kernels.
+
+    This is the compute half of the per-op dual roofline (the ncu
+    "Compute Throughput" analog, ncu_profiler.py:795-934): rate =
+    flops / traced time, compared against the generation's bf16 MXU peak.
+    """
+    if level < 2:
+        return None
+    from ..runtime.dispatch import (_pallas_disabled, _routed_to_xla,
+                                    _sobel_mxu_routed)
+
+    if _pallas_disabled() or _routed_to_xla(level, height, width,
+                                            filter_name, radius, channels):
+        return None
+    wf = width * channels
+    if filter_name == "sobel":
+        if not _sobel_mxu_routed(level, width, channels):
+            return None
+        from ..ops.pallas.sobel_mxu import sobel_mxu_modeled_flops
+
+        return sobel_mxu_modeled_flops(height, width, channels, wf)
+    if radius is None:
+        return None
+    if filter_name == "gaussian":
+        from ..ops.pallas.blur_mxu import (gaussian_mxu_modeled_flops,
+                                           use_mxu_gaussian)
+
+        if level == 4 and use_mxu_gaussian(radius, width, channels,
+                                           interleaved=True):
+            return gaussian_mxu_modeled_flops(height, wf, radius, channels)
+        return None
+    if filter_name == "box":
+        from ..ops.pallas.blur_mxu import (gaussian_mxu_modeled_flops,
+                                           use_mxu_box)
+
+        if use_mxu_box(radius, width, channels, interleaved=True):
+            return gaussian_mxu_modeled_flops(height, wf, radius, channels,
+                                              box=True)
+        return None
+    return None
