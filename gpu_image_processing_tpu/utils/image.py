@@ -380,6 +380,42 @@ def encode_image_to_base64(img_array: np.ndarray) -> str:
     return f"data:image/png;base64,{payload}"
 
 
+def decode_file_16(data: bytes) -> np.ndarray:
+    """stbi_load_16_from_memory analog for any supported upload format
+    (/root/reference/external/stb_image.h:445-449): HWC uint16.
+
+    PNG and PSD decode natively at 16 bits when the file carries them
+    (big-endian samples -> host u16); every other format -- and every
+    8-bit file -- upscales v -> v*257 exactly like stb's
+    stbi__convert_8_to_16 (so a round trip through the 8-bit tier and
+    this one agree on 8-bit sources)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = native_codec.png_decode16(data)
+        if arr is not None:
+            return arr
+    if data[:4] == b"8BPS":
+        arr = native_codec.psd_decode16(data)
+        if arr is not None:
+            return arr
+    arr8, _, _ = load_image_file(data)
+    return arr8.astype(np.uint16) * np.uint16(257)
+
+
+def decode_file_float(data: bytes) -> np.ndarray:
+    """stbi_loadf_from_memory analog for any supported upload format
+    (/root/reference/external/stb_image.h:458-463): HWC float32.
+
+    Radiance HDR decodes natively to LINEAR float (per-channel RGBE
+    m * 2^(e-136), no tone map).  LDR formats convert with stb's
+    ldr_to_hdr default math: (v/255)^2.2 (gamma 2.2, scale 1)."""
+    if data[:2] == b"#?":
+        arr = native_codec.hdr_decodef(data)
+        if arr is not None:
+            return arr
+    arr8, _, _ = load_image_file(data)
+    return (arr8.astype(np.float32) / np.float32(255.0)) ** np.float32(2.2)
+
+
 def load_image_file(data: bytes) -> tuple[np.ndarray, int, int]:
     """Decode uploaded file bytes -> (array, width, height) (app.py:496-521).
 

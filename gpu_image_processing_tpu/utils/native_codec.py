@@ -129,6 +129,19 @@ def load() -> Optional[ctypes.CDLL]:
         ]
     except AttributeError:  # stale pre-JPEG build of the library
         pass
+    # Wide-output decoders (stbi_load_16 / stbi_loadf analogs); same
+    # out-param shape as the u8 decoders, only the buffer element differs.
+    for fn_name in ("gip_png_decode16", "gip_psd_decode16",
+                    "gip_hdr_decodef"):
+        fn = getattr(lib, fn_name, None)
+        if fn is not None:
+            fn.restype = ctypes.c_int
+            fn.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+                ctypes.POINTER(ctypes.c_int),
+            ]
     # Publish _LIB BEFORE _SEARCHED: a concurrent load() that observes
     # _SEARCHED=True must never read _LIB while it is still None (that
     # window transiently demoted one request to the PIL tier).
@@ -336,6 +349,55 @@ def tga_decode(data: bytes) -> Optional[np.ndarray]:
     -> HWC u8.  TGA has no magic bytes, so this tier is only tried last
     (utils/image.py::_tga_plausible), mirroring stb's ordering."""
     return _decode_out_params("gip_tga_decode", data)
+
+
+def _decode_wide(fn_name: str, data: bytes,
+                 dtype: np.dtype) -> Optional[np.ndarray]:
+    """Out-param plumbing for the non-u8 decoders (u16 / f32 buffers)."""
+    lib = load()
+    if lib is None:
+        return None
+    fn = getattr(lib, fn_name, None)
+    if fn is None:  # stale build of the library
+        return None
+    buf = ctypes.c_void_p()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = fn(data, len(data), ctypes.byref(buf),
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c))
+    if rc != 0:
+        return None
+    itemsize = np.dtype(dtype).itemsize
+    try:
+        raw = ctypes.string_at(buf, h.value * w.value * c.value * itemsize)
+    finally:
+        lib.gip_free(buf)
+    return np.frombuffer(raw, dtype=dtype).reshape(
+        h.value, w.value, c.value)
+
+
+def png_decode16(data: bytes) -> Optional[np.ndarray]:
+    """PNG -> HWC uint16: the stbi_load_16_from_memory analog
+    (/root/reference/external/stb_image.h:445-449).  Depth-16 samples are
+    native (big-endian pairs -> host u16); 8-bit-and-below upscale
+    v -> v*257 after the usual gray range expansion / palette lookup
+    (stb's stbi__convert_8_to_16)."""
+    return _decode_wide("gip_png_decode16", data, np.uint16)
+
+
+def psd_decode16(data: bytes) -> Optional[np.ndarray]:
+    """PSD -> HWC uint16 (stbi_load_16 analog): 16-bit planes native,
+    8-bit planes upscaled v*257."""
+    return _decode_wide("gip_psd_decode16", data, np.uint16)
+
+
+def hdr_decodef(data: bytes) -> Optional[np.ndarray]:
+    """Radiance HDR -> HWC float32 linear RGB: the stbi_loadf_from_memory
+    analog (/root/reference/external/stb_image.h:458-463).  Per-channel
+    m * 2^(e-136) RGBE math, NO tone map (the u8 tier applies stb's
+    gamma-2.2 LDR reduction; this keeps the radiance values)."""
+    return _decode_wide("gip_hdr_decodef", data, np.float32)
 
 
 def hdr_write(path: str, img: np.ndarray) -> bool:

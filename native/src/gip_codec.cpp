@@ -330,8 +330,15 @@ static const int kAdam7Y0[7] = {0, 0, 4, 0, 2, 0, 1};
 static const int kAdam7DX[7] = {8, 8, 4, 4, 2, 2, 1};
 static const int kAdam7DY[7] = {8, 8, 8, 4, 4, 2, 2};
 
+// Exactly one of out_buf (8-bit) / out_buf16 (16-bit) is non-null.
+// 16-bit output follows stbi_load_16_from_memory semantics
+// (/root/reference/external/stb_image.h:445-449): depth-16 samples pass
+// through natively (big-endian pairs), everything 8-bit-or-below is
+// upscaled v -> v*257 ((v<<8)|v, stb's stbi__convert_8_to_16) AFTER the
+// usual sub-8 gray range expansion / palette lookup.
 static int png_decode_impl(const uint8_t* png, size_t len,
-                           uint8_t** out_buf, int* out_h, int* out_w,
+                           uint8_t** out_buf, uint16_t** out_buf16,
+                           int* out_h, int* out_w,
                            int* out_c) {
   static const uint8_t sig[8] = {137, 80, 78, 71, 13, 10, 26, 10};
   if (!png || len < 45 || std::memcmp(png, sig, 8) != 0) return 1;
@@ -457,8 +464,21 @@ static int png_decode_impl(const uint8_t* png, size_t len,
   const int out_channels =
       color == 3 ? (have_trns ? 4 : 3) : samples;
   const size_t out_stride = (size_t)w * out_channels;
-  uint8_t* img = (uint8_t*)std::malloc(out_stride * (size_t)h);
-  if (!img) return 6;
+  const bool want16 = out_buf16 != nullptr;
+  uint8_t* img = nullptr;
+  uint16_t* img16 = nullptr;
+  if (want16) {
+    img16 = (uint16_t*)std::malloc(out_stride * (size_t)h * 2);
+    if (!img16) return 6;
+  } else {
+    img = (uint8_t*)std::malloc(out_stride * (size_t)h);
+    if (!img) return 6;
+  }
+  auto fail = [&](int rc) {
+    std::free(img);
+    std::free(img16);
+    return rc;
+  };
 
   // Sub-8-bit gray scale factors (1->255, 2->85, 4->17); palette indices
   // pass through unscaled (stb_image.h depth_scale_table semantics).
@@ -469,30 +489,31 @@ static int png_decode_impl(const uint8_t* png, size_t len,
     if (!pw[p] || !ph[p]) continue;
     uint8_t* pass = raw.data() + poff[p];
     int rc = png_unfilter(pass, (size_t)ph[p], pstride[p], fbpp);
-    if (rc) {
-      std::free(img);
-      return rc;
-    }
+    if (rc) return fail(rc);
     const int x0 = interlace ? kAdam7X0[p] : 0;
     const int y0 = interlace ? kAdam7Y0[p] : 0;
     const int dx = interlace ? kAdam7DX[p] : 1;
     const int dy = interlace ? kAdam7DY[p] : 1;
     for (int ry = 0; ry < ph[p]; ++ry) {
       const uint8_t* src = pass + (pstride[p] + 1) * ry + 1;
-      uint8_t* dst_row = img + out_stride * ((size_t)y0 + (size_t)ry * dy);
-      if (depth == 8 && color != 3 && dx == 1) {
+      const size_t row_off = out_stride * ((size_t)y0 + (size_t)ry * dy);
+      if (!want16 && depth == 8 && color != 3 && dx == 1) {
         // Hot serving path (8-bit non-palette rows with unit step --
         // every non-interlaced image plus Adam7's final pass): straight
         // row copy instead of the per-pixel assembly loop.
-        std::memcpy(dst_row + (size_t)x0 * out_channels, src,
+        std::memcpy(img + row_off + (size_t)x0 * out_channels, src,
                     (size_t)pw[p] * samples);
         continue;
       }
       for (int rx = 0; rx < pw[p]; ++rx) {
-        uint8_t px[4];
+        // 16-bit-capable pixel assembly: px holds NATIVE-range samples
+        // (0..65535 at depth 16, 0..255 otherwise).
+        int px[4];
         if (depth == 16) {
-          for (int s = 0; s < samples; ++s)
-            px[s] = src[((size_t)rx * samples + s) * 2];  // high byte
+          for (int s = 0; s < samples; ++s) {
+            const uint8_t* sp = src + ((size_t)rx * samples + s) * 2;
+            px[s] = want16 ? ((sp[0] << 8) | sp[1]) : sp[0];  // BE / hi byte
+          }
         } else if (depth == 8) {
           for (int s = 0; s < samples; ++s)
             px[s] = src[(size_t)rx * samples + s];
@@ -500,26 +521,40 @@ static int png_decode_impl(const uint8_t* png, size_t len,
           size_t bit = (size_t)rx * depth;
           int v = (src[bit >> 3] >> (8 - depth - (bit & 7))) &
                   ((1 << depth) - 1);
-          px[0] = (uint8_t)(v * gray_scale);
+          px[0] = v * gray_scale;
         }
-        uint8_t* dst = dst_row + (size_t)(x0 + rx * dx) * out_channels;
+        const size_t dst_off = row_off + (size_t)(x0 + rx * dx) * out_channels;
         if (color == 3) {
           int idx = px[0];
-          if (idx >= pal_count) {
-            std::free(img);
-            return 1;  // index past PLTE: malformed
+          if (idx >= pal_count) return fail(1);  // index past PLTE
+          if (want16) {
+            uint16_t* dst = img16 + dst_off;
+            dst[0] = (uint16_t)(palette[idx][0] * 257);
+            dst[1] = (uint16_t)(palette[idx][1] * 257);
+            dst[2] = (uint16_t)(palette[idx][2] * 257);
+            if (have_trns) dst[3] = (uint16_t)(pal_alpha[idx] * 257);
+          } else {
+            uint8_t* dst = img + dst_off;
+            dst[0] = palette[idx][0];
+            dst[1] = palette[idx][1];
+            dst[2] = palette[idx][2];
+            if (have_trns) dst[3] = pal_alpha[idx];
           }
-          dst[0] = palette[idx][0];
-          dst[1] = palette[idx][1];
-          dst[2] = palette[idx][2];
-          if (have_trns) dst[3] = pal_alpha[idx];
+        } else if (want16) {
+          uint16_t* dst = img16 + dst_off;
+          for (int s = 0; s < samples; ++s)
+            dst[s] = (uint16_t)(depth == 16 ? px[s] : px[s] * 257);
         } else {
-          for (int s = 0; s < samples; ++s) dst[s] = px[s];
+          uint8_t* dst = img + dst_off;
+          for (int s = 0; s < samples; ++s) dst[s] = (uint8_t)px[s];
         }
       }
     }
   }
-  *out_buf = img;
+  if (want16)
+    *out_buf16 = img16;
+  else
+    *out_buf = img;
   *out_h = h;
   *out_w = w;
   *out_c = out_channels;
@@ -531,7 +566,20 @@ int gip_png_decode(const uint8_t* png, size_t len,
                    uint8_t** out_buf, int* out_h, int* out_w, int* out_c) {
   // C ABI boundary: never let an exception unwind into the ctypes caller.
   try {
-    return png_decode_impl(png, len, out_buf, out_h, out_w, out_c);
+    return png_decode_impl(png, len, out_buf, nullptr, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+// stbi_load_16_from_memory analog (stb_image.h:445-449): HWC uint16
+// (host-endian), depth-16 samples native, 8-bit-or-below upscaled v*257.
+// Free with gip_free.
+int gip_png_decode16(const uint8_t* png, size_t len,
+                     uint16_t** out_buf, int* out_h, int* out_w,
+                     int* out_c) {
+  try {
+    return png_decode_impl(png, len, nullptr, out_buf, out_h, out_w, out_c);
   } catch (...) {
     return 9;
   }

@@ -75,16 +75,22 @@ struct Reader {
 
 uint8_t* alloc_out(size_t bytes) { return (uint8_t*)std::malloc(bytes); }
 
-int finish(std::vector<uint8_t>& img, int h, int w, int c, uint8_t** out_buf,
-           int* out_h, int* out_w, int* out_c) {
-  uint8_t* buf = alloc_out(img.size());
+template <typename T>
+int finish_any(std::vector<T>& img, int h, int w, int c, T** out_buf,
+               int* out_h, int* out_w, int* out_c) {
+  T* buf = (T*)std::malloc(img.size() * sizeof(T));
   if (!buf) return 6;
-  std::memcpy(buf, img.data(), img.size());
+  std::memcpy(buf, img.data(), img.size() * sizeof(T));
   *out_buf = buf;
   *out_h = h;
   *out_w = w;
   *out_c = c;
   return 0;
+}
+
+int finish(std::vector<uint8_t>& img, int h, int w, int c, uint8_t** out_buf,
+           int* out_h, int* out_w, int* out_c) {
+  return finish_any(img, h, w, c, out_buf, out_h, out_w, out_c);
 }
 
 // ---------------------------------------------------------------------------
@@ -723,8 +729,13 @@ bool packbits(Reader& r, uint8_t* out, size_t out_n) {
   return true;
 }
 
-int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
-                    int* out_h, int* out_w, int* out_c) {
+// Exactly one of out_buf (8-bit) / out_buf16 (16-bit) is non-null.  The
+// 16-bit path is the stbi_load_16 analog (stb_image.h:445-449): depth-16
+// planes pass through natively (big-endian pairs), 8-bit planes upscale
+// v -> v*257; the 8-bit path keeps stb's 16->8 high-byte reduction.
+int psd_decode_core(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    uint16_t** out_buf16, int* out_h, int* out_w,
+                    int* out_c) {
   Reader r{buf, len};
   if (len < 26 + 4 * 3 + 2 || std::memcmp(buf, "8BPS", 4)) return 1;
   r.pos = 4;
@@ -753,10 +764,12 @@ int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
   const int c = (int)channels > base ? base + 1 : base;
   const int keep = c;  // planes we keep; extra channels are skipped
 
+  const bool want16 = out_buf16 != nullptr;
   const size_t wh = (size_t)width * height;
   const size_t plane_bytes = wh * (depth / 8);
   std::vector<uint8_t> plane(plane_bytes);
-  std::vector<uint8_t> img(wh * keep);
+  std::vector<uint8_t> img(want16 ? 0 : wh * keep);
+  std::vector<uint16_t> img16(want16 ? wh * keep : 0);
 
   if (compression == 1) {
     // Row-length table: height * channels big-endian u16s.  The PackBits
@@ -779,14 +792,31 @@ int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
       }
     }
     if ((int)ch >= keep) continue;  // parsed (stream position advanced), unused
-    if (depth == 8) {
+    if (want16) {
+      if (depth == 8) {
+        for (size_t i = 0; i < wh; ++i)
+          img16[i * keep + ch] = (uint16_t)(plane[i] * 257);
+      } else {
+        for (size_t i = 0; i < wh; ++i)
+          img16[i * keep + ch] =
+              (uint16_t)((plane[i * 2] << 8) | plane[i * 2 + 1]);
+      }
+    } else if (depth == 8) {
       for (size_t i = 0; i < wh; ++i) img[i * keep + ch] = plane[i];
     } else {
       for (size_t i = 0; i < wh; ++i) img[i * keep + ch] = plane[i * 2];
     }
   }
+  if (want16)
+    return finish_any(img16, (int)height, (int)width, keep, out_buf16,
+                      out_h, out_w, out_c);
   return finish(img, (int)height, (int)width, keep, out_buf, out_h, out_w,
                 out_c);
+}
+
+int psd_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    int* out_h, int* out_w, int* out_c) {
+  return psd_decode_core(buf, len, out_buf, nullptr, out_h, out_w, out_c);
 }
 
 // ---------------------------------------------------------------------------
@@ -816,8 +846,18 @@ uint8_t rgbe_to_u8(uint8_t m, int e) {
   return (uint8_t)z;
 }
 
-int hdr_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
-                    int* out_h, int* out_w, int* out_c) {
+// Linear float from one RGBE channel -- stbi__hdr_convert's math
+// (stb_image.h:7470-7486): m * 2^(e-128-8), 0 when the exponent is 0.
+float rgbe_to_f(uint8_t m, int e) {
+  if (e == 0) return 0.0f;
+  return (float)m * std::ldexp(1.0f, e - 136);
+}
+
+// Exactly one of out_buf (LDR uint8, stb's default tone map) /
+// out_buff (linear float RGB, the stbi_loadf analog) is non-null.
+int hdr_decode_core(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    float** out_buff, int* out_h, int* out_w,
+                    int* out_c) {
   Reader r{buf, len};
   char line[256];
   if (!hdr_line(r, line, sizeof line)) return 1;
@@ -843,7 +883,9 @@ int hdr_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
   if (hh <= 0 || ww <= 0 || (uint64_t)ww * hh > kGipMaxDecodePixels) return 8;
   const int w = (int)ww, h = (int)hh;
 
-  std::vector<uint8_t> img((size_t)w * h * 3);
+  const bool wantf = out_buff != nullptr;
+  std::vector<uint8_t> img(wantf ? 0 : (size_t)w * h * 3);
+  std::vector<float> imgf(wantf ? (size_t)w * h * 3 : 0);
   std::vector<uint8_t> scan((size_t)w * 4);
 
   // Old-format run state persists ACROSS scanlines (the stream is one
@@ -908,15 +950,31 @@ int hdr_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
         }
       }
     }
-    uint8_t* dst = img.data() + (size_t)y * w * 3;
-    for (int x = 0; x < w; ++x) {
-      int e = scan[(size_t)x * 4 + 3];
-      dst[x * 3] = rgbe_to_u8(scan[(size_t)x * 4], e);
-      dst[x * 3 + 1] = rgbe_to_u8(scan[(size_t)x * 4 + 1], e);
-      dst[x * 3 + 2] = rgbe_to_u8(scan[(size_t)x * 4 + 2], e);
+    if (wantf) {
+      float* dst = imgf.data() + (size_t)y * w * 3;
+      for (int x = 0; x < w; ++x) {
+        int e = scan[(size_t)x * 4 + 3];
+        dst[x * 3] = rgbe_to_f(scan[(size_t)x * 4], e);
+        dst[x * 3 + 1] = rgbe_to_f(scan[(size_t)x * 4 + 1], e);
+        dst[x * 3 + 2] = rgbe_to_f(scan[(size_t)x * 4 + 2], e);
+      }
+    } else {
+      uint8_t* dst = img.data() + (size_t)y * w * 3;
+      for (int x = 0; x < w; ++x) {
+        int e = scan[(size_t)x * 4 + 3];
+        dst[x * 3] = rgbe_to_u8(scan[(size_t)x * 4], e);
+        dst[x * 3 + 1] = rgbe_to_u8(scan[(size_t)x * 4 + 1], e);
+        dst[x * 3 + 2] = rgbe_to_u8(scan[(size_t)x * 4 + 2], e);
+      }
     }
   }
+  if (wantf) return finish_any(imgf, h, w, 3, out_buff, out_h, out_w, out_c);
   return finish(img, h, w, 3, out_buf, out_h, out_w, out_c);
+}
+
+int hdr_decode_impl(const uint8_t* buf, size_t len, uint8_t** out_buf,
+                    int* out_h, int* out_w, int* out_c) {
+  return hdr_decode_core(buf, len, out_buf, nullptr, out_h, out_w, out_c);
 }
 
 // ---------------------------------------------------------------------------
@@ -1370,6 +1428,30 @@ int gip_hdr_decode(const uint8_t* buf, size_t len, uint8_t** out_buf,
                    int* out_h, int* out_w, int* out_c) {
   try {
     return hdr_decode_impl(buf, len, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+// stbi_loadf_from_memory analog (stb_image.h:458-463) for Radiance HDR:
+// linear float RGB (m * 2^(e-136) per channel, no tone map).  Free with
+// gip_free.
+int gip_hdr_decodef(const uint8_t* buf, size_t len, float** out_buf,
+                    int* out_h, int* out_w, int* out_c) {
+  try {
+    return hdr_decode_core(buf, len, nullptr, out_buf, out_h, out_w, out_c);
+  } catch (...) {
+    return 9;
+  }
+}
+
+// stbi_load_16_from_memory analog (stb_image.h:445-449) for PSD: HWC
+// uint16 (host-endian), depth-16 planes native, 8-bit planes upscaled
+// v*257.  Free with gip_free.
+int gip_psd_decode16(const uint8_t* buf, size_t len, uint16_t** out_buf,
+                     int* out_h, int* out_w, int* out_c) {
+  try {
+    return psd_decode_core(buf, len, nullptr, out_buf, out_h, out_w, out_c);
   } catch (...) {
     return 9;
   }

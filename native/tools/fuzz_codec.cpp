@@ -40,6 +40,9 @@ int gip_pic_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_pnm_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_tga_decode(const uint8_t*, size_t, uint8_t**, int*, int*, int*);
 int gip_hdr_write(const char*, const uint8_t*, int, int, int);
+int gip_png_decode16(const uint8_t*, size_t, uint16_t**, int*, int*, int*);
+int gip_psd_decode16(const uint8_t*, size_t, uint16_t**, int*, int*, int*);
+int gip_hdr_decodef(const uint8_t*, size_t, float**, int*, int*, int*);
 }
 
 namespace {
@@ -227,6 +230,36 @@ void run_decoders(const std::vector<uint8_t>& d) {
     }
     gip_free(out);
     gip_free(delays);
+  }
+  // Wide-output decoders (stbi_load_16 / stbi_loadf analogs): same
+  // hostile streams, different output element widths -- the 16-bit PNG
+  // sample assembly and the float RGBE conversion are distinct code
+  // paths from their u8 siblings.
+  {
+    uint16_t* out16 = nullptr;
+    if (gip_png_decode16(d.data(), d.size(), &out16, &h, &w, &c) == 0) {
+      if (h <= 0 || w <= 0 || c < 1 || c > 4) {
+        std::fprintf(stderr, "png_decode16 bad dims %dx%dx%d\n", h, w, c);
+        std::abort();
+      }
+      gip_free(out16);
+    }
+    out16 = nullptr;
+    if (gip_psd_decode16(d.data(), d.size(), &out16, &h, &w, &c) == 0) {
+      if (h <= 0 || w <= 0 || c < 1 || c > 4) {
+        std::fprintf(stderr, "psd_decode16 bad dims %dx%dx%d\n", h, w, c);
+        std::abort();
+      }
+      gip_free(out16);
+    }
+    float* outf = nullptr;
+    if (gip_hdr_decodef(d.data(), d.size(), &outf, &h, &w, &c) == 0) {
+      if (h <= 0 || w <= 0 || c != 3) {
+        std::fprintf(stderr, "hdr_decodef bad dims %dx%dx%d\n", h, w, c);
+        std::abort();
+      }
+      gip_free(outf);
+    }
   }
   // base64: caller contract is an output buffer sized (n/4 + 1) * 3
   // (utils/native_codec.py::b64_decode) -- fuzz against exactly that.

@@ -220,6 +220,16 @@ def main() -> int:
                         help="decode an animated GIF and filter EVERY frame "
                              "(stbi_load_gif_from_memory analog); outputs "
                              "OUT_f000.png, OUT_f001.png, ...")
+    parser.add_argument("--load", choices=["ldr", "16", "float"],
+                        default="ldr",
+                        help="decode tier: 'ldr' = 8-bit (default); "
+                             "'16' = stbi_load_16 analog (PNG/PSD decode "
+                             "their native 16-bit samples, others upscale "
+                             "v*257; reports the u16 range, filters the "
+                             "high byte); 'float' = stbi_loadf analog "
+                             "(Radiance HDR decodes to LINEAR floats, LDR "
+                             "converts (v/255)^2.2; reports the radiance "
+                             "range, filters the stb tone-mapped LDR)")
     args = parser.parse_args()
 
     # Same CLI-side validation as test_real_image.cu:77-85.
@@ -235,7 +245,34 @@ def main() -> int:
     if args.frames:
         return run_frames(args)
 
-    img = load_image(args.input)
+    if args.load != "ldr":
+        from gpu_image_processing_tpu.utils.image import (decode_file_16,
+                                                          decode_file_float)
+
+        with open(args.input, "rb") as f:
+            raw = f.read()
+        if args.load == "16":
+            wide = decode_file_16(raw)
+            print(f"Loaded {args.input} as uint16: range "
+                  f"[{int(wide.min())}, {int(wide.max())}] "
+                  f"({wide.shape[2]} channel(s))")
+            # stb's 16->8 reduction (v >> 8) feeds the u8 filter path.
+            img = (wide >> 8).astype(np.uint8)
+        else:
+            wide = decode_file_float(raw)
+            print(f"Loaded {args.input} as linear float32: range "
+                  f"[{wide.min():.4g}, {wide.max():.4g}] "
+                  f"({wide.shape[2]} channel(s))")
+            # stb's hdr_to_ldr default tone map (gamma 2.2, scale 1).
+            ldr = np.power(np.clip(wide, 0.0, None),
+                           np.float32(1 / 2.2)) * 255.0 + 0.5
+            img = np.clip(ldr, 0, 255).astype(np.uint8)
+        if img.shape[2] == 4:
+            img = np.ascontiguousarray(img[:, :, :3])
+        elif img.shape[2] == 2:
+            img = np.ascontiguousarray(img[:, :, :1])
+    else:
+        img = load_image(args.input)
     h, w, c = img.shape
     print(f"Loaded {args.input}: {w}x{h}, {c} channel(s)")
 

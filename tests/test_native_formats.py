@@ -1287,3 +1287,158 @@ def test_png_malformed_variants_rejected(rng):
     data = bytearray(_png_bytes(rgb, 8, 2))
     data[24] = 4  # depth 4 with color 2: illegal per spec table 11.1
     assert native_codec.png_decode(bytes(data)) is None
+
+
+# ---------------------------------------------------------------------------
+# Wide-output loaders: stbi_load_16 / stbi_loadf analogs (round 5; closes
+# the last vendored-stb API delta, stb_image.h:445-463)
+# ---------------------------------------------------------------------------
+
+
+@needs_native
+def test_png16_gray_native_matches_pil(rng):
+    """16-bit gray PNG: native u16 samples cross-validated against PIL's
+    I;16 read of the same bytes."""
+    a = rng.integers(0, 65536, (13, 11), np.uint16)
+    png = _png_bytes(a[..., None].astype(np.int64), 16, 0)
+    out = native_codec.png_decode16(png)
+    assert out is not None and out.dtype == np.uint16
+    assert out.shape == (13, 11, 1)
+    pil = np.array(Image.open(io.BytesIO(png))).astype(np.uint16)
+    np.testing.assert_array_equal(out[:, :, 0], pil)
+
+
+@needs_native
+def test_png16_rgb_and_rgba_native_samples(rng):
+    for color, c in ((2, 3), (6, 4)):
+        a = rng.integers(0, 65536, (7, 5, c))
+        out = native_codec.png_decode16(_png_bytes(a, 16, color))
+        np.testing.assert_array_equal(out, a.astype(np.uint16))
+
+
+@needs_native
+def test_png16_adam7_native_samples(rng):
+    a = rng.integers(0, 65536, (13, 17, 3))
+    out = native_codec.png_decode16(_png_bytes(a, 16, 2, interlace=1))
+    np.testing.assert_array_equal(out, a.astype(np.uint16))
+
+
+@needs_native
+def test_png16_of_8bit_sources_upscales_v257(rng):
+    """8-bit and sub-8-bit PNGs upscale v -> v*257 (stb's
+    stbi__convert_8_to_16), AFTER gray range expansion / palette lookup."""
+    rgb = rng.integers(0, 256, (9, 6, 3))
+    out = native_codec.png_decode16(_png_bytes(rgb, 8, 2))
+    np.testing.assert_array_equal(out, rgb.astype(np.uint16) * 257)
+    # 2-bit gray: 0..3 expands to 0/85/170/255 then *257.
+    g2 = rng.integers(0, 4, (8, 8))
+    out = native_codec.png_decode16(_png_bytes(g2, 2, 0))
+    np.testing.assert_array_equal(
+        out[:, :, 0], (g2 * 85).astype(np.uint16) * 257)
+    # Palette (+tRNS alpha): entries are 8-bit -> *257.
+    pal = rng.integers(0, 256, (4, 3)).astype(np.uint8)
+    idx = rng.integers(0, 4, (6, 7))
+    trns = bytes([255, 128, 0, 7])
+    out = native_codec.png_decode16(
+        _png_bytes(idx, 8, 3, palette=pal, trns=trns))
+    assert out.shape == (6, 7, 4)
+    np.testing.assert_array_equal(
+        out[:, :, :3], pal[idx].astype(np.uint16) * 257)
+    np.testing.assert_array_equal(
+        out[:, :, 3],
+        np.frombuffer(trns, np.uint8)[idx].astype(np.uint16) * 257)
+
+
+@needs_native
+def test_png16_high_byte_consistency_with_u8_tier(rng):
+    """The u8 tier's 16->8 reduction is the high byte; decode16 >> 8 must
+    reproduce it exactly on the same bytes."""
+    a = rng.integers(0, 65536, (11, 9, 3))
+    png = _png_bytes(a, 16, 2)
+    wide = native_codec.png_decode16(png)
+    narrow = native_codec.png_decode(png)
+    np.testing.assert_array_equal((wide >> 8).astype(np.uint8), narrow)
+
+
+@needs_native
+def test_psd16_native_and_8bit_upscale(rng):
+    """PSD depth-16 planes decode natively; depth-8 planes upscale v*257.
+    (_psd_bytes writes u8 input as v*257 16-bit samples, so both paths
+    must agree with arr*257.)"""
+    arr = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    for depth in (8, 16):
+        out = native_codec.psd_decode16(_psd_bytes(arr, depth=depth))
+        assert out is not None and out.dtype == np.uint16
+        np.testing.assert_array_equal(out, arr.astype(np.uint16) * 257)
+    # 16-bit high-byte consistency with the u8 tier.
+    wide = native_codec.psd_decode16(_psd_bytes(arr, depth=16))
+    narrow = native_codec.psd_decode(_psd_bytes(arr, depth=16))
+    np.testing.assert_array_equal((wide >> 8).astype(np.uint8), narrow)
+
+
+@needs_native
+def test_hdr_decodef_matches_numpy_rgbe_math(rng):
+    """Linear float output cross-validated against independent numpy RGBE
+    math: m * 2^(e-136), exact zero when e == 0."""
+    # Width >= 8: the new-RLE scanline form is only legal for widths in
+    # [8, 32767] (the decoder correctly refuses it below that).
+    rgbe = _safe_rgbe(rng, 5, 16)
+    rgbe[:, :, 3] = rng.integers(100, 145, (5, 16))
+    rgbe[0, 0, 3] = 0  # exponent 0 -> exact 0.0
+    for new_rle in (False, True):
+        f = native_codec.hdr_decodef(_hdr_bytes(rgbe, new_rle=new_rle))
+        assert f is not None and f.dtype == np.float32
+        m = rgbe[:, :, :3].astype(np.float64)
+        e = rgbe[:, :, 3:4].astype(np.int64)
+        expect = np.where(e == 0, 0.0, m * np.exp2(e - 136.0))
+        np.testing.assert_allclose(f, expect, rtol=1e-6)
+    assert f[0, 0, 0] == 0.0
+
+
+@needs_native
+def test_hdr_float_tone_map_consistency(rng):
+    """The u8 tier is exactly the float tier through stb's default tone
+    map (clamp(pow(v, 1/2.2)*255 + 0.5))."""
+    rgbe = _safe_rgbe(rng, 4, 6)
+    rgbe[:, :, 3] = rng.integers(120, 140, (4, 6))
+    data = _hdr_bytes(rgbe)
+    f = native_codec.hdr_decodef(data).astype(np.float64)
+    u8 = native_codec.hdr_decode(data)
+    z = np.power(np.maximum(f, 0.0), 1 / 2.2) * 255.0 + 0.5
+    expect = np.clip(np.nan_to_num(z), 0, 255).astype(np.uint8)
+    np.testing.assert_array_equal(u8, expect)
+
+
+@needs_native
+def test_decode_file_16_generic(rng):
+    """The format-generic stbi_load_16 analog: PNG/PSD native, everything
+    else through the u8 tier * 257."""
+    a = rng.integers(0, 65536, (6, 5, 3))
+    assert np.array_equal(
+        image_utils.decode_file_16(_png_bytes(a, 16, 2)),
+        a.astype(np.uint16))
+    arr8 = rng.integers(0, 256, (6, 5, 3)).astype(np.uint8)
+    assert np.array_equal(
+        image_utils.decode_file_16(_psd_bytes(arr8, depth=16)),
+        arr8.astype(np.uint16) * 257)
+    # A format with no native-16 path (GIF): u8 decode * 257.
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    idx = rng.integers(0, 4, (4, 4)).astype(np.uint8)
+    wide = image_utils.decode_file_16(_gif_bytes(idx, pal))
+    assert wide.dtype == np.uint16
+    np.testing.assert_array_equal(wide, pal[idx].astype(np.uint16) * 257)
+
+
+@needs_native
+def test_decode_file_float_generic(rng):
+    """The format-generic stbi_loadf analog: HDR native linear floats,
+    LDR formats through (v/255)^2.2 (stb ldr_to_hdr, gamma 2.2 scale 1)."""
+    rgbe = _safe_rgbe(rng, 4, 4)
+    rgbe[:, :, 3] = 130
+    f = image_utils.decode_file_float(_hdr_bytes(rgbe))
+    assert f.dtype == np.float32 and f.max() > 1.0  # radiance, not LDR
+    arr8 = rng.integers(0, 256, (5, 6, 3)).astype(np.uint8)
+    f = image_utils.decode_file_float(_png_bytes(arr8, 8, 2))
+    np.testing.assert_allclose(
+        f, (arr8.astype(np.float32) / 255.0) ** np.float32(2.2), rtol=1e-6)
