@@ -13,13 +13,14 @@ Arms (interleaved within each round; only within-round ratios count on
 this 2.7x-drift multi-tenant chip; CLAUDE.md measurement discipline):
 
   planar (bench gaussian L2 configuration, r=3):
-    A  gaussian_pallas(hwc)                 -- in-transpose + pad + kernel
-                                              + out-transpose (current)
-    B  kernel(host-prepadded) + out-transpose
-    B2 kernel(host-prepadded), planar out   -- decomposition probe only
+    A        gaussian_pallas(hwc)        -- in-transpose + pad + kernel
+                                            + out-transpose (current)
+    B        kernel(host-prepadded) + DUS-chain (loop-carry write; an
+             UPPER bound on the kernel-only program)
+    DUS-only the chaining write alone (decomposition)
   rows (serving configuration):
     A  gaussian_pallas_rows(rows)           -- pad + kernel (current)
-    B  gaussian_pallas_rows(prepadded)      -- kernel only
+    B  prepadded kernel + DUS-chain
 
 Bit-exactness is gated ON DEVICE before timing (compare on device, fetch
 the scalar -- bulk D2H through the relay is ~0.1-0.2 MB/s).
@@ -83,6 +84,11 @@ def main() -> int:
     x_rpp = jax.device_put(jnp.asarray(xr_np), dev)
     w = jax.device_put(jnp.asarray(w_np), dev)
 
+    from gpu_image_processing_tpu.ops.pallas.blur import _blur_plan
+
+    land_p = _blur_plan(H, W, C, RADIUS, False, interleaved=False)[0]
+    land_r = _blur_plan(H, W * C, C, RADIUS, False, interleaved=True)[0]
+
     f_a = jax.jit(lambda x, wt: gaussian_pallas(x, wt, RADIUS))
 
     def _prepad_body(xq, wt):
@@ -91,11 +97,31 @@ def main() -> int:
         return jnp.transpose(out, (1, 2, 0))
 
     f_b = jax.jit(_prepad_body)
-    f_b2 = jax.jit(lambda xq, wt: _separable_blur_planar(
-        xq, wt, RADIUS, box_mode=False, host_prepadded=(H, W)))
     f_ra = jax.jit(lambda x, wt: gaussian_pallas_rows(x, wt, RADIUS, C))
     f_rb = jax.jit(lambda x, wt: gaussian_pallas_rows(
         x, wt, RADIUS, C, host_prepadded=(H, W * C)))
+
+    # Loop-chained (shape-preserving) variants for device_time_ms: the
+    # prepad arms' output is written back into the padded carry with a
+    # dynamic_update_slice (in serving, that write is the next request's
+    # H2D, untimed) -- so the timed prepad loop body is kernel + one
+    # full-image DUS, an UPPER bound on the kernel-only program.  A
+    # DUS-only arm measures the chaining overhead for decomposition.
+    def _b_loop(xq, wt):
+        out = _separable_blur_planar(xq, wt, RADIUS, box_mode=False,
+                                     host_prepadded=(H, W))
+        return jax.lax.dynamic_update_slice(xq, out, (0, RADIUS, land_p))
+
+    def _dus_loop(xq, wt):
+        # XOR keeps the write non-elidable (add-zero would fold away).
+        body = jax.lax.dynamic_slice(xq, (0, RADIUS, land_p), (C, H, W))
+        return jax.lax.dynamic_update_slice(
+            xq, body ^ jnp.uint8(1), (0, RADIUS, land_p))
+
+    def _rb_loop(xr, wt):
+        out = gaussian_pallas_rows(xr, wt, RADIUS, C,
+                                   host_prepadded=(H, W * C))
+        return jax.lax.dynamic_update_slice(xr, out, (RADIUS, land_r))
 
     # Bit-exactness gates, compared on device.
     ref = f_a(x_hwc, w)
@@ -111,10 +137,10 @@ def main() -> int:
 
     arms = [
         ("planar A (current)", f_a, (x_hwc, w)),
-        ("planar B (prepad)", f_b, (x_pp, w)),
-        ("planar B2 (prepad, planar out)", f_b2, (x_pp, w)),
+        ("planar B (prepad+DUS)", _b_loop, (x_pp, w)),
+        ("planar DUS-only", _dus_loop, (x_pp, w)),
         ("rows A (current)", f_ra, (x_rows, w)),
-        ("rows B (prepad)", f_rb, (x_rpp, w)),
+        ("rows B (prepad+DUS)", _rb_loop, (x_rpp, w)),
     ]
     results = {name: [] for name, _, _ in arms}
     for r in range(rounds):
@@ -130,9 +156,9 @@ def main() -> int:
     print("\nmedians:")
     for k, v in med.items():
         print(f"  {k:34} {v:.4f} ms")
-    for pair in (("planar B (prepad)", "planar A (current)"),
-                 ("planar B2 (prepad, planar out)", "planar A (current)"),
-                 ("rows B (prepad)", "rows A (current)")):
+    for pair in (("planar B (prepad+DUS)", "planar A (current)"),
+                 ("planar DUS-only", "planar A (current)"),
+                 ("rows B (prepad+DUS)", "rows A (current)")):
         ratios = [b / a for b, a in zip(results[pair[0]], results[pair[1]])]
         print(f"  {pair[0]} / {pair[1]}: per-round "
               f"{['%.3f' % x for x in ratios]} median "
