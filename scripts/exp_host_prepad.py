@@ -42,6 +42,10 @@ RADIUS = 3
 SIGMA = 2.0
 ITERS = 64
 
+# CPU dry-run support (tiny shapes, interpret-mode kernels): catches
+# harness shape bugs without burning a TPU window.
+INTERP = os.environ.get("GIP_EXP_INTERPRET") == "1"
+
 
 def main() -> int:
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 5
@@ -89,17 +93,18 @@ def main() -> int:
     land_p = _blur_plan(H, W, C, RADIUS, False, interleaved=False)[0]
     land_r = _blur_plan(H, W * C, C, RADIUS, False, interleaved=True)[0]
 
-    f_a = jax.jit(lambda x, wt: gaussian_pallas(x, wt, RADIUS))
+    f_a = jax.jit(lambda x, wt: gaussian_pallas(x, wt, RADIUS, interpret=INTERP))
 
     def _prepad_body(xq, wt):
         out = _separable_blur_planar(xq, wt, RADIUS, box_mode=False,
+                                     interpret=INTERP,
                                      host_prepadded=(H, W))
         return jnp.transpose(out, (1, 2, 0))
 
     f_b = jax.jit(_prepad_body)
-    f_ra = jax.jit(lambda x, wt: gaussian_pallas_rows(x, wt, RADIUS, C))
+    f_ra = jax.jit(lambda x, wt: gaussian_pallas_rows(x, wt, RADIUS, C, interpret=INTERP))
     f_rb = jax.jit(lambda x, wt: gaussian_pallas_rows(
-        x, wt, RADIUS, C, host_prepadded=(H, W * C)))
+        x, wt, RADIUS, C, interpret=INTERP, host_prepadded=(H, W * C)))
 
     # Loop-chained (shape-preserving) variants for device_time_ms: the
     # prepad arms' output is written back into the padded carry with a
@@ -109,6 +114,7 @@ def main() -> int:
     # DUS-only arm measures the chaining overhead for decomposition.
     def _b_loop(xq, wt):
         out = _separable_blur_planar(xq, wt, RADIUS, box_mode=False,
+                                     interpret=INTERP,
                                      host_prepadded=(H, W))
         return jax.lax.dynamic_update_slice(xq, out, (0, RADIUS, land_p))
 
@@ -119,9 +125,29 @@ def main() -> int:
             xq, body ^ jnp.uint8(1), (0, RADIUS, land_p))
 
     def _rb_loop(xr, wt):
-        out = gaussian_pallas_rows(xr, wt, RADIUS, C,
+        out = gaussian_pallas_rows(xr, wt, RADIUS, C, interpret=INTERP,
                                    host_prepadded=(H, W * C))
         return jax.lax.dynamic_update_slice(xr, out, (RADIUS, land_r))
+
+    # Sobel serving tier (rows MXU, the tier where %pad.0 measured 24.6%
+    # of traced time -- benchmarks/sol_report.json): same A/B shape.
+    from gpu_image_processing_tpu.ops.pallas.sobel_mxu import (
+        host_prepad_rows_mxu,
+        sobel_mxu_rows,
+    )
+
+    xs_np = host_prepad_rows_mxu(rows_np, W, C)
+    x_spp = jax.device_put(jnp.asarray(xs_np), dev)
+    f_sa = jax.jit(lambda x, wt: sobel_mxu_rows(x, W, C, level=2, interpret=INTERP))
+    f_sb = jax.jit(lambda x, wt: sobel_mxu_rows(
+        x, W, C, level=2, interpret=INTERP, host_prepadded=(H, W * C)))
+
+    from gpu_image_processing_tpu.ops.pallas.blur import _LAND
+
+    def _sb_loop(xs, wt):
+        out = sobel_mxu_rows(xs, W, C, level=2, interpret=INTERP,
+                             host_prepadded=(H, W * C))
+        return jax.lax.dynamic_update_slice(xs, out, (1, _LAND))
 
     # Bit-exactness gates, compared on device.
     ref = f_a(x_hwc, w)
@@ -130,8 +156,11 @@ def main() -> int:
     ref_r = f_ra(x_rows, w)
     d2 = int(jnp.abs(ref_r.astype(jnp.int32)
                      - f_rb(x_rpp, w).astype(jnp.int32)).max())
-    print(f"gate: planar prepad maxdiff {d1}, rows prepad maxdiff {d2}")
-    if d1 or d2:
+    d3 = int(jnp.abs(f_sa(x_rows, w).astype(jnp.int32)
+                     - f_sb(x_spp, w).astype(jnp.int32)).max())
+    print(f"gate: planar prepad maxdiff {d1}, rows prepad maxdiff {d2}, "
+          f"sobel-mxu prepad maxdiff {d3}")
+    if d1 or d2 or d3:
         print("FAIL: prepad output differs")
         return 1
 
@@ -141,6 +170,8 @@ def main() -> int:
         ("planar DUS-only", _dus_loop, (x_pp, w)),
         ("rows A (current)", f_ra, (x_rows, w)),
         ("rows B (prepad+DUS)", _rb_loop, (x_rpp, w)),
+        ("sobel-mxu A (current)", f_sa, (x_rows, w)),
+        ("sobel-mxu B (prepad+DUS)", _sb_loop, (x_spp, w)),
     ]
     results = {name: [] for name, _, _ in arms}
     for r in range(rounds):
@@ -158,7 +189,8 @@ def main() -> int:
         print(f"  {k:34} {v:.4f} ms")
     for pair in (("planar B (prepad+DUS)", "planar A (current)"),
                  ("planar DUS-only", "planar A (current)"),
-                 ("rows B (prepad+DUS)", "rows A (current)")):
+                 ("rows B (prepad+DUS)", "rows A (current)"),
+                 ("sobel-mxu B (prepad+DUS)", "sobel-mxu A (current)")):
         ratios = [b / a for b, a in zip(results[pair[0]], results[pair[1]])]
         print(f"  {pair[0]} / {pair[1]}: per-round "
               f"{['%.3f' % x for x in ratios]} median "

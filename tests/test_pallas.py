@@ -461,3 +461,49 @@ def test_host_prepad_shape_validation(rng):
     with pytest.raises(ValueError, match="host_prepadded buffer"):
         gaussian_pallas_rows(jax.numpy.asarray(xr[:, :-1]), wts, 3, 3,
                              interpret=True, host_prepadded=(20, 72))
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_host_prepad_rows_bit_equal(rng, level):
+    from gpu_image_processing_tpu.ops.pallas.sobel import (
+        host_prepad_rows as sobel_prepad_rows, sobel_pallas_rows)
+
+    h, w_, c = 41, 47, 3
+    img = make_image(rng, h, w_, c)
+    rows = img.reshape(h, w_ * c)
+    ref = sobel_pallas_rows(jax.numpy.asarray(rows), w_, c, level=level,
+                            interpret=True)
+    xr = sobel_prepad_rows(rows)
+    out = sobel_pallas_rows(jax.numpy.asarray(xr), w_, c, level=level,
+                            interpret=True, host_prepadded=(h, w_ * c))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_mxu_host_prepad_rows_bit_equal(rng, level):
+    from gpu_image_processing_tpu.ops.pallas.sobel_mxu import (
+        host_prepad_rows_mxu, sobel_mxu_rows)
+
+    h, w_, c = 33, 40, 3
+    img = make_image(rng, h, w_, c)
+    rows = img.reshape(h, w_ * c)
+    ref = sobel_mxu_rows(jax.numpy.asarray(rows), w_, c, interpret=True,
+                         level=level)
+    xr = host_prepad_rows_mxu(rows, w_, c)
+    out = sobel_mxu_rows(jax.numpy.asarray(xr), w_, c, interpret=True,
+                         level=level, host_prepadded=(h, w_ * c))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("level", [1, 2])
+def test_sobel_host_prepad_planar_bit_equal(rng, level):
+    from gpu_image_processing_tpu.ops.pallas.sobel import (
+        host_prepad_planar as sobel_prepad_planar, sobel_pallas)
+
+    h, w_, c = 29, 37, 3
+    img = make_image(rng, h, w_, c)
+    ref = sobel_pallas(jax.numpy.asarray(img), level=level, interpret=True)
+    xp = sobel_prepad_planar(img)
+    out = sobel_pallas(jax.numpy.asarray(xp), level=level, interpret=True,
+                       host_prepadded=(h, w_, c))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
