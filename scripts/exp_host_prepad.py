@@ -112,22 +112,33 @@ def main() -> int:
     # H2D, untimed) -- so the timed prepad loop body is kernel + one
     # full-image DUS, an UPPER bound on the kernel-only program.  A
     # DUS-only arm measures the chaining overhead for decomposition.
+    # Chaining writes land at OFFSET 0: a destination at the image offset
+    # (row 3, lane land) is sublane-misaligned and the DUS becomes a full
+    # relayout (first run measured 0.92 ms for the 21 MB write -- 1.7x the
+    # whole current program).  At offset 0 the DUS is an aligned block
+    # copy.  Loop content goes garbage after iteration 1, which is fine
+    # for timing (bit-exactness is gated separately above); per-kind
+    # DUS-only arms let the chain cost be subtracted within each round.
     def _b_loop(xq, wt):
         out = _separable_blur_planar(xq, wt, RADIUS, box_mode=False,
                                      interpret=INTERP,
                                      host_prepadded=(H, W))
-        return jax.lax.dynamic_update_slice(xq, out, (0, RADIUS, land_p))
+        return jax.lax.dynamic_update_slice(xq, out, (0, 0, 0))
 
     def _dus_loop(xq, wt):
         # XOR keeps the write non-elidable (add-zero would fold away).
-        body = jax.lax.dynamic_slice(xq, (0, RADIUS, land_p), (C, H, W))
+        body = jax.lax.dynamic_slice(xq, (0, 0, 0), (C, H, W))
         return jax.lax.dynamic_update_slice(
-            xq, body ^ jnp.uint8(1), (0, RADIUS, land_p))
+            xq, body ^ jnp.uint8(1), (0, 0, 0))
 
     def _rb_loop(xr, wt):
         out = gaussian_pallas_rows(xr, wt, RADIUS, C, interpret=INTERP,
                                    host_prepadded=(H, W * C))
-        return jax.lax.dynamic_update_slice(xr, out, (RADIUS, land_r))
+        return jax.lax.dynamic_update_slice(xr, out, (0, 0))
+
+    def _rdus_loop(xr, wt):
+        body = jax.lax.dynamic_slice(xr, (0, 0), (H, W * C))
+        return jax.lax.dynamic_update_slice(xr, body ^ jnp.uint8(1), (0, 0))
 
     # Sobel serving tier (rows MXU, the tier where %pad.0 measured 24.6%
     # of traced time -- benchmarks/sol_report.json): same A/B shape.
@@ -147,7 +158,7 @@ def main() -> int:
     def _sb_loop(xs, wt):
         out = sobel_mxu_rows(xs, W, C, level=2, interpret=INTERP,
                              host_prepadded=(H, W * C))
-        return jax.lax.dynamic_update_slice(xs, out, (1, _LAND))
+        return jax.lax.dynamic_update_slice(xs, out, (0, 0))
 
     # Bit-exactness gates, compared on device.
     ref = f_a(x_hwc, w)
@@ -170,6 +181,7 @@ def main() -> int:
         ("planar DUS-only", _dus_loop, (x_pp, w)),
         ("rows A (current)", f_ra, (x_rows, w)),
         ("rows B (prepad+DUS)", _rb_loop, (x_rpp, w)),
+        ("rows DUS-only", _rdus_loop, (x_rpp, w)),
         ("sobel-mxu A (current)", f_sa, (x_rows, w)),
         ("sobel-mxu B (prepad+DUS)", _sb_loop, (x_spp, w)),
     ]
@@ -190,11 +202,23 @@ def main() -> int:
     for pair in (("planar B (prepad+DUS)", "planar A (current)"),
                  ("planar DUS-only", "planar A (current)"),
                  ("rows B (prepad+DUS)", "rows A (current)"),
+                 ("rows DUS-only", "rows A (current)"),
                  ("sobel-mxu B (prepad+DUS)", "sobel-mxu A (current)")):
         ratios = [b / a for b, a in zip(results[pair[0]], results[pair[1]])]
         print(f"  {pair[0]} / {pair[1]}: per-round "
               f"{['%.3f' % x for x in ratios]} median "
               f"{np.median(ratios):.3f}")
+    # DUS-subtracted kernel-only estimates, per round (same window).
+    for b_, d_, a_ in (("planar B (prepad+DUS)", "planar DUS-only",
+                        "planar A (current)"),
+                       ("rows B (prepad+DUS)", "rows DUS-only",
+                        "rows A (current)"),
+                       ("sobel-mxu B (prepad+DUS)", "rows DUS-only",
+                        "sobel-mxu A (current)")):
+        est = [(b - d) / a for b, d, a in
+               zip(results[b_], results[d_], results[a_])]
+        print(f"  ({b_} - {d_}) / {a_}: per-round "
+              f"{['%.3f' % x for x in est]} median {np.median(est):.3f}")
     return 0
 
 
