@@ -341,17 +341,51 @@ def gaussian_mxu_modeled_flops(height: int, dw: int, radius: int,
     return n * n_tiles * n_cols * (flops_h + flops_v)
 
 
+def host_prepad_mxu(x_np, radius: int, tap_stride: int,
+                    tile_rows: int | None = None,
+                    g_block: int | None = None):
+    """(N, H, DW) or (H, DW) uint8 numpy -> the fully padded buffer
+    `_gaussian_mxu(host_prepadded=...)` consumes, built on the host
+    (byte-identical to the in-program pads: constant-zero rows, then
+    edge-replicated lanes on the image rows).  Only the
+    radius <= tile_rows regime is supported (same constraint as the
+    blur.py host pads)."""
+    import numpy as _np
+
+    x = x_np if x_np.ndim == 3 else x_np[None]
+    n, height, dw = x.shape
+    (_halo, _gb, land, _cs, _n_cols, _w_t, arr_width, _n_g, tr,
+     _hp, _nt, _cr, total_rows) = _mxu_plan(height, dw, radius, tap_stride,
+                                            tile_rows=tile_rows,
+                                            g_block=g_block)
+    if radius > tr:
+        raise ValueError("host_prepad_mxu requires radius <= tile_rows")
+    out = _np.zeros((n, total_rows, arr_width), _np.uint8)
+    out[:, radius:radius + height, land:land + dw] = x
+    out[:, radius:radius + height, :land] = x[:, :, :1]
+    out[:, radius:radius + height, land + dw:] = x[:, :, -1:]
+    return out if x_np.ndim == 3 else out[0]
+
+
 def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
                   radius: int, tap_stride: int, interpret: bool,
                   tile_rows: int | None = None,
                   g_block: int | None = None,
                   passes: str = "both",
-                  box_scale: float | None = None) -> jnp.ndarray:
+                  box_scale: float | None = None,
+                  host_prepadded: tuple[int, int] | None = None,
+                  ) -> jnp.ndarray:
     """(N, H, W_data) uint8 -> same, MXU separable Gaussian.
 
     tap_stride=1: planar planes ride N.  tap_stride=C: interleaved rows.
+    host_prepadded=(H, DW): input is the fully padded (N, total_rows,
+    arr_width) buffer from `host_prepad_mxu`; no in-program pad ops.
     """
-    n, height, dw = planar_or_rows.shape
+    if host_prepadded is not None:
+        n = planar_or_rows.shape[0]
+        height, dw = host_prepadded
+    else:
+        n, height, dw = planar_or_rows.shape
     plan = _mxu_plan(height, dw, radius, tap_stride,
                      tile_rows=tile_rows, g_block=g_block)
     (halo, g_block, land, cs, n_cols, w_t, arr_width, n_g, tile_rows,
@@ -365,7 +399,20 @@ def _gaussian_mxu(planar_or_rows: jnp.ndarray, weights: jnp.ndarray,
         else ((), ()))
 
     row_fill = None
-    if radius <= tile_rows:
+    if host_prepadded is not None:
+        if radius > tile_rows:
+            raise ValueError("host_prepadded requires radius <= tile_rows")
+        if planar_or_rows.shape != (n, total_rows, arr_width):
+            raise ValueError(
+                f"host_prepadded buffer is {planar_or_rows.shape}, "
+                f"expected {(n, total_rows, arr_width)} -- rebuild with "
+                "host_prepad_mxu")
+        from .blur import _row_fill_sites
+
+        row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
+                                   copy_rows)
+        x = planar_or_rows
+    elif radius <= tile_rows:
         from .blur import _row_fill_sites
 
         row_fill = _row_fill_sites(height, radius, tile_rows, n_tiles,
@@ -459,11 +506,13 @@ def gaussian_mxu(img_hwc: jnp.ndarray, weights: jnp.ndarray, radius: int,
 def gaussian_mxu_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray,
                       radius: int, channels: int,
                       interpret: bool = False,
-                      passes: str = "both") -> jnp.ndarray:
+                      passes: str = "both",
+                      host_prepadded: tuple[int, int] | None = None,
+                      ) -> jnp.ndarray:
     """(H, W*C) interleaved u8 rows -> same (ADVANCED tier, serving)."""
     return _gaussian_mxu(rows_u8[None], weights, radius,
                          tap_stride=channels, interpret=interpret,
-                         passes=passes)[0]
+                         passes=passes, host_prepadded=host_prepadded)[0]
 
 
 def gaussian_mxu_rows_batch(rows_u8: jnp.ndarray, weights: jnp.ndarray,
@@ -502,12 +551,15 @@ def box_mxu(img_hwc: jnp.ndarray, radius: int,
 
 def box_mxu_rows(rows_u8: jnp.ndarray, radius: int, channels: int,
                  interpret: bool = False,
-                 passes: str = "both") -> jnp.ndarray:
+                 passes: str = "both",
+                 host_prepadded: tuple[int, int] | None = None,
+                 ) -> jnp.ndarray:
     """(H, W*C) interleaved u8 rows -> same (serving layout), bit-exact."""
     weights, scale = _box_operands(radius)
     return _gaussian_mxu(rows_u8[None], weights, radius,
                          tap_stride=channels, interpret=interpret,
-                         passes=passes, box_scale=scale)[0]
+                         passes=passes, box_scale=scale,
+                         host_prepadded=host_prepadded)[0]
 
 
 def box_mxu_rows_batch(rows_u8: jnp.ndarray, radius: int, channels: int,

@@ -507,3 +507,25 @@ def test_sobel_host_prepad_planar_bit_equal(rng, level):
     out = sobel_pallas(jax.numpy.asarray(xp), level=level, interpret=True,
                        host_prepadded=(h, w_, c))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("box", [False, True])
+def test_mxu_host_prepad_rows_bit_equal(rng, box):
+    from gpu_image_processing_tpu.ops.pallas.blur_mxu import (
+        box_mxu_rows, gaussian_mxu_rows, host_prepad_mxu)
+
+    h, w_, c, r = 35, 49, 3, 5
+    img = make_image(rng, h, w_, c)
+    rows = img.reshape(h, w_ * c)
+    xr = host_prepad_mxu(rows, r, c)
+    if box:
+        ref = box_mxu_rows(jax.numpy.asarray(rows), r, c, interpret=True)
+        out = box_mxu_rows(jax.numpy.asarray(xr), r, c, interpret=True,
+                           host_prepadded=(h, w_ * c))
+    else:
+        wts = jax.numpy.asarray(gaussian_kernel_f32(r, 2.0))
+        ref = gaussian_mxu_rows(jax.numpy.asarray(rows), wts, r, c,
+                                interpret=True)
+        out = gaussian_mxu_rows(jax.numpy.asarray(xr), wts, r, c,
+                                interpret=True, host_prepadded=(h, w_ * c))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
