@@ -112,33 +112,41 @@ def main() -> int:
     # H2D, untimed) -- so the timed prepad loop body is kernel + one
     # full-image DUS, an UPPER bound on the kernel-only program.  A
     # DUS-only arm measures the chaining overhead for decomposition.
-    # Chaining writes land at OFFSET 0: a destination at the image offset
-    # (row 3, lane land) is sublane-misaligned and the DUS becomes a full
-    # relayout (first run measured 0.92 ms for the 21 MB write -- 1.7x the
-    # whole current program).  At offset 0 the DUS is an aligned block
-    # copy.  Loop content goes garbage after iteration 1, which is fine
-    # for timing (bit-exactness is gated separately above); per-kind
-    # DUS-only arms let the chain cost be subtracted within each round.
+    # CORNER chaining: run 3 taught that any full-image chain write is a
+    # 0.33-0.92 ms relayout that swamps the effect.  A custom-call cannot
+    # be partially dead-code-eliminated, so writing just an 8x128 CORNER
+    # of the kernel output back into the carry forces the whole kernel to
+    # execute while the chain itself is a ~1 KB aligned write.  The
+    # corner-DUS-only arm confirms the chain cost is negligible.
+    def _corner(xq, out):
+        ch = min(8, out.shape[-2])
+        cw = min(128, out.shape[-1])
+        tile = jax.lax.slice(out, (0,) * out.ndim,
+                             (1,) * (out.ndim - 2) + (ch, cw))
+        return jax.lax.dynamic_update_slice(xq, tile, (0,) * xq.ndim)
+
     def _b_loop(xq, wt):
         out = _separable_blur_planar(xq, wt, RADIUS, box_mode=False,
                                      interpret=INTERP,
                                      host_prepadded=(H, W))
-        return jax.lax.dynamic_update_slice(xq, out, (0, 0, 0))
+        return _corner(xq, out)
 
     def _dus_loop(xq, wt):
         # XOR keeps the write non-elidable (add-zero would fold away).
-        body = jax.lax.dynamic_slice(xq, (0, 0, 0), (C, H, W))
-        return jax.lax.dynamic_update_slice(
-            xq, body ^ jnp.uint8(1), (0, 0, 0))
+        tile = jax.lax.slice(
+            xq, (0, 0, 0),
+            (1, min(8, H), min(128, xq.shape[-1]))) ^ jnp.uint8(1)
+        return jax.lax.dynamic_update_slice(xq, tile, (0, 0, 0))
 
     def _rb_loop(xr, wt):
         out = gaussian_pallas_rows(xr, wt, RADIUS, C, interpret=INTERP,
                                    host_prepadded=(H, W * C))
-        return jax.lax.dynamic_update_slice(xr, out, (0, 0))
+        return _corner(xr, out)
 
     def _rdus_loop(xr, wt):
-        body = jax.lax.dynamic_slice(xr, (0, 0), (H, W * C))
-        return jax.lax.dynamic_update_slice(xr, body ^ jnp.uint8(1), (0, 0))
+        tile = jax.lax.slice(
+            xr, (0, 0), (min(8, H), min(128, xr.shape[-1]))) ^ jnp.uint8(1)
+        return jax.lax.dynamic_update_slice(xr, tile, (0, 0))
 
     # Sobel serving tier (rows MXU, the tier where %pad.0 measured 24.6%
     # of traced time -- benchmarks/sol_report.json): same A/B shape.
@@ -158,7 +166,7 @@ def main() -> int:
     def _sb_loop(xs, wt):
         out = sobel_mxu_rows(xs, W, C, level=2, interpret=INTERP,
                              host_prepadded=(H, W * C))
-        return jax.lax.dynamic_update_slice(xs, out, (0, 0))
+        return _corner(xs, out)
 
     # Bit-exactness gates, compared on device.
     ref = f_a(x_hwc, w)
