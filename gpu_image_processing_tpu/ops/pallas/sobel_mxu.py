@@ -222,6 +222,23 @@ def _sobel_mxu_kernel(s_ref, in_ref, out_ref, tile_u8, x16, gbuf, mq, sem,
             jnp.int32).astype(jnp.uint8)
 
 
+def _rows_mxu_plan(height: int, width: int, channels: int, wf: int):
+    """(cs, n_ob, wpad, gw, n_gb, w_t, tile_rows, n_tiles, copy_rows,
+    total_rows) -- THE geometry for the rows MXU tier, shared by the
+    kernel builder, the host pre-pad, and the flop model so none can
+    drift from the real kernel (the sibling modules' _blur_plan/_mxu_plan
+    rule)."""
+    cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
+    tile_rows = min(_pick_tile_rows(width, channels, wf),
+                    _round_up(height, 8))
+    hp = _round_up(height, tile_rows)
+    n_tiles = hp // tile_rows
+    copy_rows = _round_up(tile_rows + 2, 8)
+    total_rows = hp - tile_rows + copy_rows
+    return (cs, n_ob, wpad, gw, n_gb, w_t, tile_rows, n_tiles, copy_rows,
+            total_rows)
+
+
 def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
                             wf: int, b: int = 1) -> int:
     """MXU matmul FLOPs one ``sobel_mxu_rows_batch`` call actually issues.
@@ -230,15 +247,12 @@ def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
     bf16x3-split Rec.601 compaction (n_gb dots of (copy_rows, 128*C) @
     (128*C, 128) per split term) plus the 0/1 expansion (n_ob dots of
     (tile_rows, 128) @ (128, 128)).  The VPU tap/sqrt stage is not MXU
-    work and is excluded.  Geometry comes from the same ``_geometry`` /
-    ``_pick_tile_rows`` helpers the builder uses, so the model cannot
-    drift from the real kernel.
+    work and is excluded.  Geometry comes from ``_rows_mxu_plan`` -- the
+    same plan the builder uses, so the model cannot drift from the real
+    kernel.
     """
-    cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
-    tile_rows = min(_pick_tile_rows(width, channels, wf),
-                    _round_up(height, 8))
-    n_tiles = _round_up(height, tile_rows) // tile_rows
-    copy_rows = _round_up(tile_rows + 2, 8)
+    (_cs, n_ob, _wp, _gw, n_gb, _wt, tile_rows, n_tiles, copy_rows,
+     _trows) = _rows_mxu_plan(height, width, channels, wf)
     f_compact = n_gb * _N_SPLIT * 2 * copy_rows * (128 * channels) * 128
     f_expand = n_ob * 2 * tile_rows * 128 * 128
     return b * n_tiles * (f_compact + f_expand)
@@ -252,12 +266,8 @@ def host_prepad_rows_mxu(rows_u8, width: int, channels: int):
 
     rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
     b, height, wf = rows.shape
-    _cs, _n_ob, _wp, _gw, _n_gb, w_t = _geometry(width, channels, wf)
-    tile_rows = min(_pick_tile_rows(width, channels, wf),
-                    _round_up(height, 8))
-    hp = _round_up(height, tile_rows)
-    copy_rows = _round_up(tile_rows + 2, 8)
-    total_rows = hp - tile_rows + copy_rows
+    (_cs, _n_ob, _wp, _gw, _n_gb, w_t, _tr, _nt, _cr,
+     total_rows) = _rows_mxu_plan(height, width, channels, wf)
     out = _np.zeros((b, total_rows, w_t), _np.uint8)
     out[:, 1:1 + height, _LAND:_LAND + wf] = rows
     return out if rows_u8.ndim == 3 else out[0]
@@ -282,13 +292,8 @@ def sobel_mxu_rows_batch(
         height, wf = host_prepadded
     else:
         b, height, wf = rows_u8.shape
-    cs, n_ob, wpad, gw, n_gb, w_t = _geometry(width, channels, wf)
-    tile_rows = min(_pick_tile_rows(width, channels, wf),
-                    _round_up(height, 8))
-    hp = _round_up(height, tile_rows)
-    n_tiles = hp // tile_rows
-    copy_rows = _round_up(tile_rows + 2, 8)
-    total_rows = hp - tile_rows + copy_rows
+    (cs, n_ob, wpad, gw, n_gb, w_t, tile_rows, n_tiles, copy_rows,
+     total_rows) = _rows_mxu_plan(height, width, channels, wf)
 
     # Single constant pad: every pad element only feeds border pixels the
     # kernel zeroes or junk lanes the masks drop (same rationale as the

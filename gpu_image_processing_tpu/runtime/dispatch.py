@@ -764,7 +764,14 @@ class FusedLevelsExecutable:
                         prep = getattr(f, "host_prepad", None)
                         if prep is None:
                             return device_time_ms_auto(f, list(args))
-                        rows_np = np.asarray(args[0])
+                        # Prefer the caller-provided HOST rows; np.asarray
+                        # on the device operand is the fallback only (a
+                        # bulk D2H through the relay runs at ~0.1-0.2
+                        # MB/s -- minutes for a README-sized image, held
+                        # under the compile lock).
+                        rows_np = getattr(self, "host_rows_np", None)
+                        if rows_np is None:
+                            rows_np = np.asarray(args[0])
                         targs = [jax.device_put(prep(rows_np),
                                                 default_device())]
                         targs += list(args[1:])
@@ -1230,7 +1237,12 @@ class FilterRuntime:
                    radius if filter_name != "sobel" else None, routing,
                    _pallas_disabled(),
                    tuple(_sobel_mxu_routed(lv, width, channels) for lv in lvls)
-                   if filter_name == "sobel" else None)
+                   if filter_name == "sobel" else None,
+                   # The serving program ignores prepad (in-program pads;
+                   # one shared operand), but the per-level TIMING fns are
+                   # built from it -- a mid-process flag flip must re-time
+                   # (the docstring rule: every routing flag in the key).
+                   _host_prepad_enabled())
             exe = self._get(
                 key,
                 lambda: FusedLevelsExecutable(
@@ -1238,8 +1250,14 @@ class FilterRuntime:
                     timing_fns=[trace_fn(lv, allow_prepad=True)
                                 for lv in lvls]),
             )
+            # Representative host-side rows for the one-time per-level
+            # prepad timing: fetching them from the device instead would
+            # be a ~21 MB D2H through the relay (~0.1-0.2 MB/s, minutes)
+            # under the compile lock.  Timing is content-independent, so
+            # any request's rows at this bucketed shape serve.
+            exe.host_rows_np = image.reshape(height, -1)
             dev = default_device()
-            args = [jax.device_put(image.reshape(height, -1), dev)]
+            args = [jax.device_put(exe.host_rows_np, dev)]
             if weights is not None:
                 args.append(jax.device_put(weights, dev))
             jax.block_until_ready(args)

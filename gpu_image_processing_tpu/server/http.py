@@ -257,7 +257,18 @@ def make_handler_class(router: Router, in_flight: Optional[InFlightGauge] = None
                                   "send Content-Length"})
                     return
                 try:
-                    length = int(self.headers.get("Content-Length") or 0)
+                    # ALL Content-Length headers, not just the first: a
+                    # request with conflicting duplicates ('CL: 5' then
+                    # 'CL: 50') framed on the first value leaves the
+                    # remaining body bytes on the stream to be parsed as
+                    # the next keep-alive request -- the same desync/
+                    # smuggling shape as the chunked case.  RFC 9110
+                    # s8.6: differing duplicate Content-Length values
+                    # must be rejected.
+                    cls = self.headers.get_all("Content-Length") or []
+                    if len({v.strip() for v in cls}) > 1:
+                        raise ValueError("conflicting Content-Length")
+                    length = int(cls[0] if cls else 0)
                     if length < 0:
                         # "Content-Length: -1" parses but cannot frame a
                         # body -- and rfile.read(-1) would read until EOF,

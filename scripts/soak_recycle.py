@@ -148,14 +148,15 @@ def main() -> int:
                               capture_output=True, text=True, timeout=300)
         print(stop.stdout.strip())
 
-    recycles = max(gen_seen) - min(gen_seen) if gen_seen else 0
+    gens = sorted(g for g in gen_seen if g is not None)
+    recycles = (gens[-1] - gens[0]) if gens else 0
     out = {
         "date_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         "minutes": minutes,
         "rss_cap_mb": rss_cap,
         "requests_ok": ok_total,
         "requests_failed": fail_total,
-        "generations": sorted(g for g in gen_seen if g is not None),
+        "generations": gens,
         "recycles": recycles,
         "rss_high_water_mb": rss_hw,
         "decode_tiers": final_tiers,

@@ -86,3 +86,40 @@ def test_bench_apply_fn_times_the_served_program(monkeypatch):
     fp0 = bench.program_fingerprint(
         "gaussian", 2, np.zeros((64, 80, 3), np.uint8))
     assert fp1 != fp0  # different device programs must never pool
+
+
+def test_prepad_flag_forks_the_fused_levels_key(rng, monkeypatch):
+    """The fused all-levels executable's per-level TIMING fns depend on
+    the prepad flag; a mid-process flip must re-time, so the flag lives
+    in the fused cache key too (round-5 review finding)."""
+    monkeypatch.setenv("GIP_TPU_LOOP_TIMING", "1")
+    img = make_image(rng, 40, 48, 3)
+    runtime = dispatch.FilterRuntime()
+
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "1")
+    runtime.run_all_levels("box", img, radius=5, levels=(1, 2))
+    keys_on = {k for k in runtime._cache if k[0] == "all_levels"}
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "0")
+    runtime.run_all_levels("box", img, radius=5, levels=(1, 2))
+    keys_both = {k for k in runtime._cache if k[0] == "all_levels"}
+    assert len(keys_both) == 2 * len(keys_on)
+
+
+def test_fused_timing_uses_host_rows_not_device_fetch(rng, monkeypatch):
+    """The one-time per-level prepad timing must consume the caller's
+    HOST rows (exe.host_rows_np), never a bulk D2H of the device operand
+    (~minutes through the relay, held under the compile lock)."""
+    monkeypatch.setenv("GIP_TPU_LOOP_TIMING", "1")
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "1")
+    img = make_image(rng, 40, 48, 3)
+    runtime = dispatch.FilterRuntime()
+    runtime.run_all_levels("gaussian", img, sigma=2.0, radius=3,
+                           levels=(1, 2))
+    exe = next(v for k, v in runtime._cache.items()
+               if k[0] == "all_levels")
+    assert getattr(exe, "host_rows_np", None) is not None
+    # Host rows at the BUCKETED shape (dispatch pads 40x48 up to its
+    # bucket before the rows reshape).
+    assert exe.host_rows_np.ndim == 2
+    assert exe.host_rows_np.shape[1] % 3 == 0
+    assert exe._kernel_ms is not None and len(exe._kernel_ms) == 2

@@ -677,3 +677,55 @@ def test_multipart_preserves_crlf_tailed_binary(app):
     out = np.array(Image.open(io.BytesIO(
         base64.b64decode(resp["base64_image"].split(",", 1)[1]))))
     np.testing.assert_array_equal(out, img)
+
+
+def test_live_conflicting_content_length_400_and_close(live_server):
+    """Duplicate Content-Length headers with DIFFERING values must be
+    rejected (RFC 9110 s8.6): framing on the first value would leave the
+    remaining body bytes on the stream to desync the next keep-alive
+    request -- the same smuggling shape as the chunked case (round-5
+    review finding)."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"POST /api/process HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Type: application/json\r\n"
+             f"Content-Length: 2\r\n"
+             f"Content-Length: 20\r\n\r\n"
+             "{}extra-bytes-here-xx").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"400" in resp.split(b"\r\n", 1)[0], resp[:200]
+    assert re.search(rb"(?i)connection:\s*close", resp), resp[:300]
+
+
+def test_live_equal_duplicate_content_length_accepted(live_server):
+    """Duplicate Content-Length with EQUAL values is degenerate but
+    unambiguous (RFC 9110 allows collapsing); it must still frame."""
+    import socket as socket_mod
+    import urllib.parse
+
+    host_port = urllib.parse.urlparse(live_server)
+    with socket_mod.create_connection(
+            (host_port.hostname, host_port.port), timeout=10) as sock:
+        sock.sendall(
+            (f"GET /api/health HTTP/1.1\r\n"
+             f"Host: {host_port.netloc}\r\n"
+             f"Content-Length: 0\r\n"
+             f"Content-Length: 0\r\n\r\n").encode())
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+    assert b"200" in resp.split(b"\r\n", 1)[0], resp[:200]
