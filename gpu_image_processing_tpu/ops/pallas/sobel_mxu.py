@@ -62,7 +62,22 @@ from ...core.config import TPU
 from .blur import _LAND, _round_up, _VMEM_HARD_LIMIT, _VMEM_SCOPE_BYTES
 
 # bf16 cascade terms for the Rec.601 band (see module docstring).
+# Per NUMERICS level: level 2 (u8-quantized gray) needs x3 -- the x2
+# residual (~2^-16 relative) measured 0.38% quantization-tie flips,
+# too hot for the L2 acceptance gate.  Level 1 (f32 gray, what the
+# ADVANCED serving tier requests) carries the maxdiff<=1 gate, which
+# tie flips satisfy by definition -- x2 cuts the compaction (the
+# dominant ~90% of the kernel's MXU work) by a third.  Routed only
+# after the silicon gate+timing run (scripts/exp_sobel_nsplit.py).
 _N_SPLIT = 3
+
+
+def _n_split(level: int) -> int:
+    return 2 if level == 1 and _L4_X2 else _N_SPLIT
+
+
+# Flipped to True by the silicon experiment's verdict (see _n_split).
+_L4_X2 = False
 
 
 def _geometry(width: int, channels: int, wf: int):
@@ -128,8 +143,8 @@ def use_mxu_sobel(width: int, channels: int, level: int) -> bool:
     return is_tpu()
 
 
-def _band_stack(channels: int) -> jnp.ndarray:
-    """(N_SPLIT, 128*C, 128) bf16 Rec.601 selection band, hi+mid+lo."""
+def _band_stack(channels: int, n_split: int = _N_SPLIT) -> jnp.ndarray:
+    """(n_split, 128*C, 128) bf16 Rec.601 selection band cascade."""
     wvec = np.zeros(channels, np.float32)
     if channels == 1:
         wvec[0] = 1.0
@@ -141,7 +156,7 @@ def _band_stack(channels: int) -> jnp.ndarray:
             s[t * channels + p, t] = wvec[p]
     rem = jnp.asarray(s)
     terms = []
-    for _ in range(_N_SPLIT):
+    for _ in range(n_split):
         # reduce_precision, not a bf16 cast round-trip (the round trip gets
         # elided under --xla_allow_excess_precision; see blur_mxu.py).
         t32 = jax.lax.reduce_precision(rem, exponent_bits=8, mantissa_bits=7)
@@ -174,7 +189,7 @@ def _sobel_mxu_kernel(s_ref, in_ref, out_ref, tile_u8, x16, gbuf, mq, sem,
         sl_x = x16[:, base + g * kspan : base + (g + 1) * kspan]
         acc = jnp.dot(up(sl_x), up(s_ref[0]),
                       preferred_element_type=jnp.float32)
-        for t in range(1, _N_SPLIT):
+        for t in range(1, s_ref.shape[0]):
             acc = acc + jnp.dot(up(sl_x), up(s_ref[t]),
                                 preferred_element_type=jnp.float32)
         gbuf[:, g * 128 : (g + 1) * 128] = acc
@@ -240,7 +255,7 @@ def _rows_mxu_plan(height: int, width: int, channels: int, wf: int):
 
 
 def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
-                            wf: int, b: int = 1) -> int:
+                            wf: int, b: int = 1, level: int = 2) -> int:
     """MXU matmul FLOPs one ``sobel_mxu_rows_batch`` call actually issues.
 
     Counts the dense blocked dots the kernel emits (2*M*K*N each): the
@@ -253,7 +268,8 @@ def sobel_mxu_modeled_flops(height: int, width: int, channels: int,
     """
     (_cs, n_ob, _wp, _gw, n_gb, _wt, tile_rows, n_tiles, copy_rows,
      _trows) = _rows_mxu_plan(height, width, channels, wf)
-    f_compact = n_gb * _N_SPLIT * 2 * copy_rows * (128 * channels) * 128
+    f_compact = (n_gb * _n_split(level) * 2 * copy_rows
+                 * (128 * channels) * 128)
     f_expand = n_ob * 2 * tile_rows * 128 * 128
     return b * n_tiles * (f_compact + f_expand)
 
@@ -334,7 +350,7 @@ def sobel_mxu_rows_batch(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_SCOPE_BYTES),
         interpret=interpret,
-    )(_band_stack(channels), x)
+    )(_band_stack(channels, _n_split(level)), x)
     return out
 
 

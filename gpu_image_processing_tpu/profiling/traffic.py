@@ -116,7 +116,8 @@ def served_mxu_flops(filter_name: str, level: int, height: int, width: int,
             return None
         from ..ops.pallas.sobel_mxu import sobel_mxu_modeled_flops
 
-        return sobel_mxu_modeled_flops(height, width, channels, wf)
+        return sobel_mxu_modeled_flops(height, width, channels, wf,
+                                       level=2 if level == 2 else 1)
     if radius is None:
         return None
     if filter_name == "gaussian":
