@@ -76,7 +76,13 @@ def _n_split(level: int) -> int:
     return 2 if level == 1 and _L4_X2 else _N_SPLIT
 
 
-# Flipped to True by the silicon experiment's verdict (see _n_split).
+# Silicon verdict (scripts/exp_sobel_nsplit.py, 5 interleaved rounds,
+# 2026-08-21, benchmarks/exp_sobel_nsplit_2026-08-21.log): the expected
+# ~30% MXU-FLOP cut did NOT appear on the wall -- x2/x3 per-round
+# 0.72/0.88/1.24/1.00/1.17, median 0.998, direction not unanimous.  The
+# third cascade matmul evidently hides under the kernel's DMA/VPU work.
+# Numerics passed (x2 vs oracle maxdiff 1, flips 3.0e-4 -- inside the
+# ADVANCED gate), so this stays a tested-but-unrouted variant; keep x3.
 _L4_X2 = False
 
 
