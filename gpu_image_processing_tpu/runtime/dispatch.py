@@ -126,6 +126,13 @@ def _host_prepad_enabled() -> bool:
     gated on device.  The reference's CUDA timing likewise brackets only
     the kernels, with upload marshalling outside (image_filters.cu:
     679-804).  Folded into executable cache keys like every routing flag.
+
+    Tradeoff note: the prep itself costs host CPU per request (numpy
+    zeros + block copy, ~10-16 ms for a 21 MB image on this 1-core
+    host -- calloc zero pages make it effectively one memory pass).
+    Deployments whose wall latency is host-CPU-bound rather than
+    device-bound can set GIP_TPU_HOST_PREPAD=0 to trade ~20% device
+    time for zero host-side marshalling.
     """
     return os.environ.get("GIP_TPU_HOST_PREPAD", "1") == "1"
 
