@@ -976,22 +976,24 @@ def box_pallas_rows(
 def gaussian_pallas_rows_batch(
     rows_u8: jnp.ndarray, weights: jnp.ndarray, radius: int, channels: int,
     interpret: bool = False, folded: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(B, H, W*C) batch -> same, batch riding the kernel grid."""
     return _separable_blur_interleaved(
         rows_u8, weights, radius, box_mode=False, channels=channels,
-        interpret=interpret, folded=folded)
+        interpret=interpret, folded=folded, host_prepadded=host_prepadded)
 
 
 def box_pallas_rows_batch(
     rows_u8: jnp.ndarray, radius: int, channels: int,
     interpret: bool = False, folded: bool = False,
+    host_prepadded: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """(B, H, W*C) batch -> same, batch riding the kernel grid."""
     inv = np.full(2 * radius + 1, box_inv_taps_f32(radius), dtype=np.float32)
     return _separable_blur_interleaved(
         rows_u8, jnp.asarray(inv), radius, box_mode=True, channels=channels,
-        interpret=interpret, folded=folded)
+        interpret=interpret, folded=folded, host_prepadded=host_prepadded)
 
 
 def gaussian_pallas_flat(

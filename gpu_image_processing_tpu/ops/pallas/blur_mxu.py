@@ -517,10 +517,12 @@ def gaussian_mxu_rows(rows_u8: jnp.ndarray, weights: jnp.ndarray,
 
 def gaussian_mxu_rows_batch(rows_u8: jnp.ndarray, weights: jnp.ndarray,
                             radius: int, channels: int,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            host_prepadded: tuple[int, int] | None = None,
+                            ) -> jnp.ndarray:
     """(B, H, W*C) batch -> same, batch riding the kernel grid."""
     return _gaussian_mxu(rows_u8, weights, radius, tap_stride=channels,
-                         interpret=interpret)
+                         interpret=interpret, host_prepadded=host_prepadded)
 
 
 # ---------------------------------------------------------------------------
@@ -563,8 +565,11 @@ def box_mxu_rows(rows_u8: jnp.ndarray, radius: int, channels: int,
 
 
 def box_mxu_rows_batch(rows_u8: jnp.ndarray, radius: int, channels: int,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret: bool = False,
+                       host_prepadded: tuple[int, int] | None = None,
+                       ) -> jnp.ndarray:
     """(B, H, W*C) batch -> same, batch riding the kernel grid."""
     weights, scale = _box_operands(radius)
     return _gaussian_mxu(rows_u8, weights, radius, tap_stride=channels,
-                         interpret=interpret, box_scale=scale)
+                         interpret=interpret, box_scale=scale,
+                         host_prepadded=host_prepadded)

@@ -816,6 +816,10 @@ def profile_batch(
                 args.append(jax.device_put(weights, repl_sh))
         else:
             dev = default_device()
+            if getattr(exe, "host_prepad", None) is not None:
+                # Host-prepad serving: the batch executable consumes the
+                # padded stack (dispatch._run_batch_attempt).
+                rows_b = exe.host_prepad(rows_b)
             args = [jax.device_put(rows_b, dev)]
             if weights is not None:
                 args.append(jax.device_put(weights, dev))
@@ -825,10 +829,15 @@ def profile_batch(
             exe._compiled(*args).block_until_ready()
             times_ms.append((time.perf_counter() - t0) * 1000.0)
         try:
-            # The batched trace fn is u8 rows in == out, so the served fn
-            # itself chains in the loop-delta harness.
-            duration_ms = device_time_ms(exe._raw_fn, args,
-                                         iters=16, sync_reps=3)
+            # The batched trace fn is u8 rows in == out and chains in the
+            # loop-delta harness directly; prepadded fns (padded in,
+            # unpadded out) are corner-chained like everywhere else.
+            fn = exe._raw_fn
+            if getattr(exe, "_timing_chain", False):
+                from ..runtime.timing import chain_corner
+
+                fn = chain_corner(fn)
+            duration_ms = device_time_ms(fn, args, iters=16, sync_reps=3)
         except Exception:
             duration_ms = min(times_ms) if times_ms else first_metrics.time_ms
 

@@ -182,7 +182,8 @@ def batch_cache_key(filter_name: str, lvl: int, batch: int, height: int,
             radius if filter_name != "sobel" else None,
             _mesh_batch_devices(), _pallas_disabled(),
             _sobel_mxu_routed(lvl, width, channels)
-            if filter_name == "sobel" else None)
+            if filter_name == "sobel" else None,
+            _host_prepad_enabled())
 
 
 def _mxu_prepad_ok(h: int, wf: int, radius: int, c: int) -> bool:
@@ -407,7 +408,12 @@ def _trace_batch_mesh(filter_name: str, level: int, radius: int,
     """
     from jax.sharding import PartitionSpec as P
 
-    local_fn = _trace_batch(filter_name, level, radius, h, w_, c)
+    # Mesh batch keeps in-program pads (allow_prepad=False): the shard_map
+    # wrapper would need the prep threaded through sharded operands and a
+    # sharded timing chain -- not validated on a virtual mesh yet, and the
+    # opt-in multi-chip path's win is the dp fan-out, not the pad.
+    local_fn = _trace_batch(filter_name, level, radius, h, w_, c,
+                            allow_prepad=False)
     batch_sh, _ = _mesh_batch_shardings(n_dev)
     n_extra = 1 if filter_name == "gaussian" else 0
     return jax.shard_map(
@@ -493,17 +499,29 @@ def _trace_sobel(level: int, h: int, w_: int, c: int,
 
 
 def _trace_batch(filter_name: str, level: int, radius: int,
-                 h: int, w_: int, c: int) -> Callable:
+                 h: int, w_: int, c: int,
+                 allow_prepad: bool = True) -> Callable:
     """Batched trace fn over (B, H, W*C) interleaved uint8 rows.
 
     Level 1 runs the interleaved jnp tier directly (no vmap, no relayout).
     Levels 2/4 use the natively batched interleaved Pallas kernels (the
     batch rides the kernel grid; Pallas ANY-space operands cannot be
     vmapped on TPU) with the interleaved XLA tier as fallback.
+
+    Host-prepad tagging mirrors _rows_optimized: the prep operates on the
+    (B, H, W*C) stack (the pad geometry is per-row, batch-independent).
     """
     import os as _os
 
     from ..ops import interleaved as il
+
+    wf = w_ * c
+    prepad = allow_prepad and _host_prepad_enabled()
+
+    def _tag(fn, prep):
+        fn.host_prepad = prep
+        fn.timing_chain = True
+        return fn
 
     if level == 1:
         if filter_name == "gaussian":
@@ -537,10 +555,27 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                     )
 
                     if use_mxu_gaussian(radius, w_, c, interleaved=True):
+                        if prepad and _mxu_prepad_ok(h, wf, radius, c):
+                            from ..ops.pallas.blur_mxu import host_prepad_mxu
+
+                            return _tag(
+                                lambda rows, w: gaussian_mxu_rows_batch(
+                                    rows, w, radius, c, interpret=interp,
+                                    host_prepadded=(h, wf)),
+                                lambda r: host_prepad_mxu(r, radius, c))
                         return lambda rows, w: gaussian_mxu_rows_batch(
                             rows, w, radius, c, interpret=interp)
                 if blur_pallas_feasible(w_, radius, c, False,
                                         interleaved=True):
+                    if prepad and _vpu_prepad_ok(h, wf, radius, c, False):
+                        from ..ops.pallas.blur import host_prepad_rows
+
+                        return _tag(
+                            lambda rows, w: gaussian_pallas_rows_batch(
+                                rows, w, radius, c, interpret=interp,
+                                folded=folded, host_prepadded=(h, wf)),
+                            lambda r: host_prepad_rows(r, radius, c,
+                                                       box_mode=False))
                     return lambda rows, w: gaussian_pallas_rows_batch(
                         rows, w, radius, c, interpret=interp,
                         folded=folded)
@@ -549,10 +584,27 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                                                    use_mxu_box)
 
                 if use_mxu_box(radius, w_, c, interleaved=True):
+                    if prepad and _mxu_prepad_ok(h, wf, radius, c):
+                        from ..ops.pallas.blur_mxu import host_prepad_mxu
+
+                        return _tag(
+                            lambda rows: box_mxu_rows_batch(
+                                rows, radius, c, interpret=interp,
+                                host_prepadded=(h, wf)),
+                            lambda r: host_prepad_mxu(r, radius, c))
                     return lambda rows: box_mxu_rows_batch(
                         rows, radius, c, interpret=interp)
                 if blur_pallas_feasible(w_, radius, c, True,
                                         interleaved=True):
+                    if prepad and _vpu_prepad_ok(h, wf, radius, c, True):
+                        from ..ops.pallas.blur import host_prepad_rows
+
+                        return _tag(
+                            lambda rows: box_pallas_rows_batch(
+                                rows, radius, c, interpret=interp,
+                                folded=folded, host_prepadded=(h, wf)),
+                            lambda r: host_prepad_rows(r, radius, c,
+                                                       box_mode=True))
                     return lambda rows: box_pallas_rows_batch(
                         rows, radius, c, interpret=interp, folded=folded)
             else:
@@ -563,8 +615,28 @@ def _trace_batch(filter_name: str, level: int, radius: int,
                 )
 
                 if use_mxu_sobel(w_, c, sobel_lvl):
+                    if prepad:
+                        from ..ops.pallas.sobel_mxu import (
+                            host_prepad_rows_mxu,
+                        )
+
+                        return _tag(
+                            lambda rows: sobel_mxu_rows_batch(
+                                rows, w_, c, interpret=interp,
+                                level=sobel_lvl, host_prepadded=(h, wf)),
+                            lambda r: host_prepad_rows_mxu(r, w_, c))
                     return lambda rows: sobel_mxu_rows_batch(
                         rows, w_, c, interpret=interp, level=sobel_lvl)
+                if prepad:
+                    from ..ops.pallas.sobel import (
+                        host_prepad_rows as sob_prep,
+                    )
+
+                    return _tag(
+                        lambda rows: sobel_pallas_rows_batch(
+                            rows, w_, c, level=sobel_lvl, interpret=interp,
+                            host_prepadded=(h, wf)),
+                        lambda r: sob_prep(r))
                 return lambda rows: sobel_pallas_rows_batch(
                     rows, w_, c, level=sobel_lvl, interpret=interp)
 
@@ -1454,7 +1526,10 @@ class FilterRuntime:
                 args.append(jax.device_put(weights, repl_sh))
         else:
             dev = default_device()
-            args = [jax.device_put(images.reshape(batch, height, -1), dev)]
+            rows_b = images.reshape(batch, height, -1)
+            if exe.host_prepad is not None:
+                rows_b = exe.host_prepad(rows_b)
+            args = [jax.device_put(rows_b, dev)]
             if weights is not None:
                 args.append(jax.device_put(weights, dev))
         jax.block_until_ready(args)

@@ -123,3 +123,18 @@ def test_fused_timing_uses_host_rows_not_device_fetch(rng, monkeypatch):
     assert exe.host_rows_np.ndim == 2
     assert exe.host_rows_np.shape[1] % 3 == 0
     assert exe._kernel_ms is not None and len(exe._kernel_ms) == 2
+
+
+def test_batch_served_outputs_identical_with_and_without_prepad(
+        rng, monkeypatch):
+    imgs = np.stack([make_image(rng, 33, 41, 3) for _ in range(3)])
+    runtime = dispatch.FilterRuntime()
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "0")
+    ref, _ = runtime.run_batch("box", imgs, level=2, radius=5)
+    monkeypatch.setenv("GIP_TPU_HOST_PREPAD", "1")
+    got, _ = runtime.run_batch("box", imgs, level=2, radius=5)
+    np.testing.assert_array_equal(got, ref)
+    # And the prepadded batch executable is tagged.
+    exe = next(v for k, v in runtime._cache.items()
+               if k[0] == "batch" and k[-1] is True)
+    assert exe.host_prepad is not None
