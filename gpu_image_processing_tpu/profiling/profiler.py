@@ -332,6 +332,7 @@ def _assemble_metrics(
     trace_kernels: Optional[dict],
     per_pass: Optional[tuple[float, float]],
     extra_config: Optional[dict[str, Any]] = None,
+    mxu_flops: Optional[int] = None,
 ) -> dict[str, Any]:
     """Assemble the categorized metric dict (shared by profile_filter and
     profile_batch): XLA cost/memory analyses from `compiled`, utilization
@@ -400,7 +401,7 @@ def _assemble_metrics(
     # known (or env-supplied) -- an unknown chip gets no percentages rather
     # than percentages against the wrong table.
     if peaks is not None:
-        peak_hbm_gbps, peak_f32_tflops, _ = peaks
+        peak_hbm_gbps, peak_f32_tflops, peak_bf16_tflops = peaks
         # Percentages are computed from the IO FLOOR (image in + out), the
         # bytes any implementation must move through HBM.  XLA's cost-model
         # "bytes accessed" counts VMEM-internal fusion traffic and can
@@ -411,6 +412,18 @@ def _assemble_metrics(
         metrics["execution"]["Compute Throughput (% of peak f32)"] = (
             100.0 * achieved_tflops / peak_f32_tflops if achieved_tflops else 0.0
         )
+        if mxu_flops:
+            # Mosaic custom-calls carry no XLA cost model, so the served
+            # MXU tiers (box L2/L4, sobel L2/L4 color, gaussian L4) would
+            # show 0% compute -- attach the MODELED matmul flops (from the
+            # kernels' own geometry, traffic.served_mxu_flops) against the
+            # bf16 MXU peak: the live-API completion of ncu's "Compute
+            # Throughput" (ncu_profiler.py:795-934).  Tagged modeled, not
+            # a hardware counter.
+            mxu_tf = mxu_flops / seconds / 1e12
+            metrics["execution"]["MXU Throughput (% of bf16 peak, modeled)"] = (
+                100.0 * mxu_tf / peak_bf16_tflops)
+            metrics["config"]["Modeled MXU FLOPs"] = mxu_flops
         metrics["memory"]["DRAM Throughput (% of peak)"] = dram_pct
         # TPU has no warp occupancy; report bandwidth-bound utilization,
         # the nearest "how busy is the hot resource" analog.
@@ -721,6 +734,13 @@ def profile_filter(
             except Exception:
                 per_pass = None
 
+    try:
+        from .traffic import served_mxu_flops
+
+        mxu_flops = served_mxu_flops(filter_type, lvl, kh, kw, channels,
+                                     kwargs.get("radius"))
+    except Exception:
+        mxu_flops = None
     metrics = _assemble_metrics(
         duration_ms=duration_ms,
         times_ms=times_ms,
@@ -732,6 +752,7 @@ def profile_filter(
         trace_kernels=trace_kernels,
         per_pass=per_pass,
         extra_config={"Serving Path": serving_path},
+        mxu_flops=mxu_flops,
     )
 
     if capture_trace:
@@ -865,6 +886,14 @@ def profile_batch(
             except Exception:
                 per_pass = None
 
+    try:
+        from .traffic import served_mxu_flops
+
+        per_img = served_mxu_flops(filter_type, lvl, kh, kw, channels,
+                                   kwargs.get("radius"))
+        mxu_flops = per_img * batch if per_img else None
+    except Exception:
+        mxu_flops = None
     return _assemble_metrics(
         duration_ms=duration_ms,
         times_ms=times_ms,
@@ -879,6 +908,7 @@ def profile_batch(
             "Serving Path": f"batch(dp={mesh_n})" if mesh_n else "batch",
             "Batch Size": batch,
         },
+        mxu_flops=mxu_flops,
     )
 
 

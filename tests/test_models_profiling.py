@@ -230,3 +230,21 @@ def test_capture_xla_trace(tmp_path, rng):
     # The profiler must leave a trace artifact behind for offline inspection.
     found = list(__import__("pathlib").Path(out_dir).rglob("*"))
     assert any(f.is_file() for f in found)
+
+
+def test_modeled_mxu_throughput_on_mxu_tier(rng, monkeypatch):
+    """The live deep profile completes the ncu 'Compute Throughput' analog
+    on Mosaic tiers: cost analysis sees no flops inside a custom-call, so
+    MXU-routed configs attach the MODELED matmul rate vs the bf16 peak
+    (explicitly tagged modeled)."""
+    monkeypatch.setenv("GIP_TPU_SOBEL_MXU", "1")
+    monkeypatch.setenv("GIP_TPU_TEST_PEAKS", "1")
+    from gpu_image_processing_tpu.profiling.profiler import profile_filter
+
+    img = make_image(rng, 40, 48, 3)
+    m = profile_filter(img, "box", 2, radius=5)
+    assert m["config"].get("Modeled MXU FLOPs")
+    assert "MXU Throughput (% of bf16 peak, modeled)" in m["execution"]
+    # Level 1 (naive tier) must NOT carry the modeled row.
+    m1 = profile_filter(img, "box", 1, radius=5)
+    assert "MXU Throughput (% of bf16 peak, modeled)" not in m1["execution"]
