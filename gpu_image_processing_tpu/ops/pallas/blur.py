@@ -593,6 +593,24 @@ def _blur_plan(height: int, data_width: int, channels: int, radius: int,
             total_rows)
 
 
+def _host_pad_buffer(x, total_rows: int, arr_width: int, row0: int,
+                     col0: int, edge_lanes: bool):
+    """Shared body of every host_prepad_* helper: a zeros
+    (N, total_rows, arr_width) uint8 buffer with the image block landed at
+    [row0:row0+H, col0:col0+W], lane pad edge-replicated on the image rows
+    when the kernel's in-program pad used edge mode (the zero rows stay
+    zero either way, matching pad-rows-then-pad-lanes ordering)."""
+    import numpy as _np
+
+    out = _np.zeros((x.shape[0], total_rows, arr_width), _np.uint8)
+    mid = out[:, row0:row0 + x.shape[1]]
+    mid[:, :, col0:col0 + x.shape[2]] = x
+    if edge_lanes:
+        mid[:, :, :col0] = x[:, :, :1]
+        mid[:, :, col0 + x.shape[2]:] = x[:, :, -1:]
+    return out
+
+
 def host_prepad_planar(planar_u8, radius: int, box_mode: bool,
                        chained: bool = False,
                        tile_rows: int | None = None):
@@ -610,7 +628,6 @@ def host_prepad_planar(planar_u8, radius: int, box_mode: bool,
     Only the radius <= tile_rows regime is supported (the constant-zero +
     in-kernel-clamp scheme; huge-radius box pads edge rows in-program).
     """
-    import numpy as _np
 
     channels, height, width = planar_u8.shape
     (land, _cs, _n_cols, _w_t, arr_width, tr, _n_tiles, _copy_rows,
@@ -619,13 +636,8 @@ def host_prepad_planar(planar_u8, radius: int, box_mode: bool,
                               tile_rows=tile_rows)
     if radius > tr:
         raise ValueError("host_prepad_planar requires radius <= tile_rows")
-    out = _np.zeros((channels, total_rows, arr_width), _np.uint8)
-    out[:, radius:radius + height, land:land + width] = planar_u8
-    # Edge-replicated lanes ONLY on the image rows (the zero rows stay
-    # zero, matching pad-rows-then-pad-lanes ordering in the builder).
-    out[:, radius:radius + height, :land] = planar_u8[:, :, :1]
-    out[:, radius:radius + height, land + width:] = planar_u8[:, :, -1:]
-    return out
+    return _host_pad_buffer(planar_u8, total_rows, arr_width, radius, land,
+                            edge_lanes=True)
 
 
 def host_prepad_rows(rows_u8, radius: int, channels: int, box_mode: bool,
@@ -635,7 +647,6 @@ def host_prepad_rows(rows_u8, radius: int, channels: int, box_mode: bool,
     interleaved rows kernel (`host_prepadded=` mode), matching its
     in-program pad byte-for-byte (zero rows; edge-LANE-replicated lane
     pad, whose halo content the kernel's _edge_fill overwrites anyway)."""
-    import numpy as _np
 
     rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
     n, height, wf = rows.shape
@@ -645,10 +656,8 @@ def host_prepad_rows(rows_u8, radius: int, channels: int, box_mode: bool,
                               tile_rows=tile_rows)
     if radius > tr:
         raise ValueError("host_prepad_rows requires radius <= tile_rows")
-    out = _np.zeros((n, total_rows, arr_width), _np.uint8)
-    out[:, radius:radius + height, land:land + wf] = rows
-    out[:, radius:radius + height, :land] = rows[:, :, :1]
-    out[:, radius:radius + height, land + wf:] = rows[:, :, -1:]
+    out = _host_pad_buffer(rows, total_rows, arr_width, radius, land,
+                           edge_lanes=True)
     return out if rows_u8.ndim == 3 else out[0]
 
 

@@ -360,10 +360,10 @@ def host_prepad_mxu(x_np, radius: int, tap_stride: int,
                                             g_block=g_block)
     if radius > tr:
         raise ValueError("host_prepad_mxu requires radius <= tile_rows")
-    out = _np.zeros((n, total_rows, arr_width), _np.uint8)
-    out[:, radius:radius + height, land:land + dw] = x
-    out[:, radius:radius + height, :land] = x[:, :, :1]
-    out[:, radius:radius + height, land + dw:] = x[:, :, -1:]
+    from .blur import _host_pad_buffer
+
+    out = _host_pad_buffer(x, total_rows, arr_width, radius, land,
+                           edge_lanes=True)
     return out if x_np.ndim == 3 else out[0]
 
 

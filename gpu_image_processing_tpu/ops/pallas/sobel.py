@@ -274,14 +274,15 @@ def host_prepad_rows(rows_u8, wf: int | None = None):
     Pass with ``host_prepadded=(H, W*C)`` to delete the in-program pad op
     (~25% of the served sobel's traced time, benchmarks/sol_report.json).
     """
-    import numpy as _np
 
     rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
     b, height, wf_ = rows.shape
     wf = wf or wf_
     _cs, w_t, _tr, _nt, _cr, total_rows = _rows_plan(height, wf)
-    out = _np.zeros((b, total_rows, w_t), _np.uint8)
-    out[:, 1:1 + height, _LAND:_LAND + wf] = rows
+    from .blur import _host_pad_buffer
+
+    out = _host_pad_buffer(rows, total_rows, w_t, 1, _LAND,
+                           edge_lanes=False)
     return out if rows_u8.ndim == 3 else out[0]
 
 
@@ -488,13 +489,13 @@ def host_prepad_planar(img_hwc):
     planar buffer `sobel_pallas(host_prepadded=...)` consumes: the
     HWC->planar transpose AND the constant pad move to the host, next to
     the untimed H2D."""
-    import numpy as _np
 
     height, width, channels = img_hwc.shape
     _cs, w_t, _tr, _nt, _cr, total_rows = _planar_plan(height, width)
-    out = _np.zeros((channels, total_rows, w_t), _np.uint8)
-    out[:, 1:1 + height, _LAND:_LAND + width] = img_hwc.transpose(2, 0, 1)
-    return out
+    from .blur import _host_pad_buffer
+
+    return _host_pad_buffer(img_hwc.transpose(2, 0, 1), total_rows, w_t, 1,
+                            _LAND, edge_lanes=False)
 
 
 def sobel_pallas(img_hwc: jnp.ndarray, level: int = 2,

@@ -284,14 +284,15 @@ def host_prepad_rows_mxu(rows_u8, width: int, channels: int):
     """(H, W*C) or (B, H, W*C) uint8 numpy -> the fully padded buffer for
     `sobel_mxu_rows*(host_prepadded=...)`: the single constant pad moves
     to the host (zeros everywhere except [1:1+H, _LAND:_LAND+wf])."""
-    import numpy as _np
 
     rows = rows_u8 if rows_u8.ndim == 3 else rows_u8[None]
     b, height, wf = rows.shape
     (_cs, _n_ob, _wp, _gw, _n_gb, w_t, _tr, _nt, _cr,
      total_rows) = _rows_mxu_plan(height, width, channels, wf)
-    out = _np.zeros((b, total_rows, w_t), _np.uint8)
-    out[:, 1:1 + height, _LAND:_LAND + wf] = rows
+    from .blur import _host_pad_buffer
+
+    out = _host_pad_buffer(rows, total_rows, w_t, 1, _LAND,
+                           edge_lanes=False)
     return out if rows_u8.ndim == 3 else out[0]
 
 

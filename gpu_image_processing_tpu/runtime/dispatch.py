@@ -186,6 +186,16 @@ def batch_cache_key(filter_name: str, lvl: int, batch: int, height: int,
             _host_prepad_enabled())
 
 
+def _tag_prepad(fn: Callable, prep: Callable) -> Callable:
+    """Attach the host-prepad contract to a traced tier fn: `host_prepad`
+    (numpy rows -> padded buffer, applied before device_put) and
+    `timing_chain` (the loop-delta harness must corner-chain the
+    non-shape-preserving fn; runtime/timing.py::chain_corner)."""
+    fn.host_prepad = prep
+    fn.timing_chain = True
+    return fn
+
+
 def _mxu_prepad_ok(h: int, wf: int, radius: int, c: int) -> bool:
     """Whether the MXU blur tier's host-prepad mode applies here (the
     helpers only support radius <= tile_rows -- the constant-zero-rows +
@@ -517,11 +527,7 @@ def _trace_batch(filter_name: str, level: int, radius: int,
 
     wf = w_ * c
     prepad = allow_prepad and _host_prepad_enabled()
-
-    def _tag(fn, prep):
-        fn.host_prepad = prep
-        fn.timing_chain = True
-        return fn
+    _tag = _tag_prepad
 
     if level == 1:
         if filter_name == "gaussian":
@@ -860,6 +866,10 @@ class FusedLevelsExecutable:
                     try:
                         self._kernel_ms = [_time_one(f)
                                            for f in self._timing_fns]
+                        # One-time use: keeping the rows numpy alive on
+                        # the cached executable would pin ~20 MB per
+                        # (filter, bucket) for the process lifetime.
+                        self.host_rows_np = None
                     except Exception as exc:
                         # Timing failures surface as the fusion routing
                         # signal (per-level fallback), never as

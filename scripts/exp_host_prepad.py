@@ -88,7 +88,7 @@ def main() -> int:
     x_rpp = jax.device_put(jnp.asarray(xr_np), dev)
     w = jax.device_put(jnp.asarray(w_np), dev)
 
-    from gpu_image_processing_tpu.ops.pallas.blur import _blur_plan
+    from gpu_image_processing_tpu.ops.pallas.blur import _LAND, _blur_plan
 
     land_p = _blur_plan(H, W, C, RADIUS, False, interleaved=False)[0]
     land_r = _blur_plan(H, W * C, C, RADIUS, False, interleaved=True)[0]
@@ -160,8 +160,6 @@ def main() -> int:
     f_sa = jax.jit(lambda x, wt: sobel_mxu_rows(x, W, C, level=2, interpret=INTERP))
     f_sb = jax.jit(lambda x, wt: sobel_mxu_rows(
         x, W, C, level=2, interpret=INTERP, host_prepadded=(H, W * C)))
-
-    from gpu_image_processing_tpu.ops.pallas.blur import _LAND
 
     def _sb_loop(xs, wt):
         out = sobel_mxu_rows(xs, W, C, level=2, interpret=INTERP,

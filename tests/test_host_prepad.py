@@ -117,12 +117,11 @@ def test_fused_timing_uses_host_rows_not_device_fetch(rng, monkeypatch):
                            levels=(1, 2))
     exe = next(v for k, v in runtime._cache.items()
                if k[0] == "all_levels")
-    assert getattr(exe, "host_rows_np", None) is not None
-    # Host rows at the BUCKETED shape (dispatch pads 40x48 up to its
-    # bucket before the rows reshape).
-    assert exe.host_rows_np.ndim == 2
-    assert exe.host_rows_np.shape[1] % 3 == 0
+    # Timing succeeded through the host rows (never a device fetch) and
+    # the one-time rows reference was RELEASED afterwards -- keeping it
+    # would pin ~20 MB per cached executable for the process lifetime.
     assert exe._kernel_ms is not None and len(exe._kernel_ms) == 2
+    assert exe.host_rows_np is None
 
 
 def test_batch_served_outputs_identical_with_and_without_prepad(
