@@ -73,6 +73,15 @@ def _payloads(tmpdir: str) -> list[str]:
         with open(p, "w") as f:
             json.dump(body, f)
         paths.append(p)
+    # Batch wave: /api/process-batch through the natively batched
+    # (prepadded) kernels -- the one serving surface the earlier soaks
+    # never pushed under load.
+    body = {"images": [png_b64(480, 640) for _ in range(3)],
+            "filter": "gaussian", "level": 2, "sigma": 2.0, "radius": 3}
+    p = os.path.join(tmpdir, "batch_gauss.json")
+    with open(p, "w") as f:
+        json.dump(body, f)
+    paths.append((p, "/api/process-batch"))
     return paths
 
 
@@ -117,8 +126,12 @@ def main() -> int:
         wave = 0
         while time.time() < t_end:
             payload = payloads[wave % len(payloads)]
+            endpoint = "/api/process"
+            if isinstance(payload, tuple):
+                payload, endpoint = payload
             r = subprocess.run(
-                [LOADGEN, "127.0.0.1", str(port), "4", "10", payload],
+                [LOADGEN, "127.0.0.1", str(port), "4", "10", payload,
+                 endpoint],
                 capture_output=True, text=True, timeout=900)
             line = (r.stdout.splitlines() or [""])[0]
             ok = fail = 0
