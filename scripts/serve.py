@@ -105,6 +105,27 @@ def maybe_build_native() -> None:
         print(f"Native codec build skipped ({exc}); serving with PIL codecs")
 
 
+def _exit_action(rc: int, uptime: float, rapid: int,
+                 min_uptime: float) -> tuple[str, int]:
+    """Supervisor policy for one backend exit: ("stop"|"restart", rapid').
+
+    rc == 0 stops (clean shutdown).  EXIT_RECYCLE and abnormal deaths
+    (negative rc = signal, other nonzero = crash) both RESTART -- a
+    production supervisor must outlive its worker's failure modes
+    (observed 2026-08-21: a recycling worker SIGABRTed during interpreter
+    teardown when the axon plugin's C++ RPC thread threw mid-unwind,
+    rc=-6 instead of 43; the old rc!=43-stops policy took the service
+    down on an ANNOUNCED recycle).  The crash-loop guard stops after 3
+    deaths faster than min_uptime.
+    """
+    if rc == 0:
+        return "stop", rapid
+    rapid = rapid + 1 if uptime < min_uptime else 0
+    if rapid >= 3:
+        return "stop", rapid
+    return "restart", rapid
+
+
 def cmd_supervise(_args) -> int:
     """Foreground backend supervisor: run the backend as a direct child and
     restart it whenever it exits with config.EXIT_RECYCLE (the RSS-watchdog
@@ -113,7 +134,8 @@ def cmd_supervise(_args) -> int:
     wait() between spawns guarantees the recycle is SEQUENTIAL: the old TPU
     process has fully exited (lease released) before the new one
     initializes -- two concurrent TPU processes stall on this host's relay.
-    Any other exit code stops supervision (real failure or clean stop)."""
+    Abnormal worker deaths also restart (bounded by the crash-loop guard);
+    only a clean exit 0 or the guard stops supervision (_exit_action)."""
     min_uptime = float(os.environ.get("GIP_TPU_RECYCLE_MIN_UPTIME_S", "30"))
     state = {"stopping": False, "proc": None}
 
@@ -171,20 +193,19 @@ def cmd_supervise(_args) -> int:
         uptime = time.time() - started
         if state["stopping"]:
             return 0
-        if rc != config.EXIT_RECYCLE:
-            print(f"backend exited rc={rc} after {uptime:.0f}s; "
-                  "supervisor stopping", flush=True)
-            return 0 if rc == 0 else 1
-        # Crash-loop guard: recycling is normal, but recycling INSTANTLY is
-        # a misconfiguration (e.g. threshold below the baseline RSS).
-        rapid = rapid + 1 if uptime < min_uptime else 0
-        if rapid >= 3:
-            print(f"backend recycled 3x within {min_uptime:.0f}s of start; "
-                  "giving up (is GIP_TPU_MAX_RSS_MB below baseline RSS?)",
-                  flush=True)
+        action, rapid = _exit_action(rc, uptime, rapid, min_uptime)
+        if action == "stop":
+            if rc == 0:
+                print(f"backend exited cleanly after {uptime:.0f}s; "
+                      "supervisor stopping", flush=True)
+                return 0
+            print(f"backend died/recycled 3x within {min_uptime:.0f}s of "
+                  "start; giving up (crash loop, or GIP_TPU_MAX_RSS_MB "
+                  "below baseline RSS?)", flush=True)
             return 1
-        print(f"backend requested recycle after {uptime:.0f}s; restarting",
-              flush=True)
+        why = ("requested recycle" if rc == config.EXIT_RECYCLE
+               else f"died rc={rc}")
+        print(f"backend {why} after {uptime:.0f}s; restarting", flush=True)
 
 
 def cmd_start(args) -> int:

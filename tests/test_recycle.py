@@ -405,3 +405,35 @@ def test_load_shedding_503_past_in_flight_cap(monkeypatch):
         release.set()
         server.shutdown()
         lsock.close()
+
+
+def test_supervisor_exit_policy_restarts_abnormal_deaths():
+    """The supervisor restarts on EXIT_RECYCLE *and* abnormal deaths
+    (signal/crash), stopping only on clean exit or a crash loop -- the
+    2026-08-21 soak found a recycling worker SIGABRTing during
+    interpreter teardown (axon C++ RPC thread threw mid-unwind, rc=-6
+    instead of 43) and the old rc!=43-stops policy took the service down
+    on an announced recycle."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("serve_mod", SERVE)
+    serve = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(serve)
+    from gpu_image_processing_tpu.core import config as cfg
+
+    # Clean exit stops.
+    assert serve._exit_action(0, 100.0, 0, 30.0)[0] == "stop"
+    # Announced recycle restarts.
+    assert serve._exit_action(cfg.EXIT_RECYCLE, 100.0, 0, 30.0)[0] == "restart"
+    # SIGABRT during teardown (the observed race) restarts.
+    assert serve._exit_action(-6, 50.0, 0, 30.0)[0] == "restart"
+    # Generic crash restarts...
+    action, rapid = serve._exit_action(1, 5.0, 0, 30.0)
+    assert action == "restart" and rapid == 1
+    # ...but three fast deaths trip the crash-loop guard.
+    action, rapid = serve._exit_action(-9, 5.0, 1, 30.0)
+    assert action == "restart" and rapid == 2
+    assert serve._exit_action(1, 5.0, 2, 30.0)[0] == "stop"
+    # A long-lived generation resets the rapid counter.
+    assert serve._exit_action(cfg.EXIT_RECYCLE, 300.0, 2, 30.0) == (
+        "restart", 0)
