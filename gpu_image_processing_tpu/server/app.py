@@ -960,7 +960,18 @@ def main() -> None:
     _dump_served_shapes()
     if recycle.is_set():
         logger.info("Worker recycling (exit %d)", config.EXIT_RECYCLE)
-        sys.exit(config.EXIT_RECYCLE)
+        logging.shutdown()
+        # os._exit, NOT sys.exit: interpreter teardown unwinds the relay
+        # plugin's live C++ RPC threads, and ~half of recycles under load
+        # died SIGABRT mid-unwind ("FATAL: exception not rethrown",
+        # rc=-6 -- 18 of 35 recycles in the 2026-08-21 durability soak).
+        # The supervisor rides those (serve.py::_exit_action), but
+        # skipping teardown entirely hands it the clean EXIT_RECYCLE
+        # every time.  Nothing below needs atexit: responses are flushed
+        # (drain above), the warm-shape file is written, logs are shut
+        # down, and the device lease is released by process exit either
+        # way.
+        os._exit(config.EXIT_RECYCLE)
 
 
 if __name__ == "__main__":
